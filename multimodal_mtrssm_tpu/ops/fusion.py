@@ -1,0 +1,49 @@
+"""MoPoE fusion primitives (PoE product + MoE mixture of modality subsets).
+
+Behavior contract from the reference (replicated exactly, including its two
+quirks — do NOT "fix" them, they define the trained objective):
+
+1. ``log_softmax`` is taken over the FULL flat logit axis (width
+   ``class*category``), not per category block
+   (reference ``mopoe_mrssm/core.py:101-102,241-242``).
+2. The PoE term inside the mixture is the *unnormalized* sum of
+   log-probabilities — it is not renormalized before the logsumexp
+   (reference ``mopoe_mrssm/core.py:105,243``).
+
+The mixed output is then fed as raw logits to ``MultiOneHot``, whose
+per-block softmax performs the only normalization that matters downstream.
+
+All fusion math runs in float32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_LOG_THIRD = float(jnp.log(jnp.asarray(1.0 / 3.0, dtype=jnp.float32)))
+
+
+def poe_fuse_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> jax.Array:
+    """PoE fusion: sum of full-axis log-softmaxed logits.
+
+    Reference ``mopoe_mrssm/core.py:100-105``. Returns the *unnormalized*
+    fused log-probabilities (f32).
+    """
+    a = jax.nn.log_softmax(audio_logits.astype(jnp.float32), axis=-1)
+    v = jax.nn.log_softmax(vision_logits.astype(jnp.float32), axis=-1)
+    return a + v
+
+
+def mopoe_mix_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> jax.Array:
+    """Equal-weight MoE logsumexp over the subsets {A}, {V}, {A+V}.
+
+    Reference ``mopoe_mrssm/core.py:136-154`` (the 2^M - 1 non-empty modality
+    subsets for M=2). Returns mixed log-probabilities (f32) to be used as
+    ``MultiOneHot`` logits.
+    """
+    a = jax.nn.log_softmax(audio_logits.astype(jnp.float32), axis=-1)
+    v = jax.nn.log_softmax(vision_logits.astype(jnp.float32), axis=-1)
+    fused = a + v  # unnormalized PoE term, kept unnormalized on purpose
+    stacked = jnp.stack([a, v, fused], axis=-2) + _LOG_THIRD
+    return jax.nn.logsumexp(stacked, axis=-2)
