@@ -1,0 +1,20 @@
+"""Model families: state pytrees, MoPoE-MRSSM, MoPoE-MMTRSSM."""
+
+from multimodal_mtrssm_tpu.models.mrssm import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.models.state import (
+    MTState,
+    State,
+    cat_states,
+    stack_states,
+    state_from_logits,
+)
+
+__all__ = [
+    "MRSSMConfig",
+    "MTState",
+    "MoPoEMRSSM",
+    "State",
+    "cat_states",
+    "stack_states",
+    "state_from_logits",
+]

@@ -1,0 +1,283 @@
+"""MoPoE-MRSSM: multimodal RSSM with Mixture-of-Products-of-Experts posteriors.
+
+TPU-native rebuild of the reference model (reference
+``src/multimodal_rssm/models/mrssm/mopoe_mrssm/core.py:12-355`` on top of
+``models/core.py:13-266`` and ``models/networks.py:18-173``). Semantics are
+replicated exactly (including the unnormalized PoE term inside the MoE
+mixture, reference ``mopoe_mrssm/core.py:240-251``); the implementation is
+redesigned for XLA:
+
+- The per-timestep recurrence is a single fused ``lax.scan`` step (the
+  reference runs a Python ``for t in range(T)`` loop of ~6 tiny CUDA
+  launches per step, ``core.py:159-164``). Under ``jit`` the scan compiles
+  to one on-device loop.
+- Encoders/decoders run once over the flattened [B·T] frame batch — big
+  MXU-friendly convs (reference batches the same way,
+  ``mopoe_mrssm/core.py:215-216,272-273``).
+- RNG is an explicit per-step key array threaded through the scan
+  (replacing torch's implicit global RNG in ``rsample``).
+- All state flows through ``State`` pytrees; nothing is mutable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_mtrssm_tpu.nn.conv import (
+    DecoderConfig,
+    EncoderConfig,
+    decoder_apply,
+    decoder_init,
+    encoder_apply,
+    encoder_init,
+)
+from multimodal_mtrssm_tpu.nn.core import Params, gru_apply, gru_init, mlp_apply, mlp_init
+from multimodal_mtrssm_tpu.models.state import State
+from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot, kl_balanced
+from multimodal_mtrssm_tpu.ops.fusion import mopoe_mix_log_probs
+from multimodal_mtrssm_tpu.ops.likelihood import gaussian_nll
+
+
+@dataclasses.dataclass(frozen=True)
+class MRSSMConfig:
+    """Static hyperparameters (defaults = reference
+    ``mopoe_mrssm/configs/default.yaml:7-101``)."""
+
+    deterministic_size: int = 32
+    hidden_size: int = 32
+    obs_embed_size: int = 64
+    class_size: int = 4
+    category_size: int = 4
+    action_size: int = 6
+    activation_name: str = "ELU"
+    init_proj_cells: int = 200
+    kl_coeff: float = 1.0
+    use_kl_balancing: bool = True
+    audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    audio_decoder: DecoderConfig | None = None
+    vision_decoder: DecoderConfig | None = None
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def stoch_size(self) -> int:
+        return self.class_size * self.category_size
+
+    @property
+    def feature_size(self) -> int:
+        return self.deterministic_size + self.stoch_size
+
+    def decoder_cfg(self, which: str) -> DecoderConfig:
+        cfg = getattr(self, f"{which}_decoder")
+        return cfg if cfg is not None else DecoderConfig(in_features=self.feature_size)
+
+
+class MoPoEMRSSM:
+    """Functional MoPoE-MRSSM: static config + pure methods over a param pytree."""
+
+    def __init__(self, config: MRSSMConfig | None = None):
+        self.cfg = config or MRSSMConfig()
+
+    # ---- init ------------------------------------------------------------
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 10)
+        stoch = cfg.stoch_size
+        params: Params = {
+            # Transition (prior head), reference networks.py:87-173.
+            "transition": {
+                "action_state_projector": mlp_init(
+                    keys[0], cfg.action_size + stoch, cfg.hidden_size, cfg.hidden_size, depth=1
+                ),
+                "gru": gru_init(keys[1], cfg.hidden_size, cfg.deterministic_size),
+                "rnn_to_prior_projector": mlp_init(
+                    keys[2], cfg.deterministic_size, stoch, cfg.hidden_size, depth=1
+                ),
+            },
+            # Two posterior heads (Representation), reference networks.py:18-84.
+            "audio_representation": mlp_init(
+                keys[3], cfg.deterministic_size + cfg.obs_embed_size, stoch, cfg.hidden_size, depth=1
+            ),
+            "vision_representation": mlp_init(
+                keys[4], cfg.deterministic_size + cfg.obs_embed_size, stoch, cfg.hidden_size, depth=1
+            ),
+            "audio_encoder": encoder_init(keys[5], cfg.audio_encoder),
+            "vision_encoder": encoder_init(keys[6], cfg.vision_encoder),
+            "audio_decoder": decoder_init(keys[7], self.decoder_cfg("audio")),
+            "vision_decoder": decoder_init(keys[8], self.decoder_cfg("vision")),
+            # init_proj: obs_embed → deter, reference configs :93-99 (200 cells).
+            "init_proj": mlp_init(
+                keys[9], cfg.obs_embed_size, cfg.deterministic_size, cfg.init_proj_cells, depth=1
+            ),
+        }
+        return params
+
+    def decoder_cfg(self, which: str) -> DecoderConfig:
+        return self.cfg.decoder_cfg(which)
+
+    # ---- building blocks ---------------------------------------------------
+    def _dist(self, logits: jax.Array) -> MultiOneHot:
+        return MultiOneHot(logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size)
+
+    def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
+        """Mean-fused embedding (reference ``mopoe_mrssm/core.py:165-182``)."""
+        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, audio_obs)
+        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, vision_obs)
+        return (a + v) / 2.0
+
+    def transition(self, params: Params, action: jax.Array, prev_state: State, key: jax.Array) -> State:
+        """Prior step (reference ``networks.py:151-173``)."""
+        deter, logits = self._transition_core(params, action, prev_state.stoch, prev_state.deter)
+        dist = self._dist(logits)
+        return State(deter=deter, stoch=dist.rsample(key), distribution=dist)
+
+    def _transition_core(
+        self, params: Params, action: jax.Array, prev_stoch: jax.Array, prev_deter: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        t = params["transition"]
+        act = self.cfg.activation_name
+        x = jnp.concatenate([action, prev_stoch], axis=-1)
+        x = mlp_apply(t["action_state_projector"], x, act)
+        deter = gru_apply(t["gru"], x, prev_deter)
+        logits = mlp_apply(t["rnn_to_prior_projector"], deter, act)
+        return deter, logits
+
+    def _posterior_logits(self, params: Params, which: str, deter: jax.Array, obs_embed: jax.Array) -> jax.Array:
+        """Posterior head logits (reference ``mopoe_mrssm/core.py:62-84``:
+        input = cat(deter, obs_embed))."""
+        x = jnp.concatenate([deter, obs_embed], axis=-1)
+        return mlp_apply(params[f"{which}_representation"], x, self.cfg.activation_name)
+
+    # ---- public API (reference BaseRSSM surface) ---------------------------
+    def initial_state(
+        self, params: Params, audio_obs0: jax.Array, vision_obs0: jax.Array, key: jax.Array
+    ) -> State:
+        """Initial latent from frame-0 observations (reference ``core.py:121-135``)."""
+        embed = self.encode_observation(params, audio_obs0, vision_obs0)
+        act = self.cfg.activation_name
+        deter = mlp_apply(params["init_proj"], embed, act)
+        logits = mlp_apply(params["transition"]["rnn_to_prior_projector"], deter, act)
+        dist = self._dist(logits)
+        return State(deter=deter, stoch=dist.rsample(key), distribution=dist)
+
+    def rollout_representation(
+        self,
+        params: Params,
+        actions: jax.Array,
+        audio_obs: jax.Array,
+        vision_obs: jax.Array,
+        prev_state: State,
+        key: jax.Array,
+    ) -> tuple[State, State]:
+        """Posterior/prior rollout over [B, T] (reference
+        ``mopoe_mrssm/core.py:184-260``), as one ``lax.scan``.
+
+        Returns ``(posterior, prior)`` with time on axis 1.
+        """
+        cfg = self.cfg
+        audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
+        vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        T = actions.shape[1]
+        step_keys = jax.random.split(key, T)
+
+        def step(carry, xs):
+            prev_deter, prev_stoch = carry
+            action_t, a_emb_t, v_emb_t, k = xs
+            k_prior, k_post = jax.random.split(k)
+            deter, prior_logits = self._transition_core(params, action_t, prev_stoch, prev_deter)
+            prior_dist = self._dist(prior_logits)
+            prior_stoch = prior_dist.rsample(k_prior)
+            a_logits = self._posterior_logits(params, "audio", deter, a_emb_t)
+            v_logits = self._posterior_logits(params, "vision", deter, v_emb_t)
+            mixed_logits = mopoe_mix_log_probs(a_logits, v_logits)
+            post_dist = self._dist(mixed_logits)
+            post_stoch = post_dist.rsample(k_post)
+            # Mixed posterior becomes the next prev_state (reference :256).
+            carry = (deter, post_stoch)
+            ys = (deter, prior_logits, prior_stoch, mixed_logits, post_stoch)
+            return carry, ys
+
+        # Scan is time-major; transpose once afterwards ([T, B, …] → [B, T, …]).
+        xs = (
+            jnp.swapaxes(actions, 0, 1),
+            jnp.swapaxes(audio_embed, 0, 1),
+            jnp.swapaxes(vision_embed, 0, 1),
+            step_keys,
+        )
+        _, (deter, prior_logits, prior_stoch, mixed_logits, post_stoch) = jax.lax.scan(
+            step, (prev_state.deter, prev_state.stoch), xs
+        )
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
+        posterior = State(deter=tm(deter), stoch=tm(post_stoch), distribution=self._dist(tm(mixed_logits)))
+        return posterior, prior
+
+    def rollout_transition(
+        self, params: Params, actions: jax.Array, prev_state: State, key: jax.Array
+    ) -> State:
+        """Prior-only imagination rollout (reference ``core.py:170-185``)."""
+        T = actions.shape[1]
+        step_keys = jax.random.split(key, T)
+
+        def step(carry, xs):
+            prev_deter, prev_stoch = carry
+            action_t, k = xs
+            deter, logits = self._transition_core(params, action_t, prev_stoch, prev_deter)
+            stoch = self._dist(logits).rsample(k)
+            return (deter, stoch), (deter, logits, stoch)
+
+        _, (deter, logits, stoch) = jax.lax.scan(
+            step, (prev_state.deter, prev_state.stoch), (jnp.swapaxes(actions, 0, 1), step_keys)
+        )
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        return State(deter=tm(deter), stoch=tm(stoch), distribution=self._dist(tm(logits)))
+
+    def decode_state(self, params: Params, state: State) -> dict[str, jax.Array]:
+        """Decode both modalities from features (reference
+        ``mopoe_mrssm/core.py:262-277``)."""
+        feature = state.feature
+        return {
+            "recon/audio": decoder_apply(params["audio_decoder"], self.decoder_cfg("audio"), feature),
+            "recon/vision": decoder_apply(params["vision_decoder"], self.decoder_cfg("vision"), feature),
+        }
+
+    def compute_reconstruction_loss(
+        self, reconstructions: dict[str, jax.Array], targets: dict[str, jax.Array]
+    ) -> dict[str, jax.Array]:
+        """Per-modality Gaussian NLL, summed (reference
+        ``mopoe_mrssm/core.py:279-308``; event_ndims=3)."""
+        audio = gaussian_nll(reconstructions["recon/audio"], targets["recon/audio"], event_ndims=3)
+        vision = gaussian_nll(reconstructions["recon/vision"], targets["recon/vision"], event_ndims=3)
+        return {"recon": audio + vision, "recon/audio": audio, "recon/vision": vision}
+
+    def shared_step(self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array) -> dict[str, jax.Array]:
+        """Full ELBO step (reference ``core.py:187-221``).
+
+        ``batch`` order matches the reference's 6-way StackDataset
+        (reference ``mrssm/dataset.py:168-183``):
+        (action_input, audio_in, vision_in, action_target, audio_target,
+        vision_target); observations are NHWC ``[B, T, H, W, C]``.
+        """
+        action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
+        k_init, k_roll = jax.random.split(key)
+        dt = self.cfg.compute_dtype
+        init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
+        posterior, prior = self.rollout_representation(
+            params, action_input.astype(dt), audio_in.astype(dt), vision_in.astype(dt), init, k_roll
+        )
+        recons = self.decode_state(params, posterior)
+        targets = {"recon/audio": batch[4], "recon/vision": batch[5]}
+        loss_dict = self.compute_reconstruction_loss(recons, targets)
+        # KL over time: .independent(1) sums KL across T, then batch-mean
+        # (reference core.py:212-218 via distribution_extension.kl_divergence).
+        kl_bt = kl_balanced(
+            posterior.distribution, prior.distribution, use_balancing=self.cfg.use_kl_balancing
+        )  # [B, T]
+        kl = jnp.mean(jnp.sum(kl_bt, axis=-1)) * self.cfg.kl_coeff
+        loss_dict["kl"] = kl
+        loss_dict["loss"] = loss_dict["recon"] + kl
+        return loss_dict
