@@ -1,0 +1,187 @@
+"""Input pipeline: episode store → preprocessed arrays → device batches.
+
+Replaces the reference's Lightning DataModule + torch DataLoader stack
+(reference ``src/multimodal_rssm/models/dataset.py:190-365`` and
+``mrssm/dataset.py:21-183``). TPU-first design:
+
+- The full Audio-MNIST dataset is small (a few hundred 180-frame episodes);
+  after one-time preprocessing it is held as contiguous host numpy arrays —
+  no worker processes, no per-item file IO (the reference runs 4 torch
+  DataLoader workers with persistent_workers, ``dataset.py:321-342``).
+- Batch assembly = array slicing + one vectorized noise draw; batches are
+  moved to device asynchronously (``jax.device_put`` double-buffering
+  replaces pinned-memory prefetch).
+- Batch tuple order preserves the reference's 6-way StackDataset contract
+  (reference ``mrssm/dataset.py:168-183``): (action_input, audio_input,
+  vision_input, action_target, audio_target, vision_target).
+- The 0.8 sorted-path train/val split matches reference ``dataset.py:69-81``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from pathlib import Path
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from multimodal_mtrssm_tpu.data import episodes as ep
+from multimodal_mtrssm_tpu.data.transforms import (
+    Compose,
+    GaussianNoise,
+    Identity,
+    NormalizeAudioMelSpectrogram,
+    NormalizeVisionImage,
+    TakeFirstN,
+)
+
+Batch = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+@dataclasses.dataclass
+class DataModuleConfig:
+    """Mirror of the reference's ``EpisodeDataModuleConfig`` surface
+    (reference ``mrssm/dataset.py:21-52`` + ``dataset.py:114-187``)."""
+
+    data_dir: str | Path = "data/audio_mnist"
+    batch_size: int = 8
+    sequence_length: int = 30  # TakeFirstN n (configs :180-220)
+    noise_std: float = 0.1  # GaussianNoise on inputs only
+    train_ratio: float = 0.8
+    audio_min: float = -80.0
+    audio_max: float = 0.0
+    seed: int = 42
+    drop_modality: str | None = None  # None | "audio" | "vision" (ZeroOut inputs)
+    # Full per-stream transform overrides (None ⇒ reference defaults above).
+    action_preprocess: Callable | None = None
+    audio_preprocess: Callable | None = None
+    vision_preprocess: Callable | None = None
+
+
+class EpisodeDataModule:
+    """Loads episodes, preprocesses once, serves device-ready batches."""
+
+    def __init__(self, config: DataModuleConfig):
+        self.cfg = config
+        self._arrays: dict[str, np.ndarray] | None = None
+        self._split: tuple[np.ndarray, np.ndarray] | None = None
+
+    # ---- preparation -------------------------------------------------------
+    def setup(self) -> None:
+        cfg = self.cfg
+        paths = ep.list_episodes(cfg.data_dir)
+        if not paths:
+            raise FileNotFoundError(
+                f"no episodes under {cfg.data_dir}; generate with "
+                "multimodal_mtrssm_tpu.data.episodes.generate_synthetic_audio_mnist "
+                "or convert with convert_audio_mnist_npz/convert_reference_processed_dir"
+            )
+        action_pre = cfg.action_preprocess or Identity()
+        audio_pre = cfg.audio_preprocess or NormalizeAudioMelSpectrogram(cfg.audio_min, cfg.audio_max)
+        vision_pre = cfg.vision_preprocess or NormalizeVisionImage()
+        actions, audios, visions = [], [], []
+        for p in paths:
+            e = ep.load_episode(p)
+            actions.append(action_pre(e.action))
+            audios.append(audio_pre(e.audio))
+            visions.append(vision_pre(e.vision))
+        self._arrays = {
+            "action": np.stack(actions).astype(np.float32),
+            "audio": np.stack(audios).astype(np.float32),
+            "vision": np.stack(visions).astype(np.float32),
+        }
+        n = len(paths)
+        split = int(n * cfg.train_ratio)
+        self._split = (np.arange(split), np.arange(split, n))
+
+    def _require_setup(self):
+        if self._arrays is None:
+            self.setup()
+
+    @property
+    def n_train(self) -> int:
+        self._require_setup()
+        return len(self._split[0])
+
+    @property
+    def n_val(self) -> int:
+        self._require_setup()
+        return len(self._split[1])
+
+    # ---- batch assembly ------------------------------------------------------
+    def _make_batch(self, idx: np.ndarray, rng: np.random.Generator | None) -> Batch:
+        """6-tuple batch; inputs get Gaussian noise, targets don't
+        (reference configs :157-220)."""
+        cfg = self.cfg
+        T = cfg.sequence_length
+        a = self._arrays["action"][idx, :T]
+        au = self._arrays["audio"][idx, :T]
+        vi = self._arrays["vision"][idx, :T]
+        if rng is not None and cfg.noise_std > 0:
+            a_in = a + rng.normal(0, cfg.noise_std, a.shape).astype(np.float32)
+            au_in = au + rng.normal(0, cfg.noise_std, au.shape).astype(np.float32)
+            vi_in = vi + rng.normal(0, cfg.noise_std, vi.shape).astype(np.float32)
+        else:
+            a_in, au_in, vi_in = a, au, vi
+        if cfg.drop_modality == "audio":
+            au_in = np.full_like(au_in, -1.0)
+        elif cfg.drop_modality == "vision":
+            vi_in = np.full_like(vi_in, -1.0)
+        return (a_in, au_in, vi_in, a, au, vi)
+
+    def train_batches(self, epoch: int, device=None) -> Iterator[Batch]:
+        """Shuffled train batches for one epoch (drops the ragged tail batch,
+        like the reference DataLoader's default drop_last=False — kept:
+        we keep partial batches too when divisible; ragged tails are dropped
+        to preserve static shapes for jit)."""
+        self._require_setup()
+        cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, epoch))
+        idx = rng.permutation(self._split[0])
+        n_full = len(idx) // cfg.batch_size
+        batches = (
+            self._make_batch(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size], rng)
+            for i in range(n_full)
+        )
+        return _device_prefetch(batches, device)
+
+    def val_batches(self, device=None) -> Iterator[Batch]:
+        """Deterministic validation batches (noise still applied to inputs,
+        matching the reference's val DataLoader which reuses the same
+        input transforms, ``mrssm/dataset.py:168-183``)."""
+        self._require_setup()
+        cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, 987654321))
+        idx = self._split[1]
+        n_full = max(len(idx) // cfg.batch_size, 1) if len(idx) else 0
+        batches = (
+            self._make_batch(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size], rng)
+            for i in range(n_full)
+            if len(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size]) == cfg.batch_size
+        )
+        return _device_prefetch(batches, device)
+
+
+def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterator[Batch]:
+    """Host→device double buffering: a daemon thread stages `depth` batches
+    ahead with ``jax.device_put`` so transfers overlap compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(jax.device_put(b, device) if device is not None else jax.device_put(b))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item

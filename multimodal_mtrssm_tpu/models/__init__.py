@@ -1,5 +1,6 @@
 """Model families: state pytrees, MoPoE-MRSSM, MoPoE-MMTRSSM."""
 
+from multimodal_mtrssm_tpu.models.mmtrssm import MMTRSSMConfig, MoPoEMMTRSSM
 from multimodal_mtrssm_tpu.models.mrssm import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.models.state import (
     MTState,
@@ -10,7 +11,9 @@ from multimodal_mtrssm_tpu.models.state import (
 )
 
 __all__ = [
+    "MMTRSSMConfig",
     "MRSSMConfig",
+    "MoPoEMMTRSSM",
     "MTState",
     "MoPoEMRSSM",
     "State",

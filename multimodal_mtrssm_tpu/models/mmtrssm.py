@@ -1,0 +1,372 @@
+"""MoPoE-MMTRSSM: hierarchical multi-timescale multimodal RSSM.
+
+TPU-native rebuild of the reference model (reference
+``src/multimodal_rssm/models/mmtrssm/mopoe_mmtrssm/core.py:77-610``):
+MoPoE fusion on the lower (fast, tau_l) layer of a two-level MTRNN
+hierarchy, with the higher (slow, tau_h) layer's posterior conditioned on
+both deterministic paths, and a dual-KL ELBO
+(``loss = recon + kl_l*kl_coeff + kl_h*kl_coeff*w_kl_h``, reference
+``:563-606``).
+
+Redesign notes vs the reference:
+
+- The reference's ``MTRNN.hidden`` is *mutable module state* seeded by
+  ``_set_prev_hiddens`` and mutated every step (reference ``core.py:51-59,
+  206-239``). Here the two integrator cells are explicit fields of the
+  ``MTState`` carry, so the whole rollout is one pure ``lax.scan``.
+- The reference builds a vestigial dummy ``Transition`` just to satisfy the
+  base-class constructor (reference ``core.py:141-151``); this build has no
+  such artifact.
+- The l_posterior MLP from the reference config is *dead weight* — the
+  lower posterior actually comes from the modality Representation heads +
+  MoPoE fusion (reference ``core.py:420-455``; the ``l_posterior`` module is
+  stored but never called). We do not allocate it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_mtrssm_tpu.nn.conv import (
+    DecoderConfig,
+    EncoderConfig,
+    decoder_apply,
+    decoder_init,
+    encoder_apply,
+    encoder_init,
+)
+from multimodal_mtrssm_tpu.nn.core import Params, mlp_apply, mlp_init, mtrnn_apply, mtrnn_init
+from multimodal_mtrssm_tpu.models.state import MTState
+from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot, kl_balanced
+from multimodal_mtrssm_tpu.ops.fusion import mopoe_mix_log_probs
+from multimodal_mtrssm_tpu.ops.likelihood import gaussian_nll
+
+
+@dataclasses.dataclass(frozen=True)
+class MMTRSSMConfig:
+    """Static hyperparameters (defaults = reference
+    ``mopoe_mmtrssm/configs/default.yaml:85-148``)."""
+
+    action_size: int = 6
+    obs_embed_size: int = 64
+    hd_dim: int = 32
+    hs_class: int = 2
+    hs_category: int = 8
+    ld_dim: int = 32
+    ls_class: int = 4
+    ls_category: int = 4
+    l_tau: float = 2.0
+    h_tau: float = 4.0
+    prior_cells: int = 32  # l/h prior+posterior MLP width (configs :102-137)
+    rep_hidden_size: int = 32  # Representation MLP width (configs :7-21)
+    activation_name: str = "ELU"
+    init_proj_cells: int = 200
+    kl_coeff: float = 1.0
+    use_kl_balancing: bool = True
+    w_kl_h: float = 1.0
+    audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    audio_decoder: DecoderConfig | None = None
+    vision_decoder: DecoderConfig | None = None
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def hs_dim(self) -> int:
+        return self.hs_class * self.hs_category
+
+    @property
+    def ls_dim(self) -> int:
+        return self.ls_class * self.ls_category
+
+    @property
+    def feature_size(self) -> int:
+        """hd + hs + ld + ls (reference ``core.py:196-204``): 32+16+32+16 = 96."""
+        return self.hd_dim + self.hs_dim + self.ld_dim + self.ls_dim
+
+    def decoder_cfg(self, which: str) -> DecoderConfig:
+        cfg = getattr(self, f"{which}_decoder")
+        return cfg if cfg is not None else DecoderConfig(in_features=self.feature_size)
+
+
+class MoPoEMMTRSSM:
+    """Functional MoPoE-MMTRSSM: static config + pure methods over a param pytree."""
+
+    def __init__(self, config: MMTRSSMConfig | None = None):
+        self.cfg = config or MMTRSSMConfig()
+
+    # ---- init ------------------------------------------------------------
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 12)
+        params: Params = {
+            # MTRNN cells (reference core.py:175-184).
+            "l_rnn": mtrnn_init(keys[0], cfg.action_size + cfg.ls_dim + cfg.hs_dim, cfg.ld_dim),
+            "h_rnn": mtrnn_init(keys[1], cfg.hs_dim, cfg.hd_dim),
+            # Prior / posterior heads (reference configs :102-137).
+            "l_prior": mlp_init(keys[2], cfg.ld_dim, cfg.ls_dim, cfg.prior_cells, depth=1),
+            "h_prior": mlp_init(keys[3], cfg.hd_dim, cfg.hs_dim, cfg.prior_cells, depth=1),
+            "h_posterior": mlp_init(keys[4], cfg.ld_dim + cfg.hd_dim, cfg.hs_dim, cfg.prior_cells, depth=1),
+            # Modality Representation heads conditioned on l_deter
+            # (reference core.py:243-267: cat(l_deter, obs_embed)).
+            "audio_representation": mlp_init(
+                keys[5], cfg.ld_dim + cfg.obs_embed_size, cfg.ls_dim, cfg.rep_hidden_size, depth=1
+            ),
+            "vision_representation": mlp_init(
+                keys[6], cfg.ld_dim + cfg.obs_embed_size, cfg.ls_dim, cfg.rep_hidden_size, depth=1
+            ),
+            "audio_encoder": encoder_init(keys[7], cfg.audio_encoder),
+            "vision_encoder": encoder_init(keys[8], cfg.vision_encoder),
+            "audio_decoder": decoder_init(keys[9], cfg.decoder_cfg("audio")),
+            "vision_decoder": decoder_init(keys[10], cfg.decoder_cfg("vision")),
+            # init_proj: obs_embed → [hd | ld] halves (reference core.py:341-347;
+            # configs :85-91: 64 → 64, 200 cells).
+            "init_proj": mlp_init(
+                keys[11], cfg.obs_embed_size, cfg.hd_dim + cfg.ld_dim, cfg.init_proj_cells, depth=1
+            ),
+        }
+        return params
+
+    # ---- distribution helpers ---------------------------------------------
+    def _l_dist(self, logits: jax.Array) -> MultiOneHot:
+        return MultiOneHot(logits=logits, class_size=self.cfg.ls_class, category_size=self.cfg.ls_category)
+
+    def _h_dist(self, logits: jax.Array) -> MultiOneHot:
+        return MultiOneHot(logits=logits, class_size=self.cfg.hs_class, category_size=self.cfg.hs_category)
+
+    # ---- encoding -----------------------------------------------------------
+    def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
+        """Mean-fused embedding (inherited contract, reference
+        ``mopoe_mrssm/core.py:165-182``)."""
+        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, audio_obs)
+        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, vision_obs)
+        return (a + v) / 2.0
+
+    # ---- per-step cores ------------------------------------------------------
+    def _lower_prior(
+        self,
+        params: Params,
+        action: jax.Array,
+        prev_ls: jax.Array,
+        prev_hs: jax.Array,
+        prev_ld: jax.Array,
+        hidden_l: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Lower prior step (reference ``core.py:263-287``).
+
+        Returns (l_deter, l_prior_logits, new_hidden_l).
+        """
+        act = self.cfg.activation_name
+        x = jnp.concatenate([action, prev_ls, prev_hs], axis=-1)
+        l_deter, hidden_l = mtrnn_apply(params["l_rnn"], x, prev_ld, hidden_l, self.cfg.l_tau)
+        logits = mlp_apply(params["l_prior"], l_deter, act)
+        return l_deter, logits, hidden_l
+
+    def _higher_prior_posterior(
+        self,
+        params: Params,
+        l_deter: jax.Array,
+        prev_hd: jax.Array,
+        prev_hs: jax.Array,
+        hidden_h: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Higher prior + posterior step (reference ``core.py:289-319``).
+
+        Returns (h_deter, h_prior_logits, h_posterior_logits, new_hidden_h).
+        """
+        act = self.cfg.activation_name
+        h_deter, hidden_h = mtrnn_apply(params["h_rnn"], prev_hs, prev_hd, hidden_h, self.cfg.h_tau)
+        prior_logits = mlp_apply(params["h_prior"], h_deter, act)
+        post_logits = mlp_apply(
+            params["h_posterior"], jnp.concatenate([l_deter, h_deter], axis=-1), act
+        )
+        return h_deter, prior_logits, post_logits, hidden_h
+
+    def _posterior_logits(self, params: Params, which: str, l_deter: jax.Array, obs_embed: jax.Array) -> jax.Array:
+        x = jnp.concatenate([l_deter, obs_embed], axis=-1)
+        return mlp_apply(params[f"{which}_representation"], x, self.cfg.activation_name)
+
+    # ---- public API -----------------------------------------------------------
+    def initial_state(
+        self, params: Params, audio_obs0: jax.Array, vision_obs0: jax.Array, key: jax.Array
+    ) -> MTState:
+        """Initial hierarchical latent (reference ``core.py:321-362``):
+        ``init_proj(embed)`` split into [hd | ld] halves seeds both the deter
+        states and the MTRNN integrators; stochs sampled from the priors."""
+        cfg = self.cfg
+        embed = self.encode_observation(params, audio_obs0, vision_obs0)
+        h = mlp_apply(params["init_proj"], embed, cfg.activation_name)
+        higher_h = h[..., : cfg.hd_dim]
+        lower_h = h[..., cfg.hd_dim :]
+        act = cfg.activation_name
+        h_logits = mlp_apply(params["h_prior"], higher_h, act)
+        l_logits = mlp_apply(params["l_prior"], lower_h, act)
+        h_dist = self._h_dist(h_logits)
+        l_dist = self._l_dist(l_logits)
+        k_h, k_l = jax.random.split(key)
+        return MTState(
+            deter_h=higher_h,
+            deter_l=lower_h,
+            stoch_h=h_dist.rsample(k_h),
+            stoch_l=l_dist.rsample(k_l),
+            distribution_h=h_dist,
+            distribution_l=l_dist,
+            hidden_h=higher_h,
+            hidden_l=lower_h,
+        )
+
+    def rollout_representation(
+        self,
+        params: Params,
+        actions: jax.Array,
+        audio_obs: jax.Array,
+        vision_obs: jax.Array,
+        prev_state: MTState,
+        key: jax.Array,
+    ) -> tuple[MTState, MTState]:
+        """Posterior/prior rollout over [B, T] (reference ``core.py:364-494``)
+        as one ``lax.scan``. Returns ``(mixed posterior, prior)``, time axis 1."""
+        cfg = self.cfg
+        audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
+        vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        T = actions.shape[1]
+        step_keys = jax.random.split(key, T)
+
+        def step(carry, xs):
+            hd, ld, hs, ls, hid_h, hid_l = carry
+            action_t, a_emb_t, v_emb_t, k = xs
+            k_lp, k_l, k_hp, k_h = jax.random.split(k, 4)
+            # Lower prior (MTRNN).
+            l_deter, l_prior_logits, hid_l = self._lower_prior(params, action_t, ls, hs, ld, hid_l)
+            l_prior_stoch = self._l_dist(l_prior_logits).rsample(k_lp)
+            # Modality posteriors conditioned on l_deter → MoPoE fusion.
+            a_logits = self._posterior_logits(params, "audio", l_deter, a_emb_t)
+            v_logits = self._posterior_logits(params, "vision", l_deter, v_emb_t)
+            mixed_logits = mopoe_mix_log_probs(a_logits, v_logits)
+            l_stoch = self._l_dist(mixed_logits).rsample(k_l)
+            # Higher prior + posterior.
+            h_deter, h_prior_logits, h_post_logits, hid_h = self._higher_prior_posterior(
+                params, l_deter, hd, hs, hid_h
+            )
+            h_prior_stoch = self._h_dist(h_prior_logits).rsample(k_hp)
+            h_stoch = self._h_dist(h_post_logits).rsample(k_h)
+            carry = (h_deter, l_deter, h_stoch, l_stoch, hid_h, hid_l)
+            ys = (
+                h_deter, l_deter, hid_h, hid_l,
+                l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
+                h_prior_logits, h_prior_stoch, h_post_logits, h_stoch,
+            )
+            return carry, ys
+
+        carry0 = (
+            prev_state.deter_h, prev_state.deter_l,
+            prev_state.stoch_h, prev_state.stoch_l,
+            prev_state.hidden_h, prev_state.hidden_l,
+        )
+        xs = (
+            jnp.swapaxes(actions, 0, 1),
+            jnp.swapaxes(audio_embed, 0, 1),
+            jnp.swapaxes(vision_embed, 0, 1),
+            step_keys,
+        )
+        _, ys = jax.lax.scan(step, carry0, xs)
+        (
+            h_deter, l_deter, hid_h, hid_l,
+            l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
+            h_prior_logits, h_prior_stoch, h_post_logits, h_stoch,
+        ) = ys
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        prior = MTState(
+            deter_h=tm(h_deter), deter_l=tm(l_deter),
+            stoch_h=tm(h_prior_stoch), stoch_l=tm(l_prior_stoch),
+            distribution_h=self._h_dist(tm(h_prior_logits)),
+            distribution_l=self._l_dist(tm(l_prior_logits)),
+            hidden_h=tm(hid_h), hidden_l=tm(hid_l),
+        )
+        posterior = MTState(
+            deter_h=tm(h_deter), deter_l=tm(l_deter),
+            stoch_h=tm(h_stoch), stoch_l=tm(l_stoch),
+            distribution_h=self._h_dist(tm(h_post_logits)),
+            distribution_l=self._l_dist(tm(mixed_logits)),
+            hidden_h=tm(hid_h), hidden_l=tm(hid_l),
+        )
+        return posterior, prior
+
+    def rollout_transition(self, params: Params, actions: jax.Array, prev_state: MTState, key: jax.Array) -> MTState:
+        """Prior-only imagination rollout (reference ``core.py:496-544``)."""
+        T = actions.shape[1]
+        step_keys = jax.random.split(key, T)
+
+        def step(carry, xs):
+            hd, ld, hs, ls, hid_h, hid_l = carry
+            action_t, k = xs
+            k_l, k_h = jax.random.split(k)
+            l_deter, l_prior_logits, hid_l = self._lower_prior(params, action_t, ls, hs, ld, hid_l)
+            l_stoch = self._l_dist(l_prior_logits).rsample(k_l)
+            act = self.cfg.activation_name
+            h_deter, hid_h = mtrnn_apply(params["h_rnn"], hs, hd, hid_h, self.cfg.h_tau)
+            h_prior_logits = mlp_apply(params["h_prior"], h_deter, act)
+            h_stoch = self._h_dist(h_prior_logits).rsample(k_h)
+            carry = (h_deter, l_deter, h_stoch, l_stoch, hid_h, hid_l)
+            ys = (h_deter, l_deter, hid_h, hid_l, l_prior_logits, l_stoch, h_prior_logits, h_stoch)
+            return carry, ys
+
+        carry0 = (
+            prev_state.deter_h, prev_state.deter_l,
+            prev_state.stoch_h, prev_state.stoch_l,
+            prev_state.hidden_h, prev_state.hidden_l,
+        )
+        _, ys = jax.lax.scan(step, carry0, (jnp.swapaxes(actions, 0, 1), step_keys))
+        h_deter, l_deter, hid_h, hid_l, l_prior_logits, l_stoch, h_prior_logits, h_stoch = ys
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        return MTState(
+            deter_h=tm(h_deter), deter_l=tm(l_deter),
+            stoch_h=tm(h_stoch), stoch_l=tm(l_stoch),
+            distribution_h=self._h_dist(tm(h_prior_logits)),
+            distribution_l=self._l_dist(tm(l_prior_logits)),
+            hidden_h=tm(hid_h), hidden_l=tm(hid_l),
+        )
+
+    def decode_state(self, params: Params, state: MTState) -> dict[str, jax.Array]:
+        """Decode both modalities from 96-dim features (reference ``core.py:546-561``)."""
+        feature = state.feature
+        return {
+            "recon/audio": decoder_apply(params["audio_decoder"], self.cfg.decoder_cfg("audio"), feature),
+            "recon/vision": decoder_apply(params["vision_decoder"], self.cfg.decoder_cfg("vision"), feature),
+        }
+
+    def compute_reconstruction_loss(
+        self, reconstructions: dict[str, jax.Array], targets: dict[str, jax.Array]
+    ) -> dict[str, jax.Array]:
+        audio = gaussian_nll(reconstructions["recon/audio"], targets["recon/audio"], event_ndims=3)
+        vision = gaussian_nll(reconstructions["recon/vision"], targets["recon/vision"], event_ndims=3)
+        return {"recon": audio + vision, "recon/audio": audio, "recon/vision": vision}
+
+    def shared_step(self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array) -> dict[str, jax.Array]:
+        """Dual-KL ELBO step (reference ``core.py:563-606``)."""
+        cfg = self.cfg
+        action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
+        k_init, k_roll = jax.random.split(key)
+        dt = cfg.compute_dtype
+        init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
+        posterior, prior = self.rollout_representation(
+            params, action_input.astype(dt), audio_in.astype(dt), vision_in.astype(dt), init, k_roll
+        )
+        recons = self.decode_state(params, posterior)
+        targets = {"recon/audio": batch[4], "recon/vision": batch[5]}
+        loss_dict = self.compute_reconstruction_loss(recons, targets)
+        kl_l = jnp.mean(jnp.sum(
+            kl_balanced(posterior.distribution_l, prior.distribution_l, use_balancing=cfg.use_kl_balancing),
+            axis=-1,
+        )) * cfg.kl_coeff
+        kl_h = jnp.mean(jnp.sum(
+            kl_balanced(posterior.distribution_h, prior.distribution_h, use_balancing=cfg.use_kl_balancing),
+            axis=-1,
+        )) * (cfg.kl_coeff * cfg.w_kl_h)
+        loss_dict["kl"] = kl_l
+        loss_dict["kl_h"] = kl_h
+        loss_dict["loss"] = loss_dict["recon"] + kl_l + kl_h
+        return loss_dict

@@ -1,0 +1,205 @@
+"""Training harness: jitted DP train/val steps, epoch loop, callbacks.
+
+Replaces the reference's LightningCLI fit loop (reference
+``scripts/_train_common.py:9-33`` + trainer config
+``configs/default.yaml:116-155``): seeding, AMP (bf16 on TPU instead of
+16-mixed CUDA AMP), grad clipping, ReduceLROnPlateau, EarlyStopping,
+best-checkpoint selection on ``val/loss``, per-epoch metric aggregation with
+``train/``/``val/`` prefixes.
+
+TPU-first structure:
+- ONE jitted train step: loss + grad + optimizer update, params/opt donated
+  (no reallocation per step), batch sharded over the ``data`` mesh axis,
+  params replicated. Metric reduction across chips falls out of the global
+  batch-mean (XLA inserts the psum) — the equivalent of Lightning's
+  ``sync_dist=True`` (reference ``core.py:243,265``).
+- LR changes are injected into optimizer state between epochs; no
+  recompilation.
+- ``jax.profiler`` trace hook for the SURVEY §5.1 observability gap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
+from multimodal_mtrssm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
+from multimodal_mtrssm_tpu.train.metrics import MetricLogger
+from multimodal_mtrssm_tpu.train.optim import (
+    EarlyStopping,
+    PlateauScheduler,
+    make_optimizer,
+    set_learning_rate,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 100
+    seed: int = 42
+    learning_rate: float = 1e-3
+    grad_clip: float = 10.0
+    weight_decay: float = 0.01
+    plateau_factor: float = 0.5
+    plateau_patience: int = 50
+    early_stop_patience: int = 200
+    log_dir: str = "runs/default"
+    use_wandb: bool = False
+    wandb_project: str | None = None
+    profile_epoch: int | None = None  # jax.profiler trace of this epoch
+    checkpoint_every_n_epochs: int = 1
+
+
+class Trainer:
+    """Epoch-driven trainer for MoPoE-MRSSM / MoPoE-MMTRSSM models.
+
+    ``model`` must expose ``init(key)`` and
+    ``shared_step(params, batch, key) -> dict`` with a ``"loss"`` entry
+    (both models in ``multimodal_mtrssm_tpu.models`` do).
+    """
+
+    def __init__(self, model, datamodule: EpisodeDataModule, config: TrainerConfig | None = None,
+                 callbacks: list | None = None):
+        self.model = model
+        self.dm = datamodule
+        self.cfg = config or TrainerConfig()
+        self.callbacks = callbacks or []
+        # Use the largest device prefix whose count divides the global batch
+        # (sharded dim 0 must split evenly across the mesh).
+        devices = jax.devices()
+        n = len(devices)
+        while self.dm.cfg.batch_size % n != 0:
+            n -= 1
+        self.mesh = make_mesh(devices[:n])
+        self.optimizer = make_optimizer(self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay)
+        self.ckpt = CheckpointManager(Path(self.cfg.log_dir) / "checkpoints")
+        self.logger = MetricLogger(self.cfg.log_dir, self.cfg.use_wandb, self.cfg.wandb_project)
+        self._build_steps()
+
+    # ---- jitted steps ------------------------------------------------------
+    def _build_steps(self) -> None:
+        model = self.model
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, batch, key):
+            def loss_fn(p):
+                d = model.shared_step(p, batch, key)
+                return d["loss"], d
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, metrics
+
+        def val_step(params, batch, key):
+            return model.shared_step(params, batch, key)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._val_step = jax.jit(val_step)
+
+    # ---- fit -----------------------------------------------------------------
+    def fit(self, resume: bool = False) -> dict[str, Any]:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_init = jax.random.split(key)
+        params = self.model.init(k_init)
+        opt_state = self.optimizer.init(params)
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        scheduler = PlateauScheduler(cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience)
+        early_stop = EarlyStopping(cfg.early_stop_patience)
+        start_epoch = 0
+        best_val = float("inf")
+
+        if resume and self.ckpt.exists("last"):
+            state, aux = self.ckpt.restore("last", {"params": params, "opt_state": opt_state})
+            params = replicate(state["params"], self.mesh)
+            opt_state = replicate(state["opt_state"], self.mesh)
+            scheduler = PlateauScheduler.from_state_dict(aux["scheduler"])
+            early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
+            start_epoch = aux["epoch"] + 1
+            best_val = aux.get("best_val", float("inf"))
+            key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
+
+        history = []
+        global_step = 0
+        for epoch in range(start_epoch, cfg.max_epochs):
+            if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
+                jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
+            t0 = time.time()
+            train_metrics, n_train = {}, 0
+            for batch in self.dm.train_batches(epoch):
+                key, sub = jax.random.split(key)
+                batch = shard_batch(batch, self.mesh)
+                params, opt_state, metrics = self._train_step(params, opt_state, batch, sub)
+                _accumulate(train_metrics, metrics)
+                n_train += 1
+                global_step += 1
+            epoch_time = time.time() - t0
+
+            val_metrics, n_val = {}, 0
+            for batch in self.dm.val_batches():
+                key, sub = jax.random.split(key)
+                batch = shard_batch(batch, self.mesh)
+                _accumulate(val_metrics, self._val_step(params, batch, sub))
+                n_val += 1
+            if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
+                jax.profiler.stop_trace()
+
+            row = {f"train/{k}": float(v) / max(n_train, 1) for k, v in train_metrics.items()}
+            row.update({f"val/{k}": float(v) / max(n_val, 1) for k, v in val_metrics.items()})
+            seq_per_s = n_train * self.dm.cfg.batch_size / max(epoch_time, 1e-9)
+            row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
+            self.logger.log(row, step=epoch)
+            history.append(row)
+
+            monitored = row.get("val/loss", row.get("train/loss", float("inf")))
+            new_lr = scheduler.step(monitored)
+            opt_state = set_learning_rate(opt_state, new_lr)
+
+            if monitored < best_val:
+                best_val = monitored
+                self.ckpt.save("best", {"params": params}, {"epoch": epoch, "val_loss": monitored})
+            if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
+                self.ckpt.save(
+                    "last",
+                    {"params": params, "opt_state": opt_state},
+                    {
+                        "epoch": epoch,
+                        "best_val": best_val,
+                        "scheduler": scheduler.state_dict(),
+                        "early_stop": early_stop.state_dict(),
+                    },
+                )
+            for cb in self.callbacks:
+                cb(self, epoch, params, row)
+            if early_stop.step(monitored):
+                break
+
+        self.logger.close()
+        return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
+
+    # ---- inference helpers -------------------------------------------------
+    def load_best_params(self, params_template):
+        """Reference ``load_best_model_checkpoint`` (``callback.py:505-539``):
+        load the best ckpt, falling back to the given params on failure."""
+        try:
+            state, _ = self.ckpt.restore("best", {"params": params_template})
+            return state["params"]
+        except Exception:
+            return params_template
+
+
+def _accumulate(acc: dict, metrics: dict[str, jax.Array]) -> None:
+    """Accumulate on device (async) — the host sync happens once per epoch
+    when the row is formatted, not per step."""
+    for k, v in metrics.items():
+        acc[k] = acc.get(k, 0.0) + v

@@ -1,0 +1,86 @@
+"""Tests: transforms, episode store, data module batching."""
+
+import numpy as np
+
+from multimodal_mtrssm_tpu.data import (
+    DataModuleConfig,
+    EpisodeDataModule,
+    GaussianNoise,
+    NormalizeAudioMelSpectrogram,
+    NormalizeVisionImage,
+    RemoveDim,
+    TakeFirstN,
+    ZeroOut,
+    generate_synthetic_audio_mnist,
+    list_episodes,
+    load_episode,
+    split_paths,
+)
+
+
+def test_transforms_reference_semantics():
+    vis = np.array([[0.0, 127.5, 255.0]])
+    np.testing.assert_allclose(NormalizeVisionImage()(vis), [[-1.0, 0.0, 1.0]], atol=1e-6)
+    aud = np.array([[-80.0, -40.0, 0.0]])
+    np.testing.assert_allclose(
+        NormalizeAudioMelSpectrogram(-80.0, 0.0)(aud), [[-1.0, 0.0, 1.0]], atol=1e-6
+    )
+    x = np.arange(12.0).reshape(6, 2)
+    assert TakeFirstN(3)(x).shape == (3, 2)
+    y = RemoveDim(axis=1, indices_to_remove=[0])(x)
+    np.testing.assert_array_equal(y, x[:, 1:])
+    z = ZeroOut()(x)
+    assert (z == -1.0).all()
+    rng = np.random.default_rng(0)
+    noised = GaussianNoise(0.1)(np.zeros((1000,), np.float32), rng)
+    assert 0.05 < noised.std() < 0.15
+
+
+def test_episode_store_roundtrip(tmp_path):
+    paths = generate_synthetic_audio_mnist(tmp_path, n_episodes=3, episode_length=8)
+    assert len(list_episodes(tmp_path)) == 3
+    e = load_episode(paths[0])
+    assert e.action.shape == (8, 6)
+    assert e.audio.shape == (8, 32, 32, 1)
+    assert e.vision.shape == (8, 32, 32, 1)
+    assert e.audio.min() >= -80.0 and e.audio.max() <= 0.0
+    assert e.vision.min() >= 0.0 and e.vision.max() <= 255.0
+    # one-hot actions
+    np.testing.assert_allclose(e.action.sum(-1), 1.0)
+    train, val = split_paths(paths, 0.8)
+    assert len(train) == 2 and len(val) == 1
+
+
+def test_datamodule_batches(tmp_path):
+    generate_synthetic_audio_mnist(tmp_path, n_episodes=10, episode_length=12)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=tmp_path, batch_size=4, sequence_length=6))
+    dm.setup()
+    assert dm.n_train == 8 and dm.n_val == 2
+    batches = list(dm.train_batches(epoch=0))
+    assert len(batches) == 2  # 8 episodes / batch 4
+    b = batches[0]
+    assert len(b) == 6
+    a_in, au_in, vi_in, a_tg, au_tg, vi_tg = (np.asarray(x) for x in b)
+    assert a_in.shape == (4, 6, 6)
+    assert au_in.shape == (4, 6, 32, 32, 1)
+    assert vi_tg.shape == (4, 6, 32, 32, 1)
+    # targets normalized to [-1, 1] and noise-free; inputs = targets + noise
+    assert au_tg.min() >= -1.0 - 1e-5 and au_tg.max() <= 1.0 + 1e-5
+    assert not np.allclose(au_in, au_tg)
+    assert np.abs(au_in - au_tg).mean() < 0.5
+    np.testing.assert_array_equal(a_tg, np.asarray(batches[0][3]))
+
+
+def test_datamodule_determinism_and_modality_drop(tmp_path):
+    generate_synthetic_audio_mnist(tmp_path, n_episodes=8, episode_length=10)
+    cfg = DataModuleConfig(data_dir=tmp_path, batch_size=4, sequence_length=5, seed=7)
+    b1 = [np.asarray(x) for x in next(iter(EpisodeDataModule(cfg).train_batches(epoch=0)))]
+    b2 = [np.asarray(x) for x in next(iter(EpisodeDataModule(cfg).train_batches(epoch=0)))]
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)
+    cfg_drop = DataModuleConfig(
+        data_dir=tmp_path, batch_size=4, sequence_length=5, seed=7, drop_modality="audio"
+    )
+    b3 = next(iter(EpisodeDataModule(cfg_drop).train_batches(epoch=0)))
+    assert (np.asarray(b3[1]) == -1.0).all()  # audio input zeroed-out
+    assert not (np.asarray(b3[4]) == -1.0).all()  # audio target untouched

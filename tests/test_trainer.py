@@ -1,0 +1,61 @@
+"""Tests: trainer loop e2e on synthetic data, schedulers, checkpoint resume."""
+
+import numpy as np
+
+from multimodal_mtrssm_tpu.data import DataModuleConfig, EpisodeDataModule, generate_synthetic_audio_mnist
+from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+from multimodal_mtrssm_tpu.train import EarlyStopping, PlateauScheduler, Trainer, TrainerConfig
+
+
+def small_model():
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False, linear_sizes=(64,))
+    return MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32))
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(base_lr=1.0, factor=0.5, patience=1)
+    assert s.step(1.0) == 1.0  # new best
+    assert s.step(2.0) == 1.0  # bad 1 (<= patience)
+    assert s.step(2.0) == 0.5  # bad 2 → reduce
+    assert s.step(0.5) == 0.5  # new best, no change
+    # round-trip
+    s2 = PlateauScheduler.from_state_dict(s.state_dict())
+    assert s2.lr == 0.5 and s2.best == 0.5
+
+
+def test_early_stopping():
+    e = EarlyStopping(patience=2)
+    assert not e.step(1.0)
+    assert not e.step(1.5)
+    assert not e.step(1.5)
+    assert e.step(1.5)  # third bad epoch > patience
+
+
+def test_fit_two_epochs_and_resume(tmp_path):
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=6, episode_length=8)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=4))
+    model = small_model()
+    cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / "run"), learning_rate=3e-4)
+    trainer = Trainer(model, dm, cfg)
+    out = trainer.fit()
+    assert len(out["history"]) == 2
+    row = out["history"][-1]
+    for k in ("train/loss", "train/recon", "train/kl", "val/loss", "seq_per_sec"):
+        assert k in row, f"missing metric {k}"
+    assert np.isfinite(row["train/loss"])
+    # loss should improve from epoch 0 to 1 on this easy synthetic set
+    assert out["history"][1]["train/loss"] < out["history"][0]["train/loss"]
+    # checkpoints exist
+    assert trainer.ckpt.exists("best")
+    assert trainer.ckpt.exists("last")
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+    # resume continues past epoch 2
+    cfg2 = TrainerConfig(max_epochs=3, log_dir=str(tmp_path / "run"), learning_rate=3e-4)
+    trainer2 = Trainer(model, dm, cfg2)
+    out2 = trainer2.fit(resume=True)
+    assert len(out2["history"]) == 1  # only epoch 2 ran
+    assert out2["history"][0]["epoch"] == 2
