@@ -1,0 +1,87 @@
+"""Benchmark: MoPoE-MRSSM training throughput (sequences/sec) on one chip.
+
+Measures the steady-state jitted train step (loss + grad + AdamW update,
+donated buffers) at the reference's headline config — batch 8, T=30,
+32×32×1 audio+vision frames, default model dims (reference
+``mopoe_mrssm/configs/default.yaml``) — and prints ONE JSON line.
+
+``vs_baseline`` compares against the PyTorch reference's measured train-step
+throughput. The reference publishes no numbers (BASELINE.md), so the
+baseline constant below was measured by running an architecture-faithful
+torch reimplementation of the reference train step in this image (see
+``benchmarks/torch_reference_bench.py``); it is refreshed whenever that
+script reruns.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.train.optim import make_optimizer
+
+# Torch reference train-step throughput measured in this image (seq/s).
+# Refreshed by benchmarks/torch_reference_bench.py; see BASELINE.md.
+# 2026-08-16: {"metric": "torch_reference_train_seq_per_s", "value": 15.65,
+#              "unit": "seq/s", "device": "cpu"}
+TORCH_REFERENCE_SEQ_PER_S = 15.65
+
+B, T = 8, 30
+WARMUP = 5
+ITERS = 30
+
+
+def main() -> None:
+    model = MoPoEMRSSM(MRSSMConfig())
+    optimizer = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    batch = (
+        jax.random.normal(ks[0], (B, T, 6)),
+        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.normal(ks[0], (B, T, 6)),
+        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    opt_state = optimizer.init(params)
+
+    def train_step(params, opt_state, batch, k):
+        def loss_fn(p):
+            return model.shared_step(p, batch, k)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    for i in range(WARMUP):
+        params, opt_state, loss = train_step(params, opt_state, batch, jax.random.fold_in(ks[3], i))
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        params, opt_state, loss = train_step(params, opt_state, batch, jax.random.fold_in(ks[3], 100 + i))
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    seq_per_s = B / dt
+
+    result = {
+        "metric": "mopoe_mrssm_train_seq_per_s",
+        "value": round(seq_per_s, 2),
+        "unit": "seq/s",
+        "vs_baseline": (
+            round(seq_per_s / TORCH_REFERENCE_SEQ_PER_S, 2) if TORCH_REFERENCE_SEQ_PER_S else None
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
