@@ -111,6 +111,15 @@ class EpisodeDataModule:
         self._require_setup()
         return len(self._split[1])
 
+    @property
+    def train_batch_size(self) -> int:
+        """Effective train batch: clamped so small datasets still train."""
+        return max(1, min(self.cfg.batch_size, self.n_train))
+
+    @property
+    def val_batch_size(self) -> int:
+        return max(1, min(self.cfg.batch_size, self.n_val)) if self.n_val else 0
+
     # ---- batch assembly ------------------------------------------------------
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator | None) -> Batch:
         """6-tuple batch; inputs get Gaussian noise, targets don't
@@ -139,13 +148,11 @@ class EpisodeDataModule:
         to preserve static shapes for jit)."""
         self._require_setup()
         cfg = self.cfg
+        bs = self.train_batch_size
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
-        n_full = len(idx) // cfg.batch_size
-        batches = (
-            self._make_batch(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size], rng)
-            for i in range(n_full)
-        )
+        n_full = len(idx) // bs
+        batches = (self._make_batch(idx[i * bs : (i + 1) * bs], rng) for i in range(n_full))
         return _device_prefetch(batches, device)
 
     def val_batches(self, device=None) -> Iterator[Batch]:
@@ -156,12 +163,9 @@ class EpisodeDataModule:
         cfg = self.cfg
         rng = np.random.default_rng((cfg.seed, 987654321))
         idx = self._split[1]
-        n_full = max(len(idx) // cfg.batch_size, 1) if len(idx) else 0
-        batches = (
-            self._make_batch(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size], rng)
-            for i in range(n_full)
-            if len(idx[i * cfg.batch_size : (i + 1) * cfg.batch_size]) == cfg.batch_size
-        )
+        bs = self.val_batch_size
+        n_full = len(idx) // bs if bs else 0
+        batches = (self._make_batch(idx[i * bs : (i + 1) * bs], rng) for i in range(n_full))
         return _device_prefetch(batches, device)
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
-from multimodal_mtrssm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
 from multimodal_mtrssm_tpu.train.metrics import MetricLogger
 from multimodal_mtrssm_tpu.train.optim import (
@@ -55,7 +55,7 @@ class TrainerConfig:
     use_wandb: bool = False
     wandb_project: str | None = None
     profile_epoch: int | None = None  # jax.profiler trace of this epoch
-    checkpoint_every_n_epochs: int = 1
+    checkpoint_every_n_epochs: int = 10
 
 
 class Trainer:
@@ -72,11 +72,13 @@ class Trainer:
         self.dm = datamodule
         self.cfg = config or TrainerConfig()
         self.callbacks = callbacks or []
-        # Use the largest device prefix whose count divides the global batch
-        # (sharded dim 0 must split evenly across the mesh).
+        # Use the largest device prefix whose count divides both effective
+        # batch sizes (sharded dim 0 must split evenly across the mesh).
         devices = jax.devices()
+        self.dm._require_setup()
+        tb, vb = self.dm.train_batch_size, self.dm.val_batch_size
         n = len(devices)
-        while self.dm.cfg.batch_size % n != 0:
+        while tb % n != 0 or (vb and vb % n != 0):
             n -= 1
         self.mesh = make_mesh(devices[:n])
         self.optimizer = make_optimizer(self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay)
@@ -89,7 +91,10 @@ class Trainer:
         model = self.model
         optimizer = self.optimizer
 
-        def train_step(params, opt_state, batch, key):
+        def train_step(params, opt_state, batch, key, step):
+            # Per-step key derived inside jit: no host→device RNG traffic.
+            key = jax.random.fold_in(key, step)
+
             def loss_fn(p):
                 d = model.shared_step(p, batch, key)
                 return d["loss"], d
@@ -99,8 +104,8 @@ class Trainer:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, metrics
 
-        def val_step(params, batch, key):
-            return model.shared_step(params, batch, key)
+        def val_step(params, batch, key, step):
+            return model.shared_step(params, batch, jax.random.fold_in(key, step))
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
@@ -135,35 +140,41 @@ class Trainer:
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
             t0 = time.time()
+            # One device key per epoch; per-step keys fold in the step index
+            # inside the jitted step (single RNG transfer per epoch).
+            epoch_key = jax.random.fold_in(key, epoch)
+            bsh = batch_sharding(self.mesh)
             train_metrics, n_train = {}, 0
-            for batch in self.dm.train_batches(epoch):
-                key, sub = jax.random.split(key)
-                batch = shard_batch(batch, self.mesh)
-                params, opt_state, metrics = self._train_step(params, opt_state, batch, sub)
+            for batch in self.dm.train_batches(epoch, device=bsh):
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, batch, epoch_key, global_step
+                )
                 _accumulate(train_metrics, metrics)
                 n_train += 1
                 global_step += 1
+            jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
             epoch_time = time.time() - t0
 
+            val_key = jax.random.fold_in(epoch_key, 0x5EED)
             val_metrics, n_val = {}, 0
-            for batch in self.dm.val_batches():
-                key, sub = jax.random.split(key)
-                batch = shard_batch(batch, self.mesh)
-                _accumulate(val_metrics, self._val_step(params, batch, sub))
+            for batch in self.dm.val_batches(device=bsh):
+                _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val))
                 n_val += 1
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.stop_trace()
 
             row = {f"train/{k}": float(v) / max(n_train, 1) for k, v in train_metrics.items()}
             row.update({f"val/{k}": float(v) / max(n_val, 1) for k, v in val_metrics.items()})
-            seq_per_s = n_train * self.dm.cfg.batch_size / max(epoch_time, 1e-9)
+            seq_per_s = n_train * self.dm.train_batch_size / max(epoch_time, 1e-9)
             row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
             self.logger.log(row, step=epoch)
             history.append(row)
 
             monitored = row.get("val/loss", row.get("train/loss", float("inf")))
+            prev_lr = scheduler.lr
             new_lr = scheduler.step(monitored)
-            opt_state = set_learning_rate(opt_state, new_lr)
+            if new_lr != prev_lr:
+                opt_state = set_learning_rate(opt_state, new_lr)
 
             if monitored < best_val:
                 best_val = monitored

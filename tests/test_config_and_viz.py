@@ -1,0 +1,89 @@
+"""Tests: YAML experiment loading (ours + reference schema) and viz rendering."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from multimodal_mtrssm_tpu.models.mmtrssm import MoPoEMMTRSSM
+from multimodal_mtrssm_tpu.models.mrssm import MoPoEMRSSM
+from multimodal_mtrssm_tpu.train.config import load_experiment
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+
+
+def test_load_our_mrssm_config():
+    exp = load_experiment(REPO / "configs" / "mopoe_mrssm.yaml")
+    assert isinstance(exp.model, MoPoEMRSSM)
+    cfg = exp.model.cfg
+    assert cfg.deterministic_size == 32
+    assert (cfg.class_size, cfg.category_size) == (4, 4)
+    assert cfg.audio_encoder.coord_conv is True
+    assert cfg.decoder_cfg("audio").in_features == 48
+    assert exp.trainer.max_epochs == 100
+    assert exp.trainer.seed == 42
+    assert exp.trainer.learning_rate == 0.001
+    assert exp.trainer.plateau_patience == 50
+    assert exp.trainer.early_stop_patience == 200
+    assert exp.data.batch_size == 8
+    assert exp.data.sequence_length == 30
+    assert exp.data.audio_min == -80.0
+    assert exp.viz.every_n_epochs == 10
+    assert exp.viz.query_length == 10
+
+
+def test_load_our_mmtrssm_config():
+    exp = load_experiment(REPO / "configs" / "mopoe_mmtrssm.yaml")
+    assert isinstance(exp.model, MoPoEMMTRSSM)
+    cfg = exp.model.cfg
+    assert (cfg.hd_dim, cfg.hs_dim, cfg.ld_dim, cfg.ls_dim) == (32, 16, 32, 16)
+    assert (cfg.hs_class, cfg.hs_category) == (2, 8)
+    assert (cfg.l_tau, cfg.h_tau) == (2.0, 4.0)
+    assert cfg.feature_size == 96
+    assert cfg.decoder_cfg("vision").in_features == 96
+
+
+def test_load_reference_configs_directly():
+    """The reference's own YAML files must parse (public API surface)."""
+    ref_mrssm = REFERENCE / "src/multimodal_rssm/models/mrssm/mopoe_mrssm/configs/default.yaml"
+    if not ref_mrssm.exists():
+        import pytest
+
+        pytest.skip("reference not mounted")
+    exp = load_experiment(ref_mrssm)
+    assert isinstance(exp.model, MoPoEMRSSM)
+    assert exp.model.cfg.init_proj_cells == 200
+    ref_mmtrssm = REFERENCE / "src/multimodal_rssm/models/mmtrssm/mopoe_mmtrssm/configs/default.yaml"
+    exp2 = load_experiment(ref_mmtrssm)
+    assert isinstance(exp2.model, MoPoEMMTRSSM)
+    assert exp2.model.cfg.w_kl_h == 1.0
+    assert exp2.model.cfg.prior_cells == 32
+
+
+def test_viz_gif_rendering(tmp_path):
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+    from multimodal_mtrssm_tpu.models import MRSSMConfig
+    from multimodal_mtrssm_tpu.viz import log_rollout_gifs
+
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    B, T = 2, 6
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = (
+        jax.random.normal(ks[0], (B, T, 6)),
+        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
+    )
+    paths = log_rollout_gifs(model, params, batch, tmp_path, query_length=3, fps=5.0,
+                             key=jax.random.PRNGKey(2), indices=(0, 1))
+    assert len(paths) == 2
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 0
+        from PIL import Image
+
+        im = Image.open(p)
+        assert im.format == "GIF"
+        assert getattr(im, "n_frames", 1) == T
