@@ -1,0 +1,317 @@
+"""Word-transition evaluation: Matching Rate of imagined digit transitions.
+
+Replaces the reference's ``evaluate_word_transitions_{mrssm,mtmrssm}.py``
+(reference ``evaluation/evaluate_word_transitions_mrssm.py:163-600``; the
+MMTRSSM variant is a near-copy — here one module serves both models since
+they share the rollout API).
+
+Pipeline parity:
+- interval selection: for each word 0-9, ≤6 intervals, one per speaker,
+  window of ``query_length`` ending at the word's first occurrence
+  (reference ``:163-233``);
+- predictions: ``initial_state`` from frame 0 only, repeat the last speaker
+  action for ``n_frames``, prior-only ``rollout_transition``, decode vision,
+  denormalize, classify the FIRST predicted frame; ``n_predictions``
+  stochastic samples (reference ``:286-372``);
+- q(w|wa) with failure bucket "wf" (reference ``:375-401``); p(w|wa) from
+  deduped label sequences skipping -1 silence, p("wf")=0 (reference
+  ``:404-458``);
+- MR = Σ_w min(q,p) + min(q_wf,p_wf) (reference ``:461-489``); baselines
+  uniform / peak-one-hot / random-one-hot ×100 trials (reference
+  ``:492-538``); markdown + JSON output (reference ``:541-600``).
+
+TPU-first: the reference loops ``n_predictions`` times with one Python
+rollout each; here the samples are one batched rollout (batch axis =
+prediction samples) and the classifier scores all first-frames in one
+device call (SURVEY §7 host/device split).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_mtrssm_tpu.data.transforms import (
+    NormalizeAudioMelSpectrogram,
+    NormalizeVisionImage,
+)
+from multimodal_mtrssm_tpu.evaluation.classifier import recognize_digits
+
+WORD_SET = list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# Data loading (reference :22-148)
+# ---------------------------------------------------------------------------
+
+
+def load_test_data_with_labels(test_data_dir: str | Path) -> list[dict]:
+    """Load labeled test episodes from ``.npz`` files with keys
+    ``audio`` (180,32,32), ``image`` (180,1,32,32) or NHWC, ``label`` (180,),
+    ``speaker`` (180,6)."""
+    test_data = []
+    for p in sorted(Path(test_data_dir).glob("*.npz")):
+        try:
+            with np.load(p) as z:
+                test_data.append({
+                    "audio": np.asarray(z["audio"], dtype=np.float32),
+                    "image": np.asarray(z["image"], dtype=np.float32),
+                    "label": np.asarray(z["label"]),
+                    "speaker": np.asarray(z["speaker"], dtype=np.float32),
+                    "file_path": str(p),
+                })
+        except Exception as e:  # noqa: BLE001 — skip unreadable files like the reference
+            print(f"Warning: failed to load {p}: {e}")
+    return test_data
+
+
+def _speaker_index(speaker: np.ndarray) -> int:
+    """Speaker id from the episode's first one-hot row (reference :151-160)."""
+    return int(np.argmax(speaker[0]))
+
+
+def select_intervals_for_word(
+    word: int,
+    test_data: list[dict],
+    n_intervals: int = 6,
+    query_length: int = 30,
+) -> list[dict]:
+    """≤n intervals containing ``word``, one per speaker (reference :163-233)."""
+    selected, speakers_used = [], set()
+    for file_idx, data in enumerate(test_data):
+        labels = data["label"]
+        positions = np.where(labels == word)[0]
+        if len(positions) == 0:
+            continue
+        speaker_idx = _speaker_index(data["speaker"])
+        if speaker_idx in speakers_used:
+            continue
+        word_pos = int(positions[0])
+        start = max(0, word_pos - query_length + 1)
+        end = start + query_length
+        if end > len(labels):
+            start, end = 0, query_length
+        selected.append({
+            "audio": data["audio"][start:end],
+            "image": data["image"][start:end],
+            "speaker": data["speaker"][start:end],
+            "label": labels[start:end],
+            "speaker_idx": speaker_idx,
+            "file_idx": file_idx,
+        })
+        speakers_used.add(speaker_idx)
+        if len(selected) >= n_intervals:
+            break
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# Prediction (reference :286-372, batched over samples)
+# ---------------------------------------------------------------------------
+
+
+def _to_nhwc(obs: np.ndarray) -> np.ndarray:
+    if obs.ndim == 3:
+        return obs[..., None]
+    if obs.shape[1] <= 4 < obs.shape[-1]:
+        return np.moveaxis(obs, 1, -1)
+    return obs
+
+
+def generate_predictions_with_classifier(
+    model,
+    params,
+    classifier_params,
+    interval: dict,
+    key: jax.Array,
+    n_predictions: int = 10,
+    n_frames: int = 10,
+    audio_transform: NormalizeAudioMelSpectrogram | None = None,
+    vision_transform: NormalizeVisionImage | None = None,
+) -> list[int]:
+    """Predicted digits for one interval: n_predictions batched rollouts."""
+    audio_transform = audio_transform or NormalizeAudioMelSpectrogram(-80.0, 0.0)
+    vision_transform = vision_transform or NormalizeVisionImage()
+    audio0 = audio_transform(_to_nhwc(interval["audio"]))[0]  # frame 0, [H, W, C]
+    vision0 = vision_transform(_to_nhwc(interval["image"]))[0]
+    last_action = interval["speaker"][-1]  # [A]
+
+    n = n_predictions
+    audio0_b = jnp.broadcast_to(jnp.asarray(audio0), (n, *audio0.shape))
+    vision0_b = jnp.broadcast_to(jnp.asarray(vision0), (n, *vision0.shape))
+    actions = jnp.broadcast_to(jnp.asarray(last_action), (n, n_frames, last_action.shape[-1]))
+
+    digits = _predict_digits_jit(model, params, classifier_params, audio0_b, vision0_b, actions, key)
+    return [int(d) for d in np.asarray(digits)]
+
+
+def _predict_digits(model, params, classifier_params, audio0, vision0, actions, key):
+    k1, k2 = jax.random.split(key)
+    init = model.initial_state(params, audio0, vision0, k1)
+    states = model.rollout_transition(params, actions, init, k2)
+    recon = model.decode_state(params, states)["recon/vision"]  # [n, n_frames, H, W, C]
+    first = jnp.clip((recon[:, 0] + 1.0) / 2.0, 0.0, 1.0)
+    return recognize_digits(classifier_params, first)
+
+
+_predict_digits_jit = jax.jit(_predict_digits, static_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# Distributions + Matching Rate (reference :375-538)
+# ---------------------------------------------------------------------------
+
+
+def compute_prediction_distribution(predicted_words: list[int], word_set=WORD_SET) -> dict:
+    total = len(predicted_words)
+    if total == 0:
+        return {w: 0.0 for w in word_set} | {"wf": 0.0}
+    counts = defaultdict(int)
+    for w in predicted_words:
+        if w in word_set:
+            counts[w] += 1
+    dist = {w: counts.get(w, 0) / total for w in word_set}
+    dist["wf"] = (total - sum(counts.values())) / total
+    return dist
+
+
+def compute_true_distribution(word: int, test_data: list[dict], word_set=WORD_SET) -> dict:
+    next_counts: dict[int, int] = defaultdict(int)
+    total = 0
+    for data in test_data:
+        seq, prev = [], None
+        for label in data["label"]:
+            d = int(label)
+            if d == -1:
+                continue
+            if d != prev:
+                seq.append(d)
+                prev = d
+        for i in range(len(seq) - 1):
+            if seq[i] == word:
+                if seq[i + 1] in word_set:
+                    next_counts[seq[i + 1]] += 1
+                total += 1
+    if total == 0:
+        return {w: 0.0 for w in word_set} | {"wf": 0.0}
+    dist = {w: next_counts.get(w, 0) / total for w in word_set}
+    dist["wf"] = 0.0
+    return dist
+
+
+def compute_matching_rate(q_dist: dict, p_dist: dict, word_set=WORD_SET) -> float:
+    mr = sum(min(q_dist.get(w, 0.0), p_dist.get(w, 0.0)) for w in word_set)
+    return mr + min(q_dist.get("wf", 0.0), p_dist.get("wf", 0.0))
+
+
+def compute_baselines(p_dist: dict, word_set=WORD_SET, n_random_trials: int = 100, seed: int = 0) -> dict:
+    n = len(word_set)
+    uniform = {w: 1.0 / n for w in word_set} | {"wf": 0.0}
+    peak_word = max(word_set, key=lambda w: p_dist.get(w, 0.0))
+    peak = {w: (1.0 if w == peak_word else 0.0) for w in word_set} | {"wf": 0.0}
+    rng = np.random.default_rng(seed)
+    random_mrs = []
+    for _ in range(n_random_trials):
+        rw = int(rng.choice(word_set))
+        rdist = {w: (1.0 if w == rw else 0.0) for w in word_set} | {"wf": 0.0}
+        random_mrs.append(compute_matching_rate(rdist, p_dist, word_set))
+    return {
+        "uniform": compute_matching_rate(uniform, p_dist, word_set),
+        "peak_onehot": compute_matching_rate(peak, p_dist, word_set),
+        "random_onehot": float(np.mean(random_mrs)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full evaluation (reference :808-1020)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_word_transitions(
+    model,
+    params,
+    classifier_params,
+    test_data: list[dict],
+    *,
+    n_intervals: int = 6,
+    query_length: int = 30,
+    n_predictions: int = 10,
+    n_frames: int = 10,
+    audio_min: float = -80.0,
+    audio_max: float = 0.0,
+    seed: int = 0,
+    word_set=WORD_SET,
+) -> dict:
+    """Run the full MR evaluation; returns the results dict (JSON-ready)."""
+    audio_t = NormalizeAudioMelSpectrogram(audio_min, audio_max)
+    vision_t = NormalizeVisionImage()
+    key = jax.random.PRNGKey(seed)
+    results = {}
+    for word in word_set:
+        intervals = select_intervals_for_word(word, test_data, n_intervals, query_length)
+        if not intervals:
+            continue
+        predicted: list[int] = []
+        for interval in intervals:
+            key, sub = jax.random.split(key)
+            predicted.extend(
+                generate_predictions_with_classifier(
+                    model, params, classifier_params, interval, sub,
+                    n_predictions, n_frames, audio_t, vision_t,
+                )
+            )
+        q_dist = compute_prediction_distribution(predicted, word_set)
+        p_dist = compute_true_distribution(word, test_data, word_set)
+        mr = compute_matching_rate(q_dist, p_dist, word_set)
+        baselines = compute_baselines(p_dist, word_set)
+        results[str(word)] = {
+            "n_intervals": len(intervals),
+            "n_predictions": len(predicted),
+            "q_dist": {str(k): v for k, v in q_dist.items()},
+            "p_dist": {str(k): v for k, v in p_dist.items()},
+            "matching_rate": mr,
+            "baselines": baselines,
+        }
+    valid = [r["matching_rate"] for r in results.values()]
+    summary = {
+        "mean_matching_rate": float(np.mean(valid)) if valid else 0.0,
+        "mean_uniform": float(np.mean([r["baselines"]["uniform"] for r in results.values()])) if valid else 0.0,
+        "mean_peak_onehot": float(np.mean([r["baselines"]["peak_onehot"] for r in results.values()])) if valid else 0.0,
+        "mean_random_onehot": float(np.mean([r["baselines"]["random_onehot"] for r in results.values()])) if valid else 0.0,
+    }
+    return {"per_word": results, "summary": summary}
+
+
+def write_results(results: dict, out_dir: str | Path, name: str = "word_transitions") -> tuple[Path, Path]:
+    """Markdown + JSON output (reference :541-600)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    json_path = out_dir / f"{name}.json"
+    json_path.write_text(json.dumps(results, indent=2))
+    s = results["summary"]
+    lines = [
+        "# Word-transition Matching Rate",
+        "",
+        "| word | MR | uniform | peak | random | n_pred |",
+        "|---|---|---|---|---|---|",
+    ]
+    for word, r in sorted(results["per_word"].items(), key=lambda kv: int(kv[0])):
+        b = r["baselines"]
+        lines.append(
+            f"| {word} | {r['matching_rate']:.3f} | {b['uniform']:.3f} | "
+            f"{b['peak_onehot']:.3f} | {b['random_onehot']:.3f} | {r['n_predictions']} |"
+        )
+    lines += [
+        "",
+        f"**mean MR = {s['mean_matching_rate']:.3f}** "
+        f"(uniform {s['mean_uniform']:.3f}, peak {s['mean_peak_onehot']:.3f}, "
+        f"random {s['mean_random_onehot']:.3f})",
+    ]
+    md_path = out_dir / f"{name}.md"
+    md_path.write_text("\n".join(lines) + "\n")
+    return md_path, json_path
