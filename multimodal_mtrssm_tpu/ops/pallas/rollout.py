@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused prior-only rollout (imagination).
+
+The imagination loop (reference ``core.py:170-185``: per step MLP → GRUCell →
+MLP → categorical sample) is the serving hot path — the word-transition
+evaluation runs it for every interval×sample (reference
+``evaluate_word_transitions_mrssm.py:286-372``). Under XLA it compiles to a
+``lax.scan`` whose body is a chain of small ops; this kernel fuses the whole
+T-step recurrence into ONE Pallas program: all weights live in VMEM for the
+duration (they total ~100 KB), the loop runs on-core via ``fori_loop``, and
+categorical sampling uses the on-core PRNG (Gumbel-argmax over the
+``category_size`` blocks).
+
+Weights are passed as a packed tuple of f32 arrays; use :func:`pack_params`
+to extract them from a ``MoPoEMRSSM`` param tree. Shapes (defaults):
+A=6 action, S=16 stoch, H=32 hidden, D=32 deter.
+
+The kernel computes the same math as ``MoPoEMRSSM.rollout_transition``
+(verified in tests by replaying the kernel's sampled stochs through the XLA
+path); only the RNG stream differs (TPU core PRNG vs threefry).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_mtrssm_tpu.nn.core import Params
+
+# Packed weight order (all f32):
+# w1 [A+S, H], b1 [H]        action_state_projector layer 0
+# w2 [H, H],  b2 [H]         action_state_projector layer 1
+# wih [H, 3D], bih [3D]      GRU input weights (gate order r, z, n)
+# whh [D, 3D], bhh [3D]      GRU hidden weights
+# wp1 [D, H], bp1 [H]        rnn_to_prior_projector layer 0
+# wp2 [H, S], bp2 [S]        rnn_to_prior_projector layer 1
+
+
+def pack_params(params: Params) -> tuple[jax.Array, ...]:
+    """Extract the transition weights from a MoPoEMRSSM param tree."""
+    t = params["transition"]
+    asp = t["action_state_projector"]["layers"]
+    prior = t["rnn_to_prior_projector"]["layers"]
+    gru = t["gru"]
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    return (
+        f32(asp[0]["w"]), f32(asp[0]["b"]),
+        f32(asp[1]["w"]), f32(asp[1]["b"]),
+        f32(gru["w_ih"]), f32(gru["b_ih"]),
+        f32(gru["w_hh"]), f32(gru["b_hh"]),
+        f32(prior[0]["w"]), f32(prior[0]["b"]),
+        f32(prior[1]["w"]), f32(prior[1]["b"]),
+    )
+
+
+def _uniform_from_bits(bits: jax.Array) -> jax.Array:
+    """uint32 → uniform (0, 1) float32 via mantissa stuffing."""
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return one_to_two - 1.0
+
+
+def _rollout_kernel(
+    # refs: actions [T, B, A], init_deter [B, D], init_stoch [B, S], seed [1]
+    seed_ref,
+    actions_ref,
+    init_deter_ref,
+    init_stoch_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    wih_ref, bih_ref, whh_ref, bhh_ref,
+    wp1_ref, bp1_ref, wp2_ref, bp2_ref,
+    deters_ref,  # out [T, B, D]
+    logits_ref,  # out [T, B, S]
+    stochs_ref,  # out [T, B, S]
+    *,
+    T: int,
+    class_size: int,
+    category_size: int,
+):
+    pltpu.prng_seed(seed_ref[0])
+    S = class_size * category_size
+
+    w1, b1 = w1_ref[:], b1_ref[:]
+    w2, b2 = w2_ref[:], b2_ref[:]
+    wih, bih = wih_ref[:], bih_ref[:]
+    whh, bhh = whh_ref[:], bhh_ref[:]
+    wp1, bp1 = wp1_ref[:], bp1_ref[:]
+    wp2, bp2 = wp2_ref[:], bp2_ref[:]
+    D = whh.shape[0]
+
+    def body(t, carry):
+        deter, stoch = carry
+        action = actions_ref[t]
+        x = jnp.concatenate([action, stoch], axis=-1)
+        h = jax.nn.elu(jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1)
+        x2 = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+        # GRU (torch gate order r, z, n).
+        gi = jnp.dot(x2, wih, preferred_element_type=jnp.float32) + bih
+        gh = jnp.dot(deter, whh, preferred_element_type=jnp.float32) + bhh
+        r = jax.nn.sigmoid(gi[:, :D] + gh[:, :D])
+        z = jax.nn.sigmoid(gi[:, D : 2 * D] + gh[:, D : 2 * D])
+        n = jnp.tanh(gi[:, 2 * D :] + r * gh[:, 2 * D :])
+        deter = (1.0 - z) * n + z * deter
+        p1 = jax.nn.elu(jnp.dot(deter, wp1, preferred_element_type=jnp.float32) + bp1)
+        logits = jnp.dot(p1, wp2, preferred_element_type=jnp.float32) + bp2
+        # Gumbel-argmax straight sample per category block.
+        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
+        g = -jnp.log(-jnp.log(u))
+        scores = logits + g
+        onehot = jnp.zeros_like(scores)
+        for c in range(class_size):
+            block = scores[:, c * category_size : (c + 1) * category_size]
+            m = jnp.max(block, axis=-1, keepdims=True)
+            is_max = (block >= m).astype(jnp.float32)
+            # break exact ties toward the first index
+            first = jnp.cumsum(is_max, axis=-1) <= 1.0
+            onehot = onehot.at[:, c * category_size : (c + 1) * category_size].set(
+                is_max * first.astype(jnp.float32)
+            )
+        stoch = onehot
+        deters_ref[t] = deter
+        logits_ref[t] = logits
+        stochs_ref[t] = stoch
+        return deter, stoch
+
+    jax.lax.fori_loop(0, T, body, (init_deter_ref[:], init_stoch_ref[:]))
+
+
+@functools.partial(jax.jit, static_argnames=("class_size", "category_size"))
+def fused_rollout_transition(
+    packed: tuple[jax.Array, ...],
+    actions: jax.Array,  # [B, T, A]
+    init_deter: jax.Array,  # [B, D]
+    init_stoch: jax.Array,  # [B, S]
+    seed: jax.Array,  # int32 scalar
+    class_size: int = 4,
+    category_size: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused prior rollout. Returns (deters, logits, stochs), each [B, T, ·]."""
+    B, T, A = actions.shape
+    D = init_deter.shape[-1]
+    S = init_stoch.shape[-1]
+    actions_tm = jnp.swapaxes(actions, 0, 1).astype(jnp.float32)  # [T, B, A]
+
+    kernel = functools.partial(
+        _rollout_kernel, T=T, class_size=class_size, category_size=category_size
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    n_inputs = 3 + 12
+    deters, logits, stochs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem() for _ in range(n_inputs)],
+        out_specs=(vmem(), vmem(), vmem()),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        actions_tm,
+        init_deter.astype(jnp.float32),
+        init_stoch.astype(jnp.float32),
+        *packed,
+    )
+    tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+    return tm(deters), tm(logits), tm(stochs)
