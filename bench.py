@@ -31,8 +31,10 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 TORCH_REFERENCE_SEQ_PER_S = 15.65
 
 B, T = 8, 30
-WARMUP = 5
-ITERS = 30
+# The axon backend does background work for ~1-2s after first execution;
+# a long warmup keeps it out of the measurement.
+WARMUP = 40
+ITERS = 60
 
 
 def main() -> None:

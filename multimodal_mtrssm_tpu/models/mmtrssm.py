@@ -67,6 +67,7 @@ class MMTRSSMConfig:
     init_proj_cells: int = 200
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
+    input_noise_std: float = 0.0  # device-side GaussianNoise (see MRSSMConfig)
     w_kl_h: float = 1.0
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
@@ -253,7 +254,9 @@ class MoPoEMMTRSSM:
             )
             h_prior_stoch = self._h_dist(h_prior_logits).rsample(k_hp)
             h_stoch = self._h_dist(h_post_logits).rsample(k_h)
-            carry = (h_deter, l_deter, h_stoch, l_stoch, hid_h, hid_l)
+            # Samples are f32; carry runs in the compute dtype (bf16-safe).
+            cdt = h_deter.dtype
+            carry = (h_deter, l_deter, h_stoch.astype(cdt), l_stoch.astype(cdt), hid_h, hid_l)
             ys = (
                 h_deter, l_deter, hid_h, hid_l,
                 l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
@@ -261,9 +264,10 @@ class MoPoEMMTRSSM:
             )
             return carry, ys
 
+        cdt = prev_state.deter_h.dtype
         carry0 = (
             prev_state.deter_h, prev_state.deter_l,
-            prev_state.stoch_h, prev_state.stoch_l,
+            prev_state.stoch_h.astype(cdt), prev_state.stoch_l.astype(cdt),
             prev_state.hidden_h, prev_state.hidden_l,
         )
         xs = (
@@ -310,13 +314,15 @@ class MoPoEMMTRSSM:
             h_deter, hid_h = mtrnn_apply(params["h_rnn"], hs, hd, hid_h, self.cfg.h_tau)
             h_prior_logits = mlp_apply(params["h_prior"], h_deter, act)
             h_stoch = self._h_dist(h_prior_logits).rsample(k_h)
-            carry = (h_deter, l_deter, h_stoch, l_stoch, hid_h, hid_l)
+            cdt = h_deter.dtype
+            carry = (h_deter, l_deter, h_stoch.astype(cdt), l_stoch.astype(cdt), hid_h, hid_l)
             ys = (h_deter, l_deter, hid_h, hid_l, l_prior_logits, l_stoch, h_prior_logits, h_stoch)
             return carry, ys
 
+        cdt0 = prev_state.deter_h.dtype
         carry0 = (
             prev_state.deter_h, prev_state.deter_l,
-            prev_state.stoch_h, prev_state.stoch_l,
+            prev_state.stoch_h.astype(cdt0), prev_state.stoch_l.astype(cdt0),
             prev_state.hidden_h, prev_state.hidden_l,
         )
         _, ys = jax.lax.scan(step, carry0, (jnp.swapaxes(actions, 0, 1), step_keys))
@@ -349,7 +355,13 @@ class MoPoEMMTRSSM:
         """Dual-KL ELBO step (reference ``core.py:563-606``)."""
         cfg = self.cfg
         action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
-        k_init, k_roll = jax.random.split(key)
+        k_init, k_roll, k_noise = jax.random.split(key, 3)
+        if cfg.input_noise_std > 0:
+            from multimodal_mtrssm_tpu.models.mrssm import _add_input_noise
+
+            action_input, audio_in, vision_in = _add_input_noise(
+                k_noise, cfg.input_noise_std, action_input, audio_in, vision_in
+            )
         dt = cfg.compute_dtype
         init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
         posterior, prior = self.rollout_representation(

@@ -57,6 +57,11 @@ class MRSSMConfig:
     init_proj_cells: int = 200
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
+    # Input-noise std applied on device inside shared_step (TPU-native home
+    # of the reference's host-side GaussianNoise input transform, reference
+    # configs :157-220 — host generation of ~0.5M gaussians/batch costs as
+    # much as the whole train step). 0 disables (host pipeline noise then).
+    input_noise_std: float = 0.0
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     audio_decoder: DecoderConfig | None = None
@@ -197,7 +202,9 @@ class MoPoEMRSSM:
             post_dist = self._dist(mixed_logits)
             post_stoch = post_dist.rsample(k_post)
             # Mixed posterior becomes the next prev_state (reference :256).
-            carry = (deter, post_stoch)
+            # Samples are f32 (ops force f32 math); the carry runs in the
+            # compute dtype so the recurrence stays on the bf16 path.
+            carry = (deter, post_stoch.astype(deter.dtype))
             ys = (deter, prior_logits, prior_stoch, mixed_logits, post_stoch)
             return carry, ys
 
@@ -209,7 +216,7 @@ class MoPoEMRSSM:
             step_keys,
         )
         _, (deter, prior_logits, prior_stoch, mixed_logits, post_stoch) = jax.lax.scan(
-            step, (prev_state.deter, prev_state.stoch), xs
+            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
@@ -228,10 +235,12 @@ class MoPoEMRSSM:
             action_t, k = xs
             deter, logits = self._transition_core(params, action_t, prev_stoch, prev_deter)
             stoch = self._dist(logits).rsample(k)
-            return (deter, stoch), (deter, logits, stoch)
+            return (deter, stoch.astype(deter.dtype)), (deter, logits, stoch)
 
         _, (deter, logits, stoch) = jax.lax.scan(
-            step, (prev_state.deter, prev_state.stoch), (jnp.swapaxes(actions, 0, 1), step_keys)
+            step,
+            (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)),
+            (jnp.swapaxes(actions, 0, 1), step_keys),
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         return State(deter=tm(deter), stoch=tm(stoch), distribution=self._dist(tm(logits)))
@@ -263,7 +272,11 @@ class MoPoEMRSSM:
         vision_target); observations are NHWC ``[B, T, H, W, C]``.
         """
         action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
-        k_init, k_roll = jax.random.split(key)
+        k_init, k_roll, k_noise = jax.random.split(key, 3)
+        if self.cfg.input_noise_std > 0:
+            action_input, audio_in, vision_in = _add_input_noise(
+                k_noise, self.cfg.input_noise_std, action_input, audio_in, vision_in
+            )
         dt = self.cfg.compute_dtype
         init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
         posterior, prior = self.rollout_representation(
@@ -281,3 +294,13 @@ class MoPoEMRSSM:
         loss_dict["kl"] = kl
         loss_dict["loss"] = loss_dict["recon"] + kl
         return loss_dict
+
+
+def _add_input_noise(key: jax.Array, std: float, *streams: jax.Array) -> tuple[jax.Array, ...]:
+    """GaussianNoise on input streams, fused on device (reference
+    ``transform.py:55-72`` applied it per-episode on host)."""
+    keys = jax.random.split(key, len(streams))
+    return tuple(
+        x + std * jax.random.normal(k, x.shape, jnp.float32).astype(x.dtype)
+        for k, x in zip(keys, streams)
+    )

@@ -56,6 +56,11 @@ def pack_params(params: Params) -> tuple[jax.Array, ...]:
     )
 
 
+def _elu(x: jax.Array) -> jax.Array:
+    """ELU without expm1 (unimplemented in Pallas TPU lowering)."""
+    return jnp.where(x > 0, x, jnp.exp(x) - 1.0)
+
+
 def _uniform_from_bits(bits: jax.Array) -> jax.Array:
     """uint32 → uniform (0, 1) float32 via mantissa stuffing."""
     mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
@@ -64,7 +69,7 @@ def _uniform_from_bits(bits: jax.Array) -> jax.Array:
 
 
 def _rollout_kernel(
-    # refs: actions [T, B, A], init_deter [B, D], init_stoch [B, S], seed [1]
+    # refs: actions block [C, B, A], init_deter [B, D], init_stoch [B, S], seed [1]
     seed_ref,
     actions_ref,
     init_deter_ref,
@@ -72,16 +77,26 @@ def _rollout_kernel(
     w1_ref, b1_ref, w2_ref, b2_ref,
     wih_ref, bih_ref, whh_ref, bhh_ref,
     wp1_ref, bp1_ref, wp2_ref, bp2_ref,
-    deters_ref,  # out [T, B, D]
-    logits_ref,  # out [T, B, S]
-    stochs_ref,  # out [T, B, S]
+    deters_ref,  # out block [C, B, D]
+    logits_ref,  # out block [C, B, S]
+    stochs_ref,  # out block [C, B, S]
+    deter_scratch,  # VMEM [B, D] carry across grid steps
+    stoch_scratch,  # VMEM [B, S] carry across grid steps
     *,
-    T: int,
+    chunk: int,
     class_size: int,
     category_size: int,
 ):
-    pltpu.prng_seed(seed_ref[0])
-    S = class_size * category_size
+    # The grid runs time-chunks SEQUENTIALLY on TPU; the recurrent carry
+    # lives in VMEM scratch, which persists across grid steps. Outputs are
+    # per-chunk blocks so arbitrary T streams to HBM without exceeding VMEM.
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+
+    @pl.when(i == 0)
+    def _():
+        deter_scratch[:] = init_deter_ref[:]
+        stoch_scratch[:] = init_stoch_ref[:]
 
     w1, b1 = w1_ref[:], b1_ref[:]
     w2, b2 = w2_ref[:], b2_ref[:]
@@ -95,7 +110,7 @@ def _rollout_kernel(
         deter, stoch = carry
         action = actions_ref[t]
         x = jnp.concatenate([action, stoch], axis=-1)
-        h = jax.nn.elu(jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1)
+        h = _elu(jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1)
         x2 = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
         # GRU (torch gate order r, z, n).
         gi = jnp.dot(x2, wih, preferred_element_type=jnp.float32) + bih
@@ -104,32 +119,42 @@ def _rollout_kernel(
         z = jax.nn.sigmoid(gi[:, D : 2 * D] + gh[:, D : 2 * D])
         n = jnp.tanh(gi[:, 2 * D :] + r * gh[:, 2 * D :])
         deter = (1.0 - z) * n + z * deter
-        p1 = jax.nn.elu(jnp.dot(deter, wp1, preferred_element_type=jnp.float32) + bp1)
+        p1 = _elu(jnp.dot(deter, wp1, preferred_element_type=jnp.float32) + bp1)
         logits = jnp.dot(p1, wp2, preferred_element_type=jnp.float32) + bp2
         # Gumbel-argmax straight sample per category block.
         u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
         g = -jnp.log(-jnp.log(u))
         scores = logits + g
-        onehot = jnp.zeros_like(scores)
+        blocks = []
         for c in range(class_size):
             block = scores[:, c * category_size : (c + 1) * category_size]
             m = jnp.max(block, axis=-1, keepdims=True)
             is_max = (block >= m).astype(jnp.float32)
-            # break exact ties toward the first index
-            first = jnp.cumsum(is_max, axis=-1) <= 1.0
-            onehot = onehot.at[:, c * category_size : (c + 1) * category_size].set(
-                is_max * first.astype(jnp.float32)
-            )
-        stoch = onehot
+            # First-index tie-break via a static column sweep (cumsum is
+            # unimplemented in the TPU lowering).
+            taken = jnp.zeros_like(is_max[:, :1])
+            cols = []
+            for j in range(category_size):
+                col = is_max[:, j : j + 1] * (1.0 - taken)
+                taken = taken + col
+                cols.append(col)
+            blocks.append(jnp.concatenate(cols, axis=-1))
+        stoch = jnp.concatenate(blocks, axis=-1)
         deters_ref[t] = deter
         logits_ref[t] = logits
         stochs_ref[t] = stoch
         return deter, stoch
 
-    jax.lax.fori_loop(0, T, body, (init_deter_ref[:], init_stoch_ref[:]))
+    deter, stoch = jax.lax.fori_loop(
+        0, chunk, body, (deter_scratch[:], stoch_scratch[:])
+    )
+    deter_scratch[:] = deter
+    stoch_scratch[:] = stoch
 
 
-@functools.partial(jax.jit, static_argnames=("class_size", "category_size"))
+@functools.partial(
+    jax.jit, static_argnames=("class_size", "category_size", "interpret", "chunk")
+)
 def fused_rollout_transition(
     packed: tuple[jax.Array, ...],
     actions: jax.Array,  # [B, T, A]
@@ -138,27 +163,45 @@ def fused_rollout_transition(
     seed: jax.Array,  # int32 scalar
     class_size: int = 4,
     category_size: int = 4,
+    interpret: bool = False,
+    chunk: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused prior rollout. Returns (deters, logits, stochs), each [B, T, ·]."""
     B, T, A = actions.shape
     D = init_deter.shape[-1]
     S = init_stoch.shape[-1]
+
+    # Time-chunk size: keep the 3 output blocks within a few MB of VMEM
+    # (lanes pad to 128, so each [C, B, ·] block costs C·B·128·4 bytes).
+    if chunk is None:
+        chunk = max(1, min(T, 2730 // max(B, 1)))
+    n_chunks = -(-T // chunk)
+    T_pad = n_chunks * chunk
     actions_tm = jnp.swapaxes(actions, 0, 1).astype(jnp.float32)  # [T, B, A]
+    if T_pad != T:
+        actions_tm = jnp.pad(actions_tm, ((0, T_pad - T), (0, 0), (0, 0)))
 
     kernel = functools.partial(
-        _rollout_kernel, T=T, class_size=class_size, category_size=category_size
+        _rollout_kernel, chunk=chunk, class_size=class_size, category_size=category_size
     )
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    n_inputs = 3 + 12
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    block = lambda d: pl.BlockSpec((chunk, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
     deters, logits, stochs = pl.pallas_call(
         kernel,
+        grid=(n_chunks,),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, S), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem() for _ in range(n_inputs)],
-        out_specs=(vmem(), vmem(), vmem()),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), block(A)]
+        + [vmem_full() for _ in range(14)],
+        out_specs=(block(D), block(S), block(S)),
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),
+            pltpu.VMEM((B, S), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         actions_tm,
@@ -166,5 +209,5 @@ def fused_rollout_transition(
         init_stoch.astype(jnp.float32),
         *packed,
     )
-    tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+    tm = lambda x: jnp.swapaxes(x[:T], 0, 1)  # noqa: E731
     return tm(deters), tm(logits), tm(stochs)

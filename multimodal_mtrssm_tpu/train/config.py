@@ -93,10 +93,23 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     model_cls = _class_name(model_node)
     margs = _init_args(model_node)
 
+    data_args = _init_args(raw.get("data"))
+    dconf = data_args.get("config", data_args)
+    # TakeFirstN n / GaussianNoise std from the composed input transforms.
+    seq_len, noise_std = 30, 0.1
+    for t in _init_args(dconf.get("audio_observation_input_transform")).get("transforms", []):
+        name = _class_name(t)
+        if name == "TakeFirstN":
+            seq_len = int(_init_args(t).get("n", seq_len))
+        elif name == "GaussianNoise":
+            noise_std = float(_init_args(t).get("std", noise_std))
+
+    # Input noise runs on device inside shared_step (TPU-native home of the
+    # GaussianNoise transform); the host pipeline then serves clean inputs.
     if "MMTRSSM" in model_cls.upper():
-        model = _build_mmtrssm(margs)
+        model = _build_mmtrssm(margs, noise_std)
     elif "MRSSM" in model_cls.upper() or not model_cls:
-        model = _build_mrssm(margs)
+        model = _build_mrssm(margs, noise_std)
     else:
         raise ValueError(f"unknown model class_path: {model_node.get('class_path')}")
 
@@ -120,22 +133,12 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         wandb_project=logger_args.get("project"),
     )
 
-    data_args = _init_args(raw.get("data"))
-    dconf = data_args.get("config", data_args)
     audio_pre = _init_args(dconf.get("audio_observation_preprocess"))
-    # TakeFirstN n / GaussianNoise std from the composed input transforms.
-    seq_len, noise_std = 30, 0.1
-    for t in _init_args(dconf.get("audio_observation_input_transform")).get("transforms", []):
-        name = _class_name(t)
-        if name == "TakeFirstN":
-            seq_len = int(_init_args(t).get("n", seq_len))
-        elif name == "GaussianNoise":
-            noise_std = float(_init_args(t).get("std", noise_std))
     data = DataModuleConfig(
         data_dir=dconf.get("data_dir", f"data/{dconf.get('data_name', 'audio_mnist')}"),
         batch_size=int(dconf.get("batch_size", 8)),
         sequence_length=seq_len,
-        noise_std=noise_std,
+        noise_std=0.0,  # noise applied on device by the model (input_noise_std)
         audio_min=float(audio_pre.get("min_value", -80.0)),
         audio_max=float(audio_pre.get("max_value", 0.0)),
         seed=int(raw.get("seed_everything", 42)),
@@ -151,7 +154,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     return Experiment(model=model, trainer=trainer, data=data, viz=viz, raw=raw)
 
 
-def _build_mrssm(margs: dict) -> MoPoEMRSSM:
+def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
     rep = _init_args(margs.get("audio_representation"))
     trans = _init_args(margs.get("transition"))
     dist = rep.get("distribution_config", [4, 4])
@@ -169,6 +172,7 @@ def _build_mrssm(margs: dict) -> MoPoEMRSSM:
         init_proj_cells=int(_init_args(margs.get("init_proj")).get("num_cells", 200)),
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
+        input_noise_std=noise_std,
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),
@@ -177,7 +181,7 @@ def _build_mrssm(margs: dict) -> MoPoEMRSSM:
     return MoPoEMRSSM(cfg)
 
 
-def _build_mmtrssm(margs: dict) -> MoPoEMMTRSSM:
+def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
     rep = _init_args(margs.get("audio_representation"))
     l_dist = _init_args(margs.get("l_dist"))
     h_dist = _init_args(margs.get("h_dist"))
@@ -203,6 +207,7 @@ def _build_mmtrssm(margs: dict) -> MoPoEMMTRSSM:
         init_proj_cells=int(_init_args(margs.get("init_proj")).get("num_cells", 200)),
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
+        input_noise_std=noise_std,
         w_kl_h=float(margs.get("w_kl_h", 1.0)),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),

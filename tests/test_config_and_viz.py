@@ -31,6 +31,9 @@ def test_load_our_mrssm_config():
     assert exp.data.audio_min == -80.0
     assert exp.viz.every_n_epochs == 10
     assert exp.viz.query_length == 10
+    # GaussianNoise moves on-device: model applies it, pipeline serves clean.
+    assert exp.model.cfg.input_noise_std == 0.1
+    assert exp.data.noise_std == 0.0
 
 
 def test_load_our_mmtrssm_config():

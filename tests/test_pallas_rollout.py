@@ -56,34 +56,18 @@ def setup():
 
 
 def _run_kernel_interpret(packed, actions, init_deter, init_stoch, seed=7):
-    """Invoke the kernel body in interpret mode on CPU."""
-    import functools
-    from jax.experimental import pallas as pl
-    from multimodal_mtrssm_tpu.ops.pallas import rollout as R
+    """Invoke the public entry point in TPU interpret mode on CPU."""
+    from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition
 
-    B, T, A = actions.shape
-    D, S = init_deter.shape[-1], init_stoch.shape[-1]
-    kernel = functools.partial(R._rollout_kernel, T=T, class_size=4, category_size=4)
-    from jax.experimental.pallas import tpu as pltpu
-
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: E731
-    deters, logits, stochs = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        ),
-        interpret=pltpu.InterpretParams(),
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.swapaxes(jnp.asarray(actions, jnp.float32), 0, 1),
+    deters, logits, stochs = fused_rollout_transition(
+        packed,
+        jnp.asarray(actions, jnp.float32),
         jnp.asarray(init_deter, jnp.float32),
         jnp.asarray(init_stoch, jnp.float32),
-        *packed,
+        jnp.int32(seed),
+        interpret=True,
     )
-    tm = lambda x: np.swapaxes(np.asarray(x), 0, 1)  # noqa: E731
-    return tm(deters), tm(logits), tm(stochs)
+    return np.asarray(deters), np.asarray(logits), np.asarray(stochs)
 
 
 def test_kernel_matches_reference_math(setup):
@@ -114,6 +98,21 @@ def test_kernel_matches_xla_rollout_deterministic_path(setup):
     xs = (jnp.swapaxes(jnp.asarray(actions, jnp.float32), 0, 1), jnp.swapaxes(jnp.asarray(stochs), 0, 1))
     _, ds = jax.lax.scan(step, (jnp.asarray(init_deter, jnp.float32), jnp.asarray(init_stoch)), xs)
     np.testing.assert_allclose(np.swapaxes(np.asarray(ds), 0, 1), deters, atol=2e-5)
+
+
+def test_chunked_grid_carries_state(setup):
+    """chunk < T (ragged tail) must produce the same deterministic math."""
+    from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition
+
+    model, params, packed, actions, init_deter, init_stoch = setup
+    out = fused_rollout_transition(
+        packed, jnp.asarray(actions, jnp.float32), jnp.asarray(init_deter, jnp.float32),
+        jnp.asarray(init_stoch, jnp.float32), jnp.int32(7), interpret=True, chunk=4,
+    )  # T=6 → chunks of 4 + ragged 2
+    deters, logits, stochs = (np.asarray(x) for x in out)
+    ref_deters, ref_logits = _np_reference_rollout(packed, actions, init_deter, init_stoch, stochs)
+    np.testing.assert_allclose(deters, ref_deters, atol=2e-5)
+    np.testing.assert_allclose(logits, ref_logits, atol=2e-5)
 
 
 def test_sampling_follows_logits(setup):
