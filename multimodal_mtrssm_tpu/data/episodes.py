@@ -146,6 +146,29 @@ def convert_reference_processed_dir(src_dir: Path | str, out_dir: Path | str) ->
     return len(acts)
 
 
+def load_from_gdrive(url: str, data_dir: Path | str) -> None:
+    """Fetch and extract a gdrive-hosted tar.gz dataset (reference
+    ``dataset.py:163-169``; failure path ``:272-305`` gives manual-download
+    instructions). Requires network + ``gdown``; this build's environment has
+    neither, so the error mirrors the reference's manual fallback."""
+    data_dir = Path(data_dir)
+    try:
+        import gdown  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            f"gdown is not available (offline image). Download {url} manually, "
+            f"extract it into {data_dir}, then convert with "
+            "scripts/convert_audio_mnist_data.py."
+        ) from e
+    data_dir.mkdir(parents=True, exist_ok=True)
+    tar_path = data_dir / "data.tar.gz"
+    gdown.download(url, str(tar_path), quiet=False)
+    import tarfile
+
+    with tarfile.open(tar_path) as tf:
+        tf.extractall(data_dir)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic data (tests / benches / smoke training)
 # ---------------------------------------------------------------------------

@@ -196,6 +196,12 @@ class Trainer:
                 break
 
         self.logger.close()
+        try:
+            from multimodal_mtrssm_tpu.viz.charts import render_combined_charts
+
+            render_combined_charts(self.logger.path)
+        except Exception:  # chart rendering must never fail a run
+            pass
         return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
 
     # ---- inference helpers -------------------------------------------------
