@@ -124,15 +124,19 @@ class EpisodeDataModule:
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator | None) -> Batch:
         """6-tuple batch; inputs get Gaussian noise, targets don't
         (reference configs :157-220)."""
+        from multimodal_mtrssm_tpu.data import native
+
         cfg = self.cfg
         T = cfg.sequence_length
         a = self._arrays["action"][idx, :T]
         au = self._arrays["audio"][idx, :T]
         vi = self._arrays["vision"][idx, :T]
         if rng is not None and cfg.noise_std > 0:
-            a_in = a + rng.normal(0, cfg.noise_std, a.shape).astype(np.float32)
-            au_in = au + rng.normal(0, cfg.noise_std, au.shape).astype(np.float32)
-            vi_in = vi + rng.normal(0, cfg.noise_std, vi.shape).astype(np.float32)
+            # Fused parallel gather+noise (native/fastbatch.cc; numpy fallback).
+            seed = int(rng.integers(0, 2**62))
+            a_in = native.gather_noise(self._arrays["action"], idx, T, cfg.noise_std, seed ^ 1)
+            au_in = native.gather_noise(self._arrays["audio"], idx, T, cfg.noise_std, seed ^ 2)
+            vi_in = native.gather_noise(self._arrays["vision"], idx, T, cfg.noise_std, seed ^ 3)
         else:
             a_in, au_in, vi_in = a, au, vi
         if cfg.drop_modality == "audio":

@@ -1,0 +1,41 @@
+"""Tests: native fastbatch kernel (builds with g++; skips if unavailable)."""
+
+import numpy as np
+import pytest
+
+from multimodal_mtrssm_tpu.data import native
+
+
+def test_gather_matches_numpy_when_noiseless():
+    src = np.random.default_rng(0).normal(size=(5, 8, 4, 4, 1)).astype(np.float32)
+    idx = np.array([3, 1, 4])
+    out = native.gather_noise(src, idx, seq_len=6, noise_std=0.0, seed=0)
+    np.testing.assert_array_equal(out, src[idx, :6])
+
+
+@pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
+def test_native_noise_statistics_and_determinism():
+    src = np.zeros((4, 10, 32, 32, 1), np.float32)
+    idx = np.arange(4)
+    out1 = native.gather_noise(src, idx, 10, noise_std=0.1, seed=42)
+    out2 = native.gather_noise(src, idx, 10, noise_std=0.1, seed=42)
+    out3 = native.gather_noise(src, idx, 10, noise_std=0.1, seed=43)
+    np.testing.assert_array_equal(out1, out2)  # same seed → identical
+    assert not np.array_equal(out1, out3)  # different seed → different
+    assert abs(float(out1.mean())) < 5e-3
+    assert 0.095 < float(out1.std()) < 0.105
+    # thread-count invariance (per-row RNG)
+    out_t1 = native.gather_noise(src, idx, 10, noise_std=0.1, seed=42, n_threads=1)
+    out_t4 = native.gather_noise(src, idx, 10, noise_std=0.1, seed=42, n_threads=4)
+    np.testing.assert_array_equal(out_t1, out_t4)
+
+
+@pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
+def test_native_gather_correct_with_noise():
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(6, 12, 8)).astype(np.float32)
+    idx = np.array([5, 0, 2])
+    out = native.gather_noise(src, idx, 7, noise_std=0.05, seed=7)
+    # noise is small: values must be near the gathered source
+    np.testing.assert_allclose(out, src[idx, :7], atol=0.4)
+    assert not np.array_equal(out, src[idx, :7])
