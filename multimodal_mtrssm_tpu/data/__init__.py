@@ -5,6 +5,7 @@ from multimodal_mtrssm_tpu.data.episodes import (
     convert_audio_mnist_npz,
     convert_reference_processed_dir,
     generate_synthetic_audio_mnist,
+    generate_synthetic_labeled_audio_mnist,
     list_episodes,
     load_episode,
     save_episode,
@@ -39,6 +40,7 @@ __all__ = [
     "convert_audio_mnist_npz",
     "convert_reference_processed_dir",
     "generate_synthetic_audio_mnist",
+    "generate_synthetic_labeled_audio_mnist",
     "list_episodes",
     "load_episode",
     "save_episode",

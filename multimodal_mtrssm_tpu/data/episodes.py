@@ -174,6 +174,70 @@ def load_from_gdrive(url: str, data_dir: Path | str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def generate_synthetic_labeled_audio_mnist(
+    episodes_dir: Path | str,
+    eval_dir: Path | str,
+    n_episodes: int = 24,
+    episode_length: int = 180,
+    frames_per_word: int = 18,
+    hw: int = 32,
+    n_speakers: int = 6,
+    seed: int = 0,
+) -> tuple[list[Path], list[Path]]:
+    """Synthetic *labeled* Audio-MNIST: digit-stripe frames + word labels.
+
+    Digit ``d`` renders as a bright vertical stripe at column ``3d`` in
+    vision and a horizontal band at row ``3d`` in audio, so both a simple
+    classifier and the world model can learn the word structure offline
+    (the real dataset needs the gdrive fetch this image cannot do).
+
+    Writes two mirrors: training episodes into ``episodes_dir`` (our store
+    format) and eval-format ``.npz`` files (keys audio/image/label/speaker,
+    reference ``evaluate_word_transitions_mrssm.py:129-148``) into
+    ``eval_dir``. Word sequences follow a fixed sparse transition graph so
+    the true distribution p(w'|w) is non-uniform (MR evaluation has signal).
+    """
+    rng = np.random.default_rng(seed)
+    n_words = episode_length // frames_per_word
+    # Sparse digit-transition graph: from each word, 2 likely successors.
+    successors = {d: ((d + 1) % 10, (d + 3) % 10) for d in range(10)}
+    train_paths, eval_paths = [], []
+    eval_dir = Path(eval_dir)
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_episodes):
+        speaker_idx = i % n_speakers
+        words = [int(rng.integers(0, 10))]
+        for _ in range(n_words - 1):
+            nxt = successors[words[-1]]
+            words.append(int(nxt[rng.integers(0, 2)]))
+        label = np.repeat(np.asarray(words, np.int64), frames_per_word)[:episode_length]
+        speaker = np.zeros((episode_length, n_speakers), np.float32)
+        speaker[:, speaker_idx] = 1.0
+        vision = np.full((episode_length, hw, hw, 1), 20.0, np.float32)
+        audio = np.full((episode_length, hw, hw, 1), -70.0, np.float32)
+        for t in range(episode_length):
+            d = int(label[t])
+            vision[t, :, 3 * d : 3 * d + 3, 0] = 235.0
+            audio[t, 3 * d : 3 * d + 3, :, 0] = -10.0
+        vision += rng.normal(0, 4.0, vision.shape).astype(np.float32)
+        audio += rng.normal(0, 1.5, audio.shape).astype(np.float32)
+        vision = np.clip(vision, 0.0, 255.0)
+        audio = np.clip(audio, -80.0, 0.0)
+        train_paths.append(
+            save_episode(episodes_dir, i, Episode(action=speaker, audio=audio, vision=vision))
+        )
+        p = eval_dir / f"sample_{i:04d}.npz"
+        np.savez(
+            p,
+            audio=audio[..., 0],  # eval format: (T, 32, 32)
+            image=np.moveaxis(vision, -1, 1),  # (T, 1, 32, 32)
+            label=label,
+            speaker=speaker,
+        )
+        eval_paths.append(p)
+    return train_paths, eval_paths
+
+
 def generate_synthetic_audio_mnist(
     out_dir: Path | str,
     n_episodes: int = 10,
