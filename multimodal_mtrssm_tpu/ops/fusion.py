@@ -41,6 +41,15 @@ def mopoe_mix_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> ja
     Reference ``mopoe_mrssm/core.py:136-154`` (the 2^M - 1 non-empty modality
     subsets for M=2). Returns mixed log-probabilities (f32) to be used as
     ``MultiOneHot`` logits.
+
+    With identical expert logits the mixture must agree with each expert up
+    to the (unnormalized) PoE term:
+
+    >>> import jax.numpy as jnp
+    >>> uniform = jnp.zeros((1, 4))  # equal scores over 4 categories
+    >>> mixed = mopoe_mix_log_probs(uniform, uniform)
+    >>> bool(jnp.allclose(mixed, mixed[0, 0]))  # still uniform
+    True
     """
     a = jax.nn.log_softmax(audio_logits.astype(jnp.float32), axis=-1)
     v = jax.nn.log_softmax(vision_logits.astype(jnp.float32), axis=-1)

@@ -25,6 +25,14 @@ def gaussian_nll(
 
     The last ``event_ndims`` axes are summed (event axes); the remaining
     leading axes are averaged. Runs in float32.
+
+    A perfect unit-scale prediction of one scalar event costs exactly
+    ``0.5*log(2*pi)`` nats:
+
+    >>> import jax.numpy as jnp, math
+    >>> x = jnp.zeros((3, 1))
+    >>> abs(float(gaussian_nll(x, x, event_ndims=1)) - 0.5 * math.log(2 * math.pi)) < 1e-6
+    True
     """
     pred = prediction.astype(jnp.float32)
     tgt = target.astype(jnp.float32)
