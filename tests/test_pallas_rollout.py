@@ -115,6 +115,45 @@ def test_chunked_grid_carries_state(setup):
     np.testing.assert_allclose(logits, ref_logits, atol=2e-5)
 
 
+def test_kernel_race_free(setup):
+    """Run the kernel under the interpreter's race detector (the TPU build's
+    sanitizer story, SURVEY §5.2 — the reference has none)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from multimodal_mtrssm_tpu.ops.pallas import rollout as R
+
+    model, params, packed, actions, init_deter, init_stoch = setup
+    B, T, A = actions.shape
+    D, S = init_deter.shape[-1], init_stoch.shape[-1]
+    chunk = 3  # force multiple sequential grid steps sharing scratch
+    n_chunks = -(-T // chunk)
+    kernel = functools.partial(R._rollout_kernel, chunk=chunk, class_size=4, category_size=4)
+    block = lambda d: pl.BlockSpec((chunk, B, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks * chunk, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * chunk, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * chunk, B, S), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), block(A)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(14)],
+        out_specs=(block(D), block(S), block(S)),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32), pltpu.VMEM((B, S), jnp.float32)],
+        interpret=pltpu.InterpretParams(detect_races=True),
+    )(
+        jnp.asarray([7], jnp.int32),
+        jnp.pad(jnp.swapaxes(jnp.asarray(actions, jnp.float32), 0, 1),
+                ((0, n_chunks * chunk - T), (0, 0), (0, 0))),
+        jnp.asarray(init_deter, jnp.float32),
+        jnp.asarray(init_stoch, jnp.float32),
+        *packed,
+    )
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
 def test_sampling_follows_logits(setup):
     """With one dominant logit per block, samples must be (nearly) deterministic."""
     model, params, packed, actions, init_deter, init_stoch = setup
