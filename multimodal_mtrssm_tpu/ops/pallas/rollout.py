@@ -68,6 +68,27 @@ def _uniform_from_bits(bits: jax.Array) -> jax.Array:
     return one_to_two - 1.0
 
 
+def gumbel_block_sample(logits: jax.Array, class_size: int, category_size: int) -> jax.Array:
+    """One-hot categorical sample per category block via Gumbel-argmax,
+    using the on-core PRNG (must be seeded). First-index tie-break via a
+    static column sweep (cumsum/argmax are unimplemented in the lowering)."""
+    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
+    scores = logits + (-jnp.log(-jnp.log(u)))
+    blocks = []
+    for c in range(class_size):
+        block = scores[:, c * category_size : (c + 1) * category_size]
+        m = jnp.max(block, axis=-1, keepdims=True)
+        is_max = (block >= m).astype(jnp.float32)
+        taken = jnp.zeros_like(is_max[:, :1])
+        cols = []
+        for _j in range(category_size):
+            col = is_max[:, _j : _j + 1] * (1.0 - taken)
+            taken = taken + col
+            cols.append(col)
+        blocks.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def _rollout_kernel(
     # refs: actions block [C, B, A], init_deter [B, D], init_stoch [B, S], seed [1]
     seed_ref,
@@ -121,25 +142,7 @@ def _rollout_kernel(
         deter = (1.0 - z) * n + z * deter
         p1 = _elu(jnp.dot(deter, wp1, preferred_element_type=jnp.float32) + bp1)
         logits = jnp.dot(p1, wp2, preferred_element_type=jnp.float32) + bp2
-        # Gumbel-argmax straight sample per category block.
-        u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
-        g = -jnp.log(-jnp.log(u))
-        scores = logits + g
-        blocks = []
-        for c in range(class_size):
-            block = scores[:, c * category_size : (c + 1) * category_size]
-            m = jnp.max(block, axis=-1, keepdims=True)
-            is_max = (block >= m).astype(jnp.float32)
-            # First-index tie-break via a static column sweep (cumsum is
-            # unimplemented in the TPU lowering).
-            taken = jnp.zeros_like(is_max[:, :1])
-            cols = []
-            for j in range(category_size):
-                col = is_max[:, j : j + 1] * (1.0 - taken)
-                taken = taken + col
-                cols.append(col)
-            blocks.append(jnp.concatenate(cols, axis=-1))
-        stoch = jnp.concatenate(blocks, axis=-1)
+        stoch = gumbel_block_sample(logits, class_size, category_size)
         deters_ref[t] = deter
         logits_ref[t] = logits
         stochs_ref[t] = stoch
