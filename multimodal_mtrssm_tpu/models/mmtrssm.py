@@ -68,6 +68,7 @@ class MMTRSSMConfig:
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
     input_noise_std: float = 0.0  # device-side GaussianNoise (see MRSSMConfig)
+    remat: bool = False  # rematerialize scan step in backward (see MRSSMConfig)
     w_kl_h: float = 1.0
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
@@ -276,6 +277,8 @@ class MoPoEMMTRSSM:
             jnp.swapaxes(vision_embed, 0, 1),
             step_keys,
         )
+        if cfg.remat:
+            step = jax.checkpoint(step)
         _, ys = jax.lax.scan(step, carry0, xs)
         (
             h_deter, l_deter, hid_h, hid_l,

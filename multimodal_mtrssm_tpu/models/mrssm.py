@@ -62,6 +62,10 @@ class MRSSMConfig:
     # configs :157-220 — host generation of ~0.5M gaussians/batch costs as
     # much as the whole train step). 0 disables (host pipeline noise then).
     input_noise_std: float = 0.0
+    # Rematerialize the scan step in the backward pass: trades recompute for
+    # O(1)-per-step activation memory — enables full-length (T=180+) training
+    # at large batch (SURVEY §5.7 long-sequence story).
+    remat: bool = False
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     audio_decoder: DecoderConfig | None = None
@@ -215,6 +219,8 @@ class MoPoEMRSSM:
             jnp.swapaxes(vision_embed, 0, 1),
             step_keys,
         )
+        if cfg.remat:
+            step = jax.checkpoint(step)
         _, (deter, prior_logits, prior_stoch, mixed_logits, post_stoch) = jax.lax.scan(
             step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs
         )

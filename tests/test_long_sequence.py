@@ -34,6 +34,20 @@ def test_mrssm_full_length_grad():
     assert all(jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads))
 
 
+def test_mrssm_remat_matches_nonremat():
+    import numpy as np
+
+    batch = full_length_batch(T=12)
+    key = jax.random.PRNGKey(2)
+    m1 = MoPoEMRSSM(MRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
+    m2 = MoPoEMRSSM(MRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16, remat=True))
+    params = m1.init(jax.random.PRNGKey(0))
+    g1 = jax.grad(lambda p: m1.shared_step(p, batch, key)["loss"])(params)
+    g2 = jax.grad(lambda p: m2.shared_step(p, batch, key)["loss"])(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_mmtrssm_full_length_grad():
     model = MoPoEMMTRSSM(MMTRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
     params = model.init(jax.random.PRNGKey(0))
