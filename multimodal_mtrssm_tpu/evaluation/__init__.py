@@ -18,6 +18,7 @@ from multimodal_mtrssm_tpu.evaluation.word_transitions import (
     compute_prediction_distribution,
     compute_true_distribution,
     evaluate_word_transitions,
+    generate_predictions_batched,
     generate_predictions_with_classifier,
     load_test_data_with_labels,
     select_intervals_for_word,
@@ -33,6 +34,7 @@ __all__ = [
     "compute_prediction_distribution",
     "compute_true_distribution",
     "evaluate_word_transitions",
+    "generate_predictions_batched",
     "generate_predictions_with_classifier",
     "load_classifier",
     "load_mnist_arrays",

@@ -162,6 +162,64 @@ def _predict_digits(model, params, classifier_params, audio0, vision0, actions, 
 _predict_digits_jit = jax.jit(_predict_digits, static_argnums=0)
 
 
+def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, actions, key):
+    """MRSSM-only fast path: fused Pallas imagination kernel (wins at the
+    batched-interval sizes, benchmarks/bench_pallas.py)."""
+    from multimodal_mtrssm_tpu.nn.conv import decoder_apply
+    from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
+
+    k1, k2 = jax.random.split(key)
+    init = model.initial_state(params, audio0, vision0, k1)
+    seed = jax.random.randint(k2, (), 0, 2**31 - 1)
+    deters, _, stochs = fused_rollout_transition(
+        pack_params(params), actions, init.deter, init.stoch, seed,
+        class_size=model.cfg.class_size, category_size=model.cfg.category_size,
+    )
+    feature0 = jnp.concatenate([deters[:, 0], stochs[:, 0]], axis=-1)
+    recon = decoder_apply(params["vision_decoder"], model.decoder_cfg("vision"), feature0)
+    first = jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0)
+    return recognize_digits(classifier_params, first)
+
+
+_predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=0)
+
+
+def generate_predictions_batched(
+    model,
+    params,
+    classifier_params,
+    intervals: list[dict],
+    key: jax.Array,
+    n_predictions: int = 10,
+    n_frames: int = 10,
+    audio_transform: NormalizeAudioMelSpectrogram | None = None,
+    vision_transform: NormalizeVisionImage | None = None,
+    use_pallas: bool = False,
+) -> list[int]:
+    """All intervals × samples of one word as ONE batched rollout.
+
+    Semantics match per-interval ``generate_predictions_with_classifier``
+    (each interval contributes ``n_predictions`` digits); batching the
+    whole word keeps the device busy (the reference loops Python-side per
+    interval AND per sample, reference ``:941-1007``/``:333-370``).
+    """
+    audio_transform = audio_transform or NormalizeAudioMelSpectrogram(-80.0, 0.0)
+    vision_transform = vision_transform or NormalizeVisionImage()
+    a0 = np.stack([audio_transform(_to_nhwc(iv["audio"]))[0] for iv in intervals])
+    v0 = np.stack([vision_transform(_to_nhwc(iv["image"]))[0] for iv in intervals])
+    last = np.stack([iv["speaker"][-1] for iv in intervals])  # [I, A]
+    P = n_predictions
+    a0r = jnp.asarray(np.repeat(a0, P, axis=0))
+    v0r = jnp.asarray(np.repeat(v0, P, axis=0))
+    actions = jnp.broadcast_to(
+        jnp.asarray(np.repeat(last, P, axis=0))[:, None, :],
+        (len(intervals) * P, n_frames, last.shape[-1]),
+    )
+    fn = _predict_digits_pallas_jit if use_pallas else _predict_digits_jit
+    digits = fn(model, params, classifier_params, a0r, v0r, actions, key)
+    return [int(d) for d in np.asarray(digits)]
+
+
 # ---------------------------------------------------------------------------
 # Distributions + Matching Rate (reference :375-538)
 # ---------------------------------------------------------------------------
@@ -246,8 +304,14 @@ def evaluate_word_transitions(
     audio_max: float = 0.0,
     seed: int = 0,
     word_set=WORD_SET,
+    batched: bool = True,
+    use_pallas: bool = False,
 ) -> dict:
-    """Run the full MR evaluation; returns the results dict (JSON-ready)."""
+    """Run the full MR evaluation; returns the results dict (JSON-ready).
+
+    ``batched=True`` runs each word's intervals × samples as one rollout;
+    ``use_pallas`` additionally routes MRSSM through the fused kernel.
+    """
     audio_t = NormalizeAudioMelSpectrogram(audio_min, audio_max)
     vision_t = NormalizeVisionImage()
     key = jax.random.PRNGKey(seed)
@@ -257,14 +321,21 @@ def evaluate_word_transitions(
         if not intervals:
             continue
         predicted: list[int] = []
-        for interval in intervals:
+        if batched:
             key, sub = jax.random.split(key)
-            predicted.extend(
-                generate_predictions_with_classifier(
-                    model, params, classifier_params, interval, sub,
-                    n_predictions, n_frames, audio_t, vision_t,
-                )
+            predicted = generate_predictions_batched(
+                model, params, classifier_params, intervals, sub,
+                n_predictions, n_frames, audio_t, vision_t, use_pallas=use_pallas,
             )
+        else:
+            for interval in intervals:
+                key, sub = jax.random.split(key)
+                predicted.extend(
+                    generate_predictions_with_classifier(
+                        model, params, classifier_params, interval, sub,
+                        n_predictions, n_frames, audio_t, vision_t,
+                    )
+                )
         q_dist = compute_prediction_distribution(predicted, word_set)
         p_dist = compute_true_distribution(word, test_data, word_set)
         mr = compute_matching_rate(q_dist, p_dist, word_set)

@@ -104,6 +104,50 @@ def test_distributions_and_matching_rate():
     assert mr_perfect >= b["peak_onehot"]
 
 
+def test_batched_predictions_shape_and_pallas_parity(trained_classifier):
+    """Batched path returns I*P digits; pallas path returns valid digits too."""
+    import jax.numpy as jnp
+
+    from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+    from multimodal_mtrssm_tpu.evaluation import generate_predictions_batched
+
+    params_clf, _ = trained_classifier
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    intervals = [
+        {k: v for k, v in make_labeled_episode([1, 2], 0, 8).items() if k != "file_path"},
+        {k: v for k, v in make_labeled_episode([2, 3], 1, 8).items() if k != "file_path"},
+    ]
+    digits = generate_predictions_batched(
+        model, params, params_clf, intervals, jax.random.PRNGKey(1),
+        n_predictions=4, n_frames=3,
+    )
+    assert len(digits) == 8
+    assert all(0 <= d <= 9 for d in digits)
+    # pallas path (interpret mode kicks in only on TPU; here it compiles the
+    # kernel through the CPU interpreter via the public flag)
+    import functools
+
+    import multimodal_mtrssm_tpu.ops.pallas as P
+
+    orig = P.fused_rollout_transition
+    try:
+        P.fused_rollout_transition = functools.partial(orig, interpret=True)
+        import multimodal_mtrssm_tpu.evaluation.word_transitions as W
+
+        digits_p = W.generate_predictions_batched(
+            model, params, params_clf, intervals, jax.random.PRNGKey(1),
+            n_predictions=4, n_frames=3, use_pallas=True,
+        )
+    finally:
+        P.fused_rollout_transition = orig
+    assert len(digits_p) == 8
+    assert all(0 <= d <= 9 for d in digits_p)
+
+
 def test_end_to_end_eval_with_model(trained_classifier, tmp_path):
     from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
     from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
