@@ -33,6 +33,23 @@ def test_early_stopping():
     assert e.step(1.5)  # third bad epoch > patience
 
 
+def test_fit_deterministic_across_runs(tmp_path):
+    """Same seed ⇒ identical losses (the reference's `deterministic: true` +
+    seed_everything contract, configs :2,120)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+
+    def run(log_dir):
+        dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+        cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / log_dir), learning_rate=3e-4)
+        return Trainer(small_model(), dm, cfg).fit()["history"]
+
+    h1, h2 = run("r1"), run("r2")
+    for a, b in zip(h1, h2):
+        assert a["train/loss"] == b["train/loss"]
+        assert a["val/loss"] == b["val/loss"]
+
+
 def test_fit_two_epochs_and_resume(tmp_path):
     data_dir = tmp_path / "data"
     generate_synthetic_audio_mnist(data_dir, n_episodes=6, episode_length=8)
