@@ -30,12 +30,9 @@ import numpy as np
 
 from multimodal_mtrssm_tpu.data import episodes as ep
 from multimodal_mtrssm_tpu.data.transforms import (
-    Compose,
-    GaussianNoise,
     Identity,
     NormalizeAudioMelSpectrogram,
     NormalizeVisionImage,
-    TakeFirstN,
 )
 
 Batch = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]

@@ -16,7 +16,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.flatten_util import ravel_pytree
 
 
@@ -155,7 +154,3 @@ class EarlyStopping:
     @classmethod
     def from_state_dict(cls, d: dict) -> "EarlyStopping":
         return cls(**d)
-
-
-def global_norm(tree) -> jax.Array:
-    return optax.global_norm(tree)

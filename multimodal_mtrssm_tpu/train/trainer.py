@@ -23,11 +23,9 @@ from __future__ import annotations
 import dataclasses
 import time
 from pathlib import Path
-from typing import Any, Callable
+from typing import Any
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
 from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
