@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--episodes", type=int, default=48)
+    ap.add_argument("--frames-per-word", type=int, default=18,
+                    help="1 puts every imagination step past a word boundary "
+                    "(the MR eval classifies the FIRST imagined frame)")
     ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
     args = ap.parse_args()
 
@@ -48,7 +51,9 @@ def main() -> None:
     work = Path(args.workdir)
     train_dir, eval_dir = work / "episodes", work / "eval_npz"
     print("generating synthetic labeled dataset ...", flush=True)
-    generate_synthetic_labeled_audio_mnist(train_dir, eval_dir, n_episodes=args.episodes)
+    generate_synthetic_labeled_audio_mnist(
+        train_dir, eval_dir, n_episodes=args.episodes, frames_per_word=args.frames_per_word
+    )
 
     cfg_path = REPO_ROOT / "configs" / f"mopoe_{args.model}.yaml"
     exp = load_experiment(cfg_path)
