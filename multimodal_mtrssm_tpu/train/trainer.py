@@ -193,6 +193,13 @@ class Trainer:
             if early_stop.step(monitored):
                 break
 
+        # Reference on_train_end hook: final viz/cleanup with the BEST
+        # checkpoint, also after early stopping (reference callback.py:194-210).
+        for cb in self.callbacks:
+            hook = getattr(cb, "on_train_end", None)
+            if hook is not None:
+                hook(self, self.load_best_params(params))
+
         self.logger.close()
         try:
             from multimodal_mtrssm_tpu.viz.charts import render_combined_charts

@@ -21,21 +21,26 @@ class LogRSSMOutput:
         self.fps = fps
 
     def __call__(self, trainer, epoch: int, params, row: dict) -> None:
-        last = epoch == trainer.cfg.max_epochs - 1
-        if epoch == 0 or (epoch % self.every_n_epochs != 0 and not last):
+        if epoch == 0 or epoch % self.every_n_epochs != 0:
             return
+        self._render(trainer, params, f"epoch_{epoch:04d}", epoch)
+
+    def on_train_end(self, trainer, best_params) -> None:
+        """Final render with the best checkpoint, also after early stopping
+        (reference ``callback.py:194-210``)."""
+        self._render(trainer, best_params, "final_best", seed=0)
+
+    def _render(self, trainer, params, name: str, seed: int) -> None:
         from multimodal_mtrssm_tpu.viz.rollout import log_rollout_gifs
 
         batch = next(iter(trainer.dm.val_batches()), None)
         if batch is None:
             return
-        if last:
-            params = trainer.load_best_params(params)
-        out_dir = Path(trainer.cfg.log_dir) / "viz" / f"epoch_{epoch:04d}"
+        out_dir = Path(trainer.cfg.log_dir) / "viz" / name
         q = min(self.query_length, batch[0].shape[1] - 1)
         log_rollout_gifs(
             trainer.model, params, batch, out_dir, q, self.fps,
-            jax.random.PRNGKey(epoch), self.indices,
+            jax.random.PRNGKey(seed), self.indices,
         )
 
 

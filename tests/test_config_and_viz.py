@@ -64,6 +64,12 @@ def test_load_reference_configs_directly():
     assert exp2.model.cfg.prior_cells == 32
 
 
+def test_load_crossmodal_config():
+    exp = load_experiment(REPO / "configs" / "mopoe_mrssm_crossmodal.yaml")
+    assert isinstance(exp.model, MoPoEMRSSM)
+    assert exp.data.drop_modality == "audio"
+
+
 def test_viz_gif_rendering(tmp_path):
     from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
     from multimodal_mtrssm_tpu.models import MRSSMConfig
