@@ -1,0 +1,97 @@
+"""Serving API: jitted world-model inference for deployment loops.
+
+The reference exposes inference only through ad-hoc script code
+(``evaluation/evaluate_word_transitions_mrssm.py:286-372`` re-plumbs
+initial_state → rollout_transition → decode by hand). This module packages
+the same capabilities behind a small, jit-cached surface intended for
+production imagination/serving loops:
+
+- ``WorldModel.observe``: filter a [B, T] observation sequence into
+  posterior latents (returns the final latent for continuation).
+- ``WorldModel.imagine``: prior-only rollout from a latent under an action
+  plan, optionally through the fused Pallas kernel.
+- ``WorldModel.decode``: reconstruct both modalities from latents.
+- ``WorldModel.from_checkpoint``: config + Orbax checkpoint → ready model.
+
+All methods are jit-compiled once per shape and keep everything on device;
+hosts only touch numpy at the edges.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_mtrssm_tpu.models.state import State
+
+
+class WorldModel:
+    """A trained model + params behind jitted inference entry points."""
+
+    def __init__(self, model, params, use_pallas: bool = False):
+        self.model = model
+        self.params = params
+        self.use_pallas = use_pallas
+        self._observe = jax.jit(self._observe_impl)
+        self._imagine = jax.jit(self._imagine_impl)
+        self._decode = jax.jit(lambda p, s: model.decode_state(p, s))
+
+    # ---- construction ------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, config_path: str | Path, checkpoint_dir: str | Path,
+                        use_pallas: bool = False) -> "WorldModel":
+        from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
+        from multimodal_mtrssm_tpu.train.config import load_experiment
+
+        exp = load_experiment(config_path)
+        template = exp.model.init(jax.random.PRNGKey(0))
+        ckpt = CheckpointManager(checkpoint_dir)
+        name = "best" if ckpt.exists("best") else "last"
+        state, _ = ckpt.restore(name, {"params": template})
+        return cls(exp.model, state["params"], use_pallas=use_pallas)
+
+    # ---- inference ---------------------------------------------------------
+    def _observe_impl(self, params, actions, audio_obs, vision_obs, key):
+        k1, k2 = jax.random.split(key)
+        init = self.model.initial_state(params, audio_obs[:, 0], vision_obs[:, 0], k1)
+        posterior, prior = self.model.rollout_representation(
+            params, actions, audio_obs, vision_obs, init, k2
+        )
+        return posterior, prior
+
+    def observe(self, actions, audio_obs, vision_obs, key):
+        """Filter observations → (posterior, prior) latent sequences [B, T]."""
+        return self._observe(self.params, jnp.asarray(actions), jnp.asarray(audio_obs),
+                             jnp.asarray(vision_obs), key)
+
+    def _imagine_impl(self, params, actions, prev_state, key):
+        if self.use_pallas and isinstance(prev_state, State):
+            from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            deters, logits, stochs = fused_rollout_transition(
+                pack_params(params), actions, prev_state.deter, prev_state.stoch, seed,
+                class_size=self.model.cfg.class_size,
+                category_size=self.model.cfg.category_size,
+            )
+            return State(
+                deter=deters, stoch=stochs,
+                distribution=self.model._dist(logits),
+            )
+        return self.model.rollout_transition(params, actions, prev_state, key)
+
+    def imagine(self, actions, prev_state, key):
+        """Prior-only rollout from ``prev_state`` under an action plan."""
+        return self._imagine(self.params, jnp.asarray(actions), prev_state, key)
+
+    def decode(self, state):
+        """Reconstruct both modalities from latents."""
+        return self._decode(self.params, state)
+
+    # ---- convenience ---------------------------------------------------------
+    def imagine_frames(self, actions, prev_state, key):
+        """Imagine and decode in one call → dict of [B, T, H, W, C] frames."""
+        return self.decode(self.imagine(actions, prev_state, key))
+
