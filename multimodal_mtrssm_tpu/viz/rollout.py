@@ -92,30 +92,39 @@ def render_episode_gif(
     from PIL import Image, ImageDraw
 
     T = observations["vision"].shape[0]
-    rows = []
+    rows, row_labels = [], []
     for mod, to_rgb in (("vision", _to_uint8_vision), ("audio", _to_uint8_audio)):
         prior = to_rgb(np.asarray(reconstructions[f"prior/{mod}"]))
         obs = to_rgb(np.asarray(observations[mod]))
         post = to_rgb(np.asarray(reconstructions[f"posterior/{mod}"]))
         rows.append((prior, obs, post))
+        # Missing-modality detection: an all-(-1) input stream marks a
+        # ZeroOut-dropped modality (reference ``mrssm/callback.py:122-125``).
+        missing = bool(np.allclose(np.asarray(observations[mod]), -1.0))
+        row_labels.append(f"{mod}{' (missing)' if missing else ''}")
 
     h, w = rows[0][0].shape[1:3]
-    pad, label_h = 2, 12
-    frame_w = 3 * (w * scale + pad) + pad
-    frame_h = 2 * (h * scale + pad) + pad + label_h
+    pad, label_h, side_w = 2, 12, 52
+    col_labels = ("prior", "obs", "posterior")
+    frame_w = side_w + 3 * (w * scale + pad) + pad
+    frame_h = 2 * (h * scale + pad) + pad + 2 * label_h
     frames = []
     for t in range(T):
         canvas = np.zeros((frame_h, frame_w, 3), dtype=np.uint8)
         for r, (prior, obs, post) in enumerate(rows):
             for c, img in enumerate((prior[t], obs[t], post[t])):
                 big = np.kron(img, np.ones((scale, scale, 1), dtype=np.uint8))
-                y0 = label_h + pad + r * (h * scale + pad)
-                x0 = pad + c * (w * scale + pad)
+                y0 = 2 * label_h + pad + r * (h * scale + pad)
+                x0 = side_w + pad + c * (w * scale + pad)
                 canvas[y0 : y0 + h * scale, x0 : x0 + w * scale] = big
         im = Image.fromarray(canvas)
         draw = ImageDraw.Draw(im)
         phase = "recon" if t < query_length else "imagine"
-        draw.text((2, 0), f"t={t:03d} {phase} | prior / obs / posterior", fill=(255, 255, 255))
+        draw.text((2, 0), f"t={t:03d} {phase}", fill=(255, 255, 255))
+        for c, label in enumerate(col_labels):
+            draw.text((side_w + pad + c * (w * scale + pad) + 2, label_h), label, fill=(255, 255, 255))
+        for r, label in enumerate(row_labels):
+            draw.text((2, 2 * label_h + pad + r * (h * scale + pad) + 2), label, fill=(255, 255, 255))
         frames.append(im)
 
     out_path = Path(out_path)
