@@ -65,32 +65,50 @@ class EpisodeDataModule:
         self.cfg = config
         self._arrays: dict[str, np.ndarray] | None = None
         self._split: tuple[np.ndarray, np.ndarray] | None = None
+        self._raw = False
+        self._preprocess: dict | None = None
 
     # ---- preparation -------------------------------------------------------
     def setup(self) -> None:
         cfg = self.cfg
-        paths = ep.list_episodes(cfg.data_dir)
-        if not paths:
-            raise FileNotFoundError(
-                f"no episodes under {cfg.data_dir}; generate with "
-                "multimodal_mtrssm_tpu.data.episodes.generate_synthetic_audio_mnist "
-                "or convert with convert_audio_mnist_npz/convert_reference_processed_dir"
-            )
-        action_pre = cfg.action_preprocess or Identity()
-        audio_pre = cfg.audio_preprocess or NormalizeAudioMelSpectrogram(cfg.audio_min, cfg.audio_max)
-        vision_pre = cfg.vision_preprocess or NormalizeVisionImage()
-        actions, audios, visions = [], [], []
-        for p in paths:
-            e = ep.load_episode(p)
-            actions.append(action_pre(e.action))
-            audios.append(audio_pre(e.audio))
-            visions.append(vision_pre(e.vision))
-        self._arrays = {
-            "action": np.stack(actions).astype(np.float32),
-            "audio": np.stack(audios).astype(np.float32),
-            "vision": np.stack(visions).astype(np.float32),
+        self._preprocess = {
+            "action": cfg.action_preprocess or Identity(),
+            "audio": cfg.audio_preprocess or NormalizeAudioMelSpectrogram(cfg.audio_min, cfg.audio_max),
+            "vision": cfg.vision_preprocess or NormalizeVisionImage(),
         }
-        n = len(paths)
+        from multimodal_mtrssm_tpu.data import pack as packmod
+
+        pack_dir = Path(cfg.data_dir) / "pack"
+        if packmod.has_pack(cfg.data_dir):
+            pack_dir = Path(cfg.data_dir)
+        if packmod.has_pack(pack_dir):
+            # Memory-mapped pack: raw streams on disk; preprocessing is
+            # applied per gathered batch (only the touched pages load).
+            self._arrays = packmod.open_pack(pack_dir)
+            self._raw = True
+            n = self._arrays["action"].shape[0]
+        else:
+            paths = ep.list_episodes(cfg.data_dir)
+            if not paths:
+                raise FileNotFoundError(
+                    f"no episodes under {cfg.data_dir}; generate with "
+                    "multimodal_mtrssm_tpu.data.episodes.generate_synthetic_audio_mnist, "
+                    "convert with convert_audio_mnist_npz/convert_reference_processed_dir, "
+                    "or pack with data.pack.pack_episodes"
+                )
+            actions, audios, visions = [], [], []
+            for p in paths:
+                e = ep.load_episode(p)
+                actions.append(self._preprocess["action"](e.action))
+                audios.append(self._preprocess["audio"](e.audio))
+                visions.append(self._preprocess["vision"](e.vision))
+            self._arrays = {
+                "action": np.stack(actions).astype(np.float32),
+                "audio": np.stack(audios).astype(np.float32),
+                "vision": np.stack(visions).astype(np.float32),
+            }
+            self._raw = False
+            n = len(paths)
         split = int(n * cfg.train_ratio)
         self._split = (np.arange(split), np.arange(split, n))
 
@@ -125,17 +143,30 @@ class EpisodeDataModule:
 
         cfg = self.cfg
         T = cfg.sequence_length
-        a = self._arrays["action"][idx, :T]
-        au = self._arrays["audio"][idx, :T]
-        vi = self._arrays["vision"][idx, :T]
-        if rng is not None and cfg.noise_std > 0:
-            # Fused parallel gather+noise (native/fastbatch.cc; numpy fallback).
-            seed = int(rng.integers(0, 2**62))
-            a_in = native.gather_noise(self._arrays["action"], idx, T, cfg.noise_std, seed ^ 1)
-            au_in = native.gather_noise(self._arrays["audio"], idx, T, cfg.noise_std, seed ^ 2)
-            vi_in = native.gather_noise(self._arrays["vision"], idx, T, cfg.noise_std, seed ^ 3)
+        if self._raw:
+            # Pack mode: gather raw pages, then preprocess the small batch
+            # (noise must follow normalization — reference transform order).
+            a = self._preprocess["action"](np.asarray(self._arrays["action"][idx, :T]))
+            au = self._preprocess["audio"](np.asarray(self._arrays["audio"][idx, :T]))
+            vi = self._preprocess["vision"](np.asarray(self._arrays["vision"][idx, :T]))
+            if rng is not None and cfg.noise_std > 0:
+                a_in = a + rng.normal(0, cfg.noise_std, a.shape).astype(np.float32)
+                au_in = au + rng.normal(0, cfg.noise_std, au.shape).astype(np.float32)
+                vi_in = vi + rng.normal(0, cfg.noise_std, vi.shape).astype(np.float32)
+            else:
+                a_in, au_in, vi_in = a, au, vi
         else:
-            a_in, au_in, vi_in = a, au, vi
+            a = self._arrays["action"][idx, :T]
+            au = self._arrays["audio"][idx, :T]
+            vi = self._arrays["vision"][idx, :T]
+            if rng is not None and cfg.noise_std > 0:
+                # Fused parallel gather+noise (native/fastbatch.cc; numpy fallback).
+                seed = int(rng.integers(0, 2**62))
+                a_in = native.gather_noise(self._arrays["action"], idx, T, cfg.noise_std, seed ^ 1)
+                au_in = native.gather_noise(self._arrays["audio"], idx, T, cfg.noise_std, seed ^ 2)
+                vi_in = native.gather_noise(self._arrays["vision"], idx, T, cfg.noise_std, seed ^ 3)
+            else:
+                a_in, au_in, vi_in = a, au, vi
         if cfg.drop_modality == "audio":
             au_in = np.full_like(au_in, -1.0)
         elif cfg.drop_modality == "vision":

@@ -71,6 +71,28 @@ def test_datamodule_batches(tmp_path):
     np.testing.assert_array_equal(a_tg, np.asarray(batches[0][3]))
 
 
+def test_pack_mode_matches_ram_mode(tmp_path):
+    """Memmapped-pack batches must equal in-RAM batches (noise off)."""
+    from multimodal_mtrssm_tpu.data.pack import has_pack, pack_episodes
+
+    generate_synthetic_audio_mnist(tmp_path, n_episodes=6, episode_length=10)
+    cfg = DataModuleConfig(data_dir=tmp_path, batch_size=2, sequence_length=5, noise_std=0.0)
+    dm_ram = EpisodeDataModule(cfg)
+    dm_ram.setup()  # before the pack exists → RAM mode
+    assert not dm_ram._raw
+
+    meta = pack_episodes(tmp_path, tmp_path / "pack")
+    assert meta["n_episodes"] == 6
+    assert has_pack(tmp_path / "pack")
+    dm_pack = EpisodeDataModule(cfg)
+    dm_pack.setup()  # pack now present → memmap mode
+    assert dm_pack._raw
+    b_ram = [np.asarray(x) for x in next(iter(dm_ram.train_batches(epoch=0)))]
+    b_pack = [np.asarray(x) for x in next(iter(dm_pack.train_batches(epoch=0)))]
+    for x, y in zip(b_ram, b_pack):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+
+
 def test_datamodule_determinism_and_modality_drop(tmp_path):
     generate_synthetic_audio_mnist(tmp_path, n_episodes=8, episode_length=10)
     cfg = DataModuleConfig(data_dir=tmp_path, batch_size=4, sequence_length=5, seed=7)
