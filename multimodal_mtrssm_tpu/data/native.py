@@ -42,6 +42,13 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
         lib.fastbatch_gather_noise.restype = None
+        lib.fastbatch_gather_affine_noise.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.fastbatch_gather_affine_noise.restype = None
         _lib = lib
         return _lib
     except Exception:
@@ -51,6 +58,62 @@ def _load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def affine_of(transform) -> tuple[float, float] | None:
+    """(scale, shift) if ``transform`` is one of the framework's affine
+    normalizers (y = x*scale + shift), else None."""
+    from multimodal_mtrssm_tpu.data.transforms import (
+        Identity,
+        NormalizeAudioMelSpectrogram,
+        NormalizeVisionImage,
+    )
+
+    if isinstance(transform, Identity):
+        return 1.0, 0.0
+    if isinstance(transform, NormalizeVisionImage):
+        return 2.0 / 255.0, -1.0
+    if isinstance(transform, NormalizeAudioMelSpectrogram):
+        scale = 2.0 / transform.range
+        return scale, -transform.min_value * scale - 1.0
+    return None
+
+
+def gather_affine_noise(
+    src: np.ndarray,
+    idx: np.ndarray,
+    seq_len: int,
+    scale: float,
+    shift: float,
+    noise_std: float,
+    seed: int,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """``src[idx, :seq_len] * scale + shift (+ noise)`` fused; numpy fallback."""
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    B = idx.shape[0]
+    frame_shape = src.shape[2:]
+    frame_elems = int(np.prod(frame_shape)) if frame_shape else 1
+    lib = _load()
+    if lib is None or not isinstance(src, np.ndarray) or src.dtype != np.float32:
+        out = np.asarray(src[idx, :seq_len], dtype=np.float32) * scale + shift
+        if noise_std > 0:
+            rng = np.random.default_rng(seed)
+            out += rng.normal(0.0, noise_std, out.shape).astype(np.float32)
+        return out
+    # memmaps are fine: ctypes reads through the mapping.
+    src_c = src if src.flags["C_CONTIGUOUS"] else np.ascontiguousarray(src)
+    out = np.empty((B, seq_len, *frame_shape), dtype=np.float32)
+    lib.fastbatch_gather_affine_noise(
+        src_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        src_c.shape[0], src_c.shape[1], frame_elems,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, seq_len, ctypes.c_float(scale), ctypes.c_float(shift),
+        ctypes.c_float(noise_std), ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out
 
 
 def gather_noise(

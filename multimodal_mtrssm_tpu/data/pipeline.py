@@ -146,15 +146,31 @@ class EpisodeDataModule:
         if self._raw:
             # Pack mode: gather raw pages, then preprocess the small batch
             # (noise must follow normalization — reference transform order).
-            a = self._preprocess["action"](np.asarray(self._arrays["action"][idx, :T]))
-            au = self._preprocess["audio"](np.asarray(self._arrays["audio"][idx, :T]))
-            vi = self._preprocess["vision"](np.asarray(self._arrays["vision"][idx, :T]))
-            if rng is not None and cfg.noise_std > 0:
-                a_in = a + rng.normal(0, cfg.noise_std, a.shape).astype(np.float32)
-                au_in = au + rng.normal(0, cfg.noise_std, au.shape).astype(np.float32)
-                vi_in = vi + rng.normal(0, cfg.noise_std, vi.shape).astype(np.float32)
-            else:
-                a_in, au_in, vi_in = a, au, vi
+            # Known-affine normalizers take the fused native path.
+            std = cfg.noise_std if rng is not None else 0.0
+            seed = int(rng.integers(0, 2**62)) if rng is not None else 0
+            outs = {}
+            for k, stream in enumerate(("action", "audio", "vision")):
+                pre = self._preprocess[stream]
+                affine = native.affine_of(pre)
+                if affine is not None:
+                    clean = native.gather_affine_noise(
+                        self._arrays[stream], idx, T, affine[0], affine[1], 0.0, 0
+                    ) if std > 0 else None
+                    noised = native.gather_affine_noise(
+                        self._arrays[stream], idx, T, affine[0], affine[1], std, seed ^ (k + 1)
+                    )
+                    outs[stream] = (noised, clean if clean is not None else noised)
+                else:
+                    clean = pre(np.asarray(self._arrays[stream][idx, :T]))
+                    if std > 0:
+                        noised = clean + rng.normal(0, std, clean.shape).astype(np.float32)
+                    else:
+                        noised = clean
+                    outs[stream] = (noised, clean)
+            a_in, a = outs["action"]
+            au_in, au = outs["audio"]
+            vi_in, vi = outs["vision"]
         else:
             a = self._arrays["action"][idx, :T]
             au = self._arrays["audio"][idx, :T]

@@ -116,4 +116,49 @@ void fastbatch_gather_noise(const float* src, int64_t n, int64_t t_total,
   for (auto& th : threads) th.join();
 }
 
+// Same as fastbatch_gather_noise but with a fused affine preprocess:
+// out = src * scale + shift (+ noise). Covers the framework's normalizers
+// (NormalizeVisionImage / NormalizeAudioMelSpectrogram are affine), so the
+// memmapped-pack path gets gather + normalize + noise in one pass.
+void fastbatch_gather_affine_noise(const float* src, int64_t n, int64_t t_total,
+                                   int64_t frame_elems, const int64_t* idx,
+                                   int64_t b, int64_t seq_len, float scale,
+                                   float shift, float noise_std, uint64_t seed,
+                                   float* out, int64_t n_threads) {
+  const int64_t row_elems = seq_len * frame_elems;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > b) n_threads = b;
+
+  auto work = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      const float* ep = src + idx[i] * t_total * frame_elems;
+      float* dst = out + i * row_elems;
+      if (noise_std > 0.0f) {
+        Gauss g(seed ^ (0x9E3779B97F4A7C15ull * static_cast<uint64_t>(i + 1)));
+        for (int64_t j = 0; j < row_elems; ++j)
+          dst[j] = ep[j] * scale + shift + noise_std * g.next();
+      } else {
+        for (int64_t j = 0; j < row_elems; ++j) dst[j] = ep[j] * scale + shift;
+      }
+    }
+  };
+
+  if (n_threads == 1) {
+    work(0, b);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (b + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t begin = t * per;
+    int64_t end = begin + per < b ? begin + per : b;
+    if (begin >= end) break;
+    threads.emplace_back(work, begin, end);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -30,6 +30,29 @@ def test_native_noise_statistics_and_determinism():
     np.testing.assert_array_equal(out_t1, out_t4)
 
 
+def test_affine_of_known_transforms():
+    from multimodal_mtrssm_tpu.data.transforms import (
+        Identity,
+        NormalizeAudioMelSpectrogram,
+        NormalizeVisionImage,
+        TakeFirstN,
+    )
+
+    assert native.affine_of(Identity()) == (1.0, 0.0)
+    s, b = native.affine_of(NormalizeVisionImage())
+    np.testing.assert_allclose(np.array([0.0, 255.0]) * s + b, [-1.0, 1.0])
+    s, b = native.affine_of(NormalizeAudioMelSpectrogram(-80.0, 0.0))
+    np.testing.assert_allclose(np.array([-80.0, 0.0]) * s + b, [-1.0, 1.0])
+    assert native.affine_of(TakeFirstN(3)) is None
+
+
+def test_gather_affine_noise_matches_numpy():
+    src = np.random.default_rng(2).uniform(0, 255, (4, 6, 8, 8, 1)).astype(np.float32)
+    idx = np.array([2, 0])
+    out = native.gather_affine_noise(src, idx, 5, 2.0 / 255.0, -1.0, 0.0, 0)
+    np.testing.assert_allclose(out, src[idx, :5] * (2.0 / 255.0) - 1.0, atol=1e-6)
+
+
 @pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
 def test_native_gather_correct_with_noise():
     rng = np.random.default_rng(1)
