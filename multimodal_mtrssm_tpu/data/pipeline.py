@@ -219,21 +219,42 @@ class EpisodeDataModule:
 
 def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterator[Batch]:
     """Host→device double buffering: a daemon thread stages `depth` batches
-    ahead with ``jax.device_put`` so transfers overlap compute."""
+    ahead with ``jax.device_put`` so transfers overlap compute.
+
+    If the consumer abandons the generator early (e.g. viz takes one batch),
+    closing it sets ``stop`` so the worker thread exits instead of blocking
+    on a full queue forever.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _SENTINEL = object()
+
+    def _put(item) -> bool:
+        """Put, retrying until delivered or the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(jax.device_put(b, device) if device is not None else jax.device_put(b))
+                staged = jax.device_put(b, device) if device is not None else jax.device_put(b)
+                if not _put(staged):
+                    return
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()

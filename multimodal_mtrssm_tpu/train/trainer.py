@@ -191,6 +191,18 @@ class Trainer:
             for cb in self.callbacks:
                 cb(self, epoch, params, row)
             if early_stop.step(monitored):
+                # Capture the true final state (the periodic save above may
+                # be up to checkpoint_every_n_epochs-1 epochs stale).
+                self.ckpt.save(
+                    "last",
+                    {"params": params, "opt_state": opt_state},
+                    {
+                        "epoch": epoch,
+                        "best_val": best_val,
+                        "scheduler": scheduler.state_dict(),
+                        "early_stop": early_stop.state_dict(),
+                    },
+                )
                 break
 
         # Reference on_train_end hook: final viz/cleanup with the BEST
