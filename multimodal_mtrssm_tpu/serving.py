@@ -24,7 +24,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from multimodal_mtrssm_tpu.models.state import State
+from multimodal_mtrssm_tpu.models.state import MTState, State
 
 
 class WorldModel:
@@ -79,6 +79,33 @@ class WorldModel:
             return State(
                 deter=deters, stoch=stochs,
                 distribution=self.model._dist(logits),
+            )
+        if self.use_pallas and isinstance(prev_state, MTState):
+            from multimodal_mtrssm_tpu.ops.pallas import (
+                fused_mt_rollout_transition,
+                pack_mt_params,
+            )
+
+            cfg = self.model.cfg
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            init = (prev_state.deter_h, prev_state.deter_l, prev_state.stoch_h,
+                    prev_state.stoch_l, prev_state.hidden_h, prev_state.hidden_l)
+            h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch = fused_mt_rollout_transition(
+                pack_mt_params(params), actions, init, seed,
+                l_tau=cfg.l_tau, h_tau=cfg.h_tau,
+                ls_class=cfg.ls_class, ls_category=cfg.ls_category,
+                hs_class=cfg.hs_class, hs_category=cfg.hs_category,
+            )
+            T = actions.shape[1]
+            return MTState(
+                deter_h=h_deter, deter_l=l_deter, stoch_h=h_stoch, stoch_l=l_stoch,
+                distribution_h=self.model._h_dist(h_logits),
+                distribution_l=self.model._l_dist(l_logits),
+                # deter = tanh(hidden) exactly, so atanh recovers the
+                # integrator state for exact continuation (clipped for the
+                # asymptote; the kernel keeps hiddens internal).
+                hidden_h=jnp.arctanh(jnp.clip(h_deter, -0.999999, 0.999999)),
+                hidden_l=jnp.arctanh(jnp.clip(l_deter, -0.999999, 0.999999)),
             )
         return self.model.rollout_transition(params, actions, prev_state, key)
 

@@ -43,6 +43,19 @@ def test_observe_imagine_decode_roundtrip():
     )
 
 
+def test_mmtrssm_observe_imagine():
+    from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
+
+    model = MoPoEMMTRSSM(MMTRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
+    wm = WorldModel(model, model.init(jax.random.PRNGKey(0)))
+    actions, audio, vision = obs()
+    posterior, _ = wm.observe(actions, audio, vision, jax.random.PRNGKey(2))
+    assert posterior.feature.shape == (B, T, 96)
+    imagined = wm.imagine(actions, posterior[:, -1], jax.random.PRNGKey(3))
+    frames = wm.decode(imagined)
+    assert frames["recon/audio"].shape == (B, T, 32, 32, 1)
+
+
 def test_from_checkpoint(tmp_path):
     from multimodal_mtrssm_tpu.data import DataModuleConfig, EpisodeDataModule, generate_synthetic_audio_mnist
     from multimodal_mtrssm_tpu.train import Trainer, TrainerConfig
