@@ -95,14 +95,15 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
 
     data_args = _init_args(raw.get("data"))
     dconf = data_args.get("config", data_args)
-    # TakeFirstN n / GaussianNoise std from the composed input transforms.
-    seq_len, noise_std = 30, 0.1
+    # TakeFirstN n / GaussianNoise std from the composed input transforms
+    # (no GaussianNoise listed ⇒ no input noise).
+    seq_len, noise_std = 30, 0.0
     for t in _init_args(dconf.get("audio_observation_input_transform")).get("transforms", []):
         name = _class_name(t)
         if name == "TakeFirstN":
             seq_len = int(_init_args(t).get("n", seq_len))
         elif name == "GaussianNoise":
-            noise_std = float(_init_args(t).get("std", noise_std))
+            noise_std = float(_init_args(t).get("std", 0.1))  # transform default
 
     # Input noise runs on device inside shared_step (TPU-native home of the
     # GaussianNoise transform); the host pipeline then serves clean inputs.
