@@ -1,0 +1,95 @@
+"""Benchmark: scaled-up MoPoE-MRSSM (production-size config).
+
+The reference caps at ~100k params and 32×32 frames; this config stresses
+the MXU properly — 64×64 frames, deter 512, 32×32 categorical latent
+(1024-dim stoch), 4-stage conv stacks, bf16 compute — to show the framework
+isn't toy-locked. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.nn.conv import DecoderConfig, EncoderConfig
+from multimodal_mtrssm_tpu.train.optim import make_optimizer
+
+B, T = 16, 30
+
+
+def large_config() -> MRSSMConfig:
+    enc = EncoderConfig(
+        linear_sizes=(512,), channels=(32, 64, 128, 256), kernel_sizes=(3, 3, 3, 3),
+        strides=(2, 2, 2, 2), paddings=(1, 1, 1, 1), num_residual_blocks=2,
+        residual_intermediate_size=256, residual_output_size=256, coord_conv=True,
+        in_hw=(64, 64),
+    )
+    S = 32 * 32
+    dec = DecoderConfig(
+        in_features=512 + S, linear_sizes=(512, 4096), conv_in_shape=(256, 4, 4),
+        channels=(128, 64, 32, 1), kernel_sizes=(4, 4, 4, 4), strides=(2, 2, 2, 2),
+        paddings=(1, 1, 1, 1), output_paddings=(0, 0, 0, 0),
+        num_residual_blocks=2, residual_intermediate_size=256, residual_input_size=256,
+    )
+    return MRSSMConfig(
+        deterministic_size=512, hidden_size=512, obs_embed_size=512,
+        class_size=32, category_size=32, action_size=6,
+        init_proj_cells=512, input_noise_std=0.1,
+        audio_encoder=enc, vision_encoder=enc, audio_decoder=dec, vision_decoder=dec,
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def main() -> None:
+    model = MoPoEMRSSM(large_config())
+    params = model.init(jax.random.PRNGKey(0))
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    opt = make_optimizer()
+    opt_state = opt.init(params)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    batch = (
+        jax.random.normal(ks[0], (B, T, 6)),
+        jax.random.uniform(ks[1], (B, T, 64, 64, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (B, T, 64, 64, 1), minval=-1, maxval=1),
+        jax.random.normal(ks[0], (B, T, 6)),
+        jax.random.uniform(ks[1], (B, T, 64, 64, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (B, T, 64, 64, 1), minval=-1, maxval=1),
+    )
+
+    def step(p, st, key, i):
+        k = jax.random.fold_in(key, i)
+        loss, g = jax.value_and_grad(lambda q: model.shared_step(q, batch, k)["loss"])(p)
+        u, st = opt.update(g, st, p)
+        return jax.tree.map(lambda a, b: a + b, p, u), st, loss
+
+    f = jax.jit(step, donate_argnums=(0, 1))
+    params, opt_state, loss = f(params, opt_state, ks[3], 0)
+    loss.block_until_ready()
+    for i in range(10):
+        params, opt_state, loss = f(params, opt_state, ks[3], i)
+    loss.block_until_ready()
+    best = float("inf")
+    sn = 100
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(15):
+            params, opt_state, loss = f(params, opt_state, ks[3], sn)
+            sn += 1
+        loss.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / 15)
+    print(json.dumps({
+        "metric": "mopoe_mrssm_large_train_seq_per_s",
+        "value": round(B / best, 1),
+        "unit": "seq/s",
+        "params_m": round(n_params / 1e6, 1),
+        "ms_per_step": round(best * 1e3, 2),
+        "batch": B,
+    }))
+
+
+if __name__ == "__main__":
+    main()
