@@ -2,6 +2,11 @@
 
 from multimodal_mtrssm_tpu.models.mmtrssm import MMTRSSMConfig, MoPoEMMTRSSM
 from multimodal_mtrssm_tpu.models.mrssm import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.models.rssm import RSSM, RSSMConfig
+from multimodal_mtrssm_tpu.models.weighted_mopoe import (
+    WeightedMoPoEMRSSM,
+    WeightedMRSSMConfig,
+)
 from multimodal_mtrssm_tpu.models.state import (
     MTState,
     State,
@@ -14,6 +19,10 @@ __all__ = [
     "MMTRSSMConfig",
     "MRSSMConfig",
     "MoPoEMMTRSSM",
+    "RSSM",
+    "RSSMConfig",
+    "WeightedMRSSMConfig",
+    "WeightedMoPoEMRSSM",
     "MTState",
     "MoPoEMRSSM",
     "State",
