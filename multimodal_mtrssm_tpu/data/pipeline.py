@@ -52,6 +52,10 @@ class DataModuleConfig:
     audio_max: float = 0.0
     seed: int = 42
     drop_modality: str | None = None  # None | "audio" | "vision" (ZeroOut inputs)
+    # "multimodal" → 6-tuple batches (reference StackDataset order);
+    # "audio"/"vision" → 4-tuple unimodal batches (action_in, obs_in,
+    # action_tgt, obs_tgt) for the unimodal RSSM family.
+    modality: str = "multimodal"
     # Full per-stream transform overrides (None ⇒ reference defaults above).
     action_preprocess: Callable | None = None
     audio_preprocess: Callable | None = None
@@ -187,6 +191,10 @@ class EpisodeDataModule:
             au_in = np.full_like(au_in, -1.0)
         elif cfg.drop_modality == "vision":
             vi_in = np.full_like(vi_in, -1.0)
+        if cfg.modality == "audio":
+            return (a_in, au_in, a, au)
+        if cfg.modality == "vision":
+            return (a_in, vi_in, a, vi)
         return (a_in, au_in, vi_in, a, au, vi)
 
     def train_batches(self, epoch: int, device=None) -> Iterator[Batch]:

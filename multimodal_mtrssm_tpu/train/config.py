@@ -107,10 +107,15 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
 
     # Input noise runs on device inside shared_step (TPU-native home of the
     # GaussianNoise transform); the host pipeline then serves clean inputs.
-    if "MMTRSSM" in model_cls.upper():
+    cls_u = model_cls.upper()
+    if "MMTRSSM" in cls_u:
         model = _build_mmtrssm(margs, noise_std)
-    elif "MRSSM" in model_cls.upper() or not model_cls:
+    elif "WEIGHTED" in cls_u:
+        model = _build_weighted_mrssm(margs, noise_std)
+    elif "MRSSM" in cls_u or not model_cls:
         model = _build_mrssm(margs, noise_std)
+    elif "RSSM" in cls_u:
+        model = _build_unimodal_rssm(margs, noise_std)
     else:
         raise ValueError(f"unknown model class_path: {model_node.get('class_path')}")
 
@@ -144,6 +149,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         audio_max=float(audio_pre.get("max_value", 0.0)),
         seed=int(raw.get("seed_everything", 42)),
         drop_modality=dconf.get("drop_modality"),
+        modality=dconf.get("modality", "multimodal"),
     )
 
     viz = VizConfig(
@@ -180,6 +186,52 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         vision_decoder=_decoder_cfg(margs.get("vision_decoder"), feature),
     )
     return MoPoEMRSSM(cfg)
+
+
+def _build_weighted_mrssm(margs: dict, noise_std: float = 0.1):
+    from multimodal_mtrssm_tpu.models.weighted_mopoe import (
+        WeightedMoPoEMRSSM,
+        WeightedMRSSMConfig,
+    )
+
+    base = _build_mrssm(margs, noise_std).cfg
+    cfg = WeightedMRSSMConfig(
+        **dataclasses.asdict(base) | {
+            "audio_encoder": base.audio_encoder,
+            "vision_encoder": base.vision_encoder,
+            "audio_decoder": base.audio_decoder,
+            "vision_decoder": base.vision_decoder,
+            "compute_dtype": base.compute_dtype,
+        },
+        weight_head_cells=int(_init_args(margs.get("moe_weight_head")).get("num_cells", 32)),
+    )
+    return WeightedMoPoEMRSSM(cfg)
+
+
+def _build_unimodal_rssm(margs: dict, noise_std: float = 0.1):
+    from multimodal_mtrssm_tpu.models.rssm import RSSM, RSSMConfig
+
+    rep = _init_args(margs.get("representation") or margs.get("audio_representation"))
+    trans = _init_args(margs.get("transition"))
+    dist = rep.get("distribution_config", [4, 4])
+    deter = int(rep.get("deterministic_size", 32))
+    feature = deter + int(dist[0]) * int(dist[1])
+    cfg = RSSMConfig(
+        deterministic_size=deter,
+        hidden_size=int(rep.get("hidden_size", 32)),
+        obs_embed_size=int(rep.get("obs_embed_size", 64)),
+        class_size=int(dist[0]),
+        category_size=int(dist[1]),
+        action_size=int(trans.get("action_size", 6)),
+        activation_name=rep.get("activation_name", "ELU"),
+        init_proj_cells=int(_init_args(margs.get("init_proj")).get("num_cells", 200)),
+        kl_coeff=float(margs.get("kl_coeff", 1.0)),
+        use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
+        input_noise_std=noise_std,
+        encoder=_encoder_cfg(margs.get("encoder") or margs.get("audio_encoder")),
+        decoder=_decoder_cfg(margs.get("decoder") or margs.get("audio_decoder"), feature),
+    )
+    return RSSM(cfg)
 
 
 def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:

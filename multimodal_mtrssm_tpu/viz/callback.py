@@ -34,8 +34,8 @@ class LogRSSMOutput:
         from multimodal_mtrssm_tpu.viz.rollout import log_rollout_gifs
 
         batch = next(iter(trainer.dm.val_batches()), None)
-        if batch is None:
-            return
+        if batch is None or len(batch) != 6:
+            return  # GIF grid is for multimodal batches
         out_dir = Path(trainer.cfg.log_dir) / "viz" / name
         q = min(self.query_length, batch[0].shape[1] - 1)
         log_rollout_gifs(

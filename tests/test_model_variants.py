@@ -93,6 +93,44 @@ def test_weighted_mopoe_reduces_to_fixed_with_uniform_weights():
     )
 
 
+def test_unimodal_pipeline_and_trainer(tmp_path):
+    from multimodal_mtrssm_tpu.data import DataModuleConfig, EpisodeDataModule, generate_synthetic_audio_mnist
+    from multimodal_mtrssm_tpu.train import Trainer, TrainerConfig
+
+    generate_synthetic_audio_mnist(tmp_path / "d", n_episodes=4, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(
+        data_dir=tmp_path / "d", batch_size=2, sequence_length=4, modality="vision"
+    ))
+    dm.setup()
+    b = next(iter(dm.train_batches(0)))
+    assert len(b) == 4
+    assert np.asarray(b[1]).shape == (2, 4, 32, 32, 1)
+    model = RSSM(RSSMConfig(encoder=ENC, init_proj_cells=16))
+    out = Trainer(model, dm, TrainerConfig(max_epochs=2, log_dir=str(tmp_path / "run"))).fit()
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train/loss"])
+
+
+def test_weighted_config_dispatch():
+    import yaml
+    from pathlib import Path
+
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    repo = Path(__file__).resolve().parent.parent
+    raw = yaml.safe_load((repo / "configs" / "mopoe_mrssm.yaml").read_text())
+    raw["model"]["class_path"] = "multimodal_mtrssm_tpu.models.WeightedMoPoEMRSSM"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        yaml.safe_dump(raw, f)
+        path = f.name
+    exp = load_experiment(path)
+    assert isinstance(exp.model, WeightedMoPoEMRSSM)
+    assert exp.model.cfg.deterministic_size == 32
+    assert exp.model.cfg.decoder_cfg("audio").in_features == 48
+
+
 def test_plot_weights_timeseries(tmp_path):
     from multimodal_mtrssm_tpu.models.weighted_mopoe import plot_weights_timeseries
 
