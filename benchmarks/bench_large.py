@@ -11,8 +11,13 @@ from __future__ import annotations
 import json
 import time
 
+import sys
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.nn.conv import DecoderConfig, EncoderConfig

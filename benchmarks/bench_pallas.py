@@ -10,14 +10,24 @@ from __future__ import annotations
 import json
 import time
 
+import sys
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
 
 
 def main() -> None:
+    _bench_mrssm()
+    _bench_mmtrssm()
+
+
+def _bench_mrssm() -> None:
     model = MoPoEMRSSM(MRSSMConfig())
     params = model.init(jax.random.PRNGKey(0))
     packed = pack_params(params)
@@ -60,6 +70,54 @@ def main() -> None:
             "pallas_ms": round(t_pal * 1e3, 3),
             "speedup": round(t_xla / t_pal, 2),
             "steps_per_s_pallas": round(B * T / t_pal, 0),
+        }))
+
+
+def _bench_mmtrssm() -> None:
+    from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
+    from multimodal_mtrssm_tpu.models.state import MTState
+    from multimodal_mtrssm_tpu.ops.pallas import fused_mt_rollout_transition, pack_mt_params
+
+    model = MoPoEMMTRSSM(MMTRSSMConfig())
+    params = model.init(jax.random.PRNGKey(0))
+    packed = pack_mt_params(params)
+    cfg = model.cfg
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    for B, T in ((10, 10), (64, 30), (256, 180)):
+        a = jax.random.normal(ks[0], (B, T, 6))
+        hd = jax.random.normal(ks[1], (B, cfg.hd_dim))
+        ld = jax.random.normal(ks[2], (B, cfg.ld_dim))
+        hs = jax.nn.one_hot(jax.random.randint(ks[3], (B, cfg.hs_class), 0, cfg.hs_category),
+                            cfg.hs_category).reshape(B, cfg.hs_dim)
+        ls = jax.nn.one_hot(jax.random.randint(ks[4], (B, cfg.ls_class), 0, cfg.ls_category),
+                            cfg.ls_category).reshape(B, cfg.ls_dim)
+        init = (hd, ld, hs, ls, hd, ld)
+        st = MTState(deter_h=hd, deter_l=ld, stoch_h=hs, stoch_l=ls,
+                     distribution_h=model._h_dist(jnp.zeros((B, cfg.hs_dim))),
+                     distribution_l=model._l_dist(jnp.zeros((B, cfg.ls_dim))),
+                     hidden_h=hd, hidden_l=ld)
+        xla_fn = jax.jit(lambda a, st, k: model.rollout_transition(params, a, st, k).deter_h)
+        pal_fn = jax.jit(lambda a: fused_mt_rollout_transition(
+            packed, a, init, jnp.int32(7), l_tau=cfg.l_tau, h_tau=cfg.h_tau,
+            ls_class=cfg.ls_class, ls_category=cfg.ls_category,
+            hs_class=cfg.hs_class, hs_category=cfg.hs_category)[0])
+
+        def timeit(fn, *args, n=50):
+            r = fn(*args)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / n
+
+        t_xla = timeit(xla_fn, a, st, ks[5])
+        t_pal = timeit(pal_fn, a)
+        print(json.dumps({
+            "metric": f"mt_imagination_rollout_B{B}_T{T}",
+            "xla_ms": round(t_xla * 1e3, 3),
+            "pallas_ms": round(t_pal * 1e3, 3),
+            "speedup": round(t_xla / t_pal, 2),
         }))
 
 
