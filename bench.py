@@ -41,6 +41,9 @@ ITERS = 20
 
 
 def main() -> None:
+    from multimodal_mtrssm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     model = MoPoEMRSSM(MRSSMConfig())
     optimizer = make_optimizer()
     key = jax.random.PRNGKey(0)

@@ -70,6 +70,9 @@ class Trainer:
         self.dm = datamodule
         self.cfg = config or TrainerConfig()
         self.callbacks = callbacks or []
+        from multimodal_mtrssm_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         # Use the largest device prefix whose count divides both effective
         # batch sizes (sharded dim 0 must split evenly across the mesh).
         devices = jax.devices()

@@ -1,9 +1,28 @@
-"""Small shared utilities (seeding, pytree introspection)."""
+"""Small shared utilities (seeding, pytree introspection, compile cache)."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache (first TPU compile of the
+    train step costs ~20-40s; cached reloads take ~4s). Harness entry points
+    call this; set ``MMTRSSM_NO_COMPILE_CACHE=1`` to disable."""
+    if os.environ.get("MMTRSSM_NO_COMPILE_CACHE"):
+        return None
+    cache_dir = cache_dir or os.environ.get(
+        "MMTRSSM_COMPILE_CACHE", os.path.expanduser("~/.cache/multimodal_mtrssm_tpu/jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return cache_dir
 
 
 def seed_everything(seed: int) -> jax.Array:
