@@ -30,6 +30,19 @@ def test_native_noise_statistics_and_determinism():
     np.testing.assert_array_equal(out_t1, out_t4)
 
 
+def test_numpy_fallback_paths(monkeypatch):
+    """With the native lib unavailable, both entry points fall back to numpy."""
+    monkeypatch.setattr(native, "_load", lambda: None)
+    src = np.random.default_rng(3).normal(size=(4, 6, 8)).astype(np.float32)
+    idx = np.array([1, 3])
+    out = native.gather_noise(src, idx, 5, noise_std=0.0, seed=0)
+    np.testing.assert_array_equal(out, src[idx, :5])
+    out2 = native.gather_noise(src, idx, 5, noise_std=0.1, seed=7)
+    assert not np.array_equal(out2, src[idx, :5])
+    out3 = native.gather_affine_noise(src, idx, 5, 2.0, -1.0, 0.0, 0)
+    np.testing.assert_allclose(out3, src[idx, :5] * 2.0 - 1.0, atol=1e-6)
+
+
 def test_affine_of_known_transforms():
     from multimodal_mtrssm_tpu.data.transforms import (
         Identity,
