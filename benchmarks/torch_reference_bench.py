@@ -33,8 +33,8 @@ CLASSES, CATS = 4, 4
 STOCH = CLASSES * CATS
 
 
-def mlp(in_dim, out_dim, cells):
-    return nn.Sequential(nn.Linear(in_dim, cells), nn.ELU(), nn.Linear(cells, out_dim))
+def mlp(in_dim, out_dim, cells, act=nn.ELU):
+    return nn.Sequential(nn.Linear(in_dim, cells), act(), nn.Linear(cells, out_dim))
 
 
 class CoordConvEncoder(nn.Module):
@@ -103,7 +103,8 @@ class TorchMoPoEMRSSM(nn.Module):
         self.rnn_to_prior = mlp(DETER, STOCH, HIDDEN)
         self.audio_rep = mlp(DETER + EMBED, STOCH, HIDDEN)
         self.vision_rep = mlp(DETER + EMBED, STOCH, HIDDEN)
-        self.init_proj = mlp(EMBED, DETER, 200)
+        # reference init_proj omits activation_class ⇒ torchrl default Tanh
+        self.init_proj = mlp(EMBED, DETER, 200, act=nn.Tanh)
 
     @staticmethod
     def _rsample(logits):

@@ -65,6 +65,7 @@ class MMTRSSMConfig:
     rep_hidden_size: int = 32  # Representation MLP width (configs :7-21)
     activation_name: str = "ELU"
     init_proj_cells: int = 200
+    init_proj_activation: str = "Tanh"  # torchrl MLP default (see MRSSMConfig)
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
     input_noise_std: float = 0.0  # device-side GaussianNoise (see MRSSMConfig)
@@ -200,7 +201,7 @@ class MoPoEMMTRSSM:
         states and the MTRNN integrators; stochs sampled from the priors."""
         cfg = self.cfg
         embed = self.encode_observation(params, audio_obs0, vision_obs0)
-        h = mlp_apply(params["init_proj"], embed, cfg.activation_name)
+        h = mlp_apply(params["init_proj"], embed, cfg.init_proj_activation)
         higher_h = h[..., : cfg.hd_dim]
         lower_h = h[..., cfg.hd_dim :]
         act = cfg.activation_name

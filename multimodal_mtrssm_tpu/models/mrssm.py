@@ -55,6 +55,10 @@ class MRSSMConfig:
     action_size: int = 6
     activation_name: str = "ELU"
     init_proj_cells: int = 200
+    # The reference's init_proj is a torchrl MLP with NO activation_class in
+    # its config (reference configs :93-99) ⇒ torchrl's default hidden
+    # activation, Tanh — unlike the explicit ELU everywhere else.
+    init_proj_activation: str = "Tanh"
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
     # Input-noise std applied on device inside shared_step (TPU-native home
@@ -167,9 +171,10 @@ class MoPoEMRSSM:
     ) -> State:
         """Initial latent from frame-0 observations (reference ``core.py:121-135``)."""
         embed = self.encode_observation(params, audio_obs0, vision_obs0)
-        act = self.cfg.activation_name
-        deter = mlp_apply(params["init_proj"], embed, act)
-        logits = mlp_apply(params["transition"]["rnn_to_prior_projector"], deter, act)
+        deter = mlp_apply(params["init_proj"], embed, self.cfg.init_proj_activation)
+        logits = mlp_apply(
+            params["transition"]["rnn_to_prior_projector"], deter, self.cfg.activation_name
+        )
         dist = self._dist(logits)
         return State(deter=deter, stoch=dist.rsample(key), distribution=dist)
 

@@ -46,6 +46,7 @@ class RSSMConfig:
     action_size: int = 6
     activation_name: str = "ELU"
     init_proj_cells: int = 200
+    init_proj_activation: str = "Tanh"  # torchrl MLP default (see MRSSMConfig)
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
     input_noise_std: float = 0.0
@@ -118,7 +119,7 @@ class RSSM:
     def initial_state(self, params: Params, obs0: jax.Array, key: jax.Array) -> State:
         act = self.cfg.activation_name
         embed = self.encode_observation(params, obs0)
-        deter = mlp_apply(params["init_proj"], embed, act)
+        deter = mlp_apply(params["init_proj"], embed, self.cfg.init_proj_activation)
         logits = mlp_apply(params["transition"]["rnn_to_prior_projector"], deter, act)
         dist = self._dist(logits)
         return State(deter=deter, stoch=dist.rsample(key), distribution=dist)

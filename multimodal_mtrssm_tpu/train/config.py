@@ -177,6 +177,9 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         action_size=int(trans.get("action_size", 6)),
         activation_name=rep.get("activation_name", "ELU"),
         init_proj_cells=int(_init_args(margs.get("init_proj")).get("num_cells", 200)),
+        init_proj_activation=_activation_name(
+            _init_args(margs.get("init_proj")).get("activation_class"), "Tanh"
+        ),
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
@@ -258,6 +261,9 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
         rep_hidden_size=int(rep.get("hidden_size", 32)),
         activation_name=rep.get("activation_name", "ELU"),
         init_proj_cells=int(_init_args(margs.get("init_proj")).get("num_cells", 200)),
+        init_proj_activation=_activation_name(
+            _init_args(margs.get("init_proj")).get("activation_class"), "Tanh"
+        ),
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
@@ -274,6 +280,13 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
     if cfg.ls_dim != int(margs.get("ls_dim", cfg.ls_dim)):
         raise ValueError(f"ls_dim {margs.get('ls_dim')} != l_dist {cfg.ls_dim}")
     return MoPoEMMTRSSM(cfg)
+
+
+def _activation_name(value, default: str) -> str:
+    """'torch.nn.ELU' / 'ELU' → 'ELU'; None → default."""
+    if not value:
+        return default
+    return str(value).rsplit(".", 1)[-1]
 
 
 def _deep_merge(base: dict, over: dict) -> dict:
