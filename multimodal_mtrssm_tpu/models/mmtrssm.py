@@ -70,6 +70,7 @@ class MMTRSSMConfig:
     use_kl_balancing: bool = True
     input_noise_std: float = 0.0  # device-side GaussianNoise (see MRSSMConfig)
     remat: bool = False  # rematerialize scan step in backward (see MRSSMConfig)
+    scan_unroll: int = 1  # lax.scan unroll factor (see MRSSMConfig)
     w_kl_h: float = 1.0
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
@@ -280,7 +281,7 @@ class MoPoEMMTRSSM:
         )
         if cfg.remat:
             step = jax.checkpoint(step)
-        _, ys = jax.lax.scan(step, carry0, xs)
+        _, ys = jax.lax.scan(step, carry0, xs, unroll=cfg.scan_unroll)
         (
             h_deter, l_deter, hid_h, hid_l,
             l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
@@ -329,7 +330,8 @@ class MoPoEMMTRSSM:
             prev_state.stoch_h.astype(cdt0), prev_state.stoch_l.astype(cdt0),
             prev_state.hidden_h, prev_state.hidden_l,
         )
-        _, ys = jax.lax.scan(step, carry0, (jnp.swapaxes(actions, 0, 1), step_keys))
+        _, ys = jax.lax.scan(step, carry0, (jnp.swapaxes(actions, 0, 1), step_keys),
+                             unroll=self.cfg.scan_unroll)
         h_deter, l_deter, hid_h, hid_l, l_prior_logits, l_stoch, h_prior_logits, h_stoch = ys
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         return MTState(

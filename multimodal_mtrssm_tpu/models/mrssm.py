@@ -70,6 +70,9 @@ class MRSSMConfig:
     # O(1)-per-step activation memory — enables full-length (T=180+) training
     # at large batch (SURVEY §5.7 long-sequence story).
     remat: bool = False
+    # lax.scan unroll factor for the recurrence (hardware-dependent tuning
+    # knob; 1 = compiler default loop).
+    scan_unroll: int = 1
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     audio_decoder: DecoderConfig | None = None
@@ -227,7 +230,8 @@ class MoPoEMRSSM:
         if cfg.remat:
             step = jax.checkpoint(step)
         _, (deter, prior_logits, prior_stoch, mixed_logits, post_stoch) = jax.lax.scan(
-            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs
+            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs,
+            unroll=cfg.scan_unroll,
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
@@ -252,6 +256,7 @@ class MoPoEMRSSM:
             step,
             (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)),
             (jnp.swapaxes(actions, 0, 1), step_keys),
+            unroll=self.cfg.scan_unroll,
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         return State(deter=tm(deter), stoch=tm(stoch), distribution=self._dist(tm(logits)))
