@@ -53,21 +53,37 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    shard_pad: int = 1,
 ) -> FusedAdamW:
+    """See :class:`FusedAdamW`.
+
+    ``shard_pad > 1`` pads the flat moment vectors to a multiple, so they can
+    be placed with a ``data``-sharded ``NamedSharding`` (ZeRO-1-style: each
+    chip holds 1/n of the optimizer state; XLA inserts the dynamic-slice of
+    the replicated gradient and the all-gather of the parameter step from
+    the sharding annotations alone). Use ``shard_pad=mesh size``.
+    """
+
+    def _pad(x: jax.Array) -> jax.Array:
+        rem = (-x.shape[0]) % shard_pad
+        return jnp.pad(x, (0, rem)) if rem else x
+
     def init(params) -> FusedAdamWState:
         flat, _ = ravel_pytree(params)
-        zeros = jnp.zeros_like(flat)
+        zeros = _pad(jnp.zeros_like(flat))
         return FusedAdamWState(
             count=jnp.zeros((), jnp.int32),
             m=zeros,
-            v=jnp.zeros_like(flat),
+            v=jnp.zeros_like(zeros),
             lr=jnp.asarray(learning_rate, jnp.float32),
         )
 
     def update(grads, state: FusedAdamWState, params):
         g, _ = ravel_pytree(grads)
         p, unravel = ravel_pytree(params)
-        g = g.astype(jnp.float32)
+        n = p.shape[0]
+        g = _pad(g.astype(jnp.float32))
+        p_pad = _pad(p)
         # Global-norm clip (reference trainer gradient_clip_val=10).
         norm = jnp.sqrt(jnp.sum(g * g))
         g = g * jnp.minimum(1.0, grad_clip / (norm + 1e-12))
@@ -78,11 +94,27 @@ def make_optimizer(
         mh = m / (1.0 - b1**t)
         vh = v / (1.0 - b2**t)
         # AdamW: decoupled weight decay (torch.optim.AdamW semantics).
-        step_vec = -state.lr * (mh / (jnp.sqrt(vh) + eps) + weight_decay * p)
-        updates = unravel(step_vec)
+        step_vec = -state.lr * (mh / (jnp.sqrt(vh) + eps) + weight_decay * p_pad)
+        updates = unravel(step_vec[:n])
         return updates, FusedAdamWState(count=count, m=m, v=v, lr=state.lr)
 
     return FusedAdamW(init=init, update=update)
+
+
+def shard_opt_state(state: FusedAdamWState, mesh, axis_name: str = "data") -> FusedAdamWState:
+    """Place the moment vectors sharded across the mesh (ZeRO-1); the tiny
+    count/lr scalars stay replicated. Requires the optimizer was built with
+    ``shard_pad=mesh size``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return FusedAdamWState(
+        count=jax.device_put(state.count, repl),
+        m=jax.device_put(state.m, sharded),
+        v=jax.device_put(state.v, sharded),
+        lr=jax.device_put(state.lr, repl),
+    )
 
 
 def set_learning_rate(opt_state: FusedAdamWState, learning_rate: float) -> FusedAdamWState:
