@@ -19,7 +19,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.train.optim import make_optimizer

@@ -20,7 +20,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multimodal_mtrssm_tpu.models.state import cat_states
