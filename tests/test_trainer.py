@@ -33,6 +33,21 @@ def test_early_stopping():
     assert e.step(1.5)  # third bad epoch > patience
 
 
+def test_fit_from_memmapped_pack(tmp_path):
+    """Training end-to-end from a consolidated memmapped pack."""
+    from multimodal_mtrssm_tpu.data.pack import pack_episodes
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+    pack_episodes(data_dir, data_dir / "pack")
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    dm.setup()
+    assert dm._raw  # pack detected
+    cfg = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "run"), learning_rate=3e-4)
+    out = Trainer(small_model(), dm, cfg).fit()
+    assert np.isfinite(out["history"][0]["train/loss"])
+
+
 def test_fit_deterministic_across_runs(tmp_path):
     """Same seed ⇒ identical losses (the reference's `deterministic: true` +
     seed_everything contract, configs :2,120)."""
