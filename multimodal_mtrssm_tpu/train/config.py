@@ -141,6 +141,13 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
 
     audio_pre = _init_args(dconf.get("audio_observation_preprocess"))
     data = DataModuleConfig(
+        action_preprocess=_build_transform(dconf.get("action_preprocess"), "Identity"),
+        audio_preprocess=_build_transform(
+            dconf.get("audio_observation_preprocess"), "NormalizeAudioMelSpectrogram"
+        ),
+        vision_preprocess=_build_transform(
+            dconf.get("vision_observation_preprocess"), "NormalizeVisionImage"
+        ),
         data_dir=dconf.get("data_dir", f"data/{dconf.get('data_name', 'audio_mnist')}"),
         batch_size=int(dconf.get("batch_size", 8)),
         sequence_length=seq_len,
@@ -280,6 +287,27 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
     if cfg.ls_dim != int(margs.get("ls_dim", cfg.ls_dim)):
         raise ValueError(f"ls_dim {margs.get('ls_dim')} != l_dist {cfg.ls_dim}")
     return MoPoEMMTRSSM(cfg)
+
+
+def _build_transform(node: dict | None, default_cls: str | None = None):
+    """Instantiate a preprocess transform from a YAML ``class_path`` node
+    (reference schema: ``torch.nn.Identity``, the ``multimodal_rssm``
+    transforms, or a torchvision ``Compose``). Returns None for absent nodes
+    (the pipeline then applies its defaults); a node without ``class_path``
+    uses ``default_cls`` (our shipped configs omit it for the standard
+    normalizers)."""
+    if not node:
+        return None
+    from multimodal_mtrssm_tpu.data.transforms import TRANSFORMS, Compose
+
+    name = _class_name(node) or default_cls
+    args = {k: v for k, v in (node.get("init_args") or {}).items()}
+    if name == "Compose":
+        return Compose([_build_transform(t) for t in args.get("transforms", [])])
+    cls = TRANSFORMS.get(name)
+    if cls is None:
+        raise ValueError(f"unknown transform class_path: {node.get('class_path')}")
+    return cls(**{k: v for k, v in args.items()})
 
 
 def _activation_name(value, default: str) -> str:

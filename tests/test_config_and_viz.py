@@ -64,6 +64,26 @@ def test_load_reference_configs_directly():
     assert exp2.model.cfg.prior_cells == 32
 
 
+def test_preprocess_transforms_from_yaml(tmp_path):
+    """YAML-declared preprocess transforms (incl. RemoveDim) instantiate."""
+    import numpy as np
+    import yaml
+
+    raw = yaml.safe_load((REPO / "configs" / "mopoe_mrssm.yaml").read_text())
+    raw["data"]["init_args"]["config"]["action_preprocess"] = {
+        "class_path": "multimodal_rssm.models.transform.RemoveDim",
+        "init_args": {"axis": 1, "indices_to_remove": [0]},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    exp = load_experiment(p)
+    out = exp.data.action_preprocess(np.zeros((4, 6), np.float32))
+    assert out.shape == (4, 5)
+    # audio preprocess instantiated from YAML with its min/max
+    a = exp.data.audio_preprocess(np.array([[-80.0, 0.0]], np.float32))
+    np.testing.assert_allclose(a, [[-1.0, 1.0]], atol=1e-6)
+
+
 def test_load_crossmodal_config():
     exp = load_experiment(REPO / "configs" / "mopoe_mrssm_crossmodal.yaml")
     assert isinstance(exp.model, MoPoEMRSSM)
