@@ -167,6 +167,115 @@ class TorchMoPoEMRSSM(nn.Module):
         return recon + kl_bt.sum(-1).mean()
 
 
+class TorchMTRNN(nn.Module):
+    """Leaky-integrator cell (reference mopoe_mmtrssm/core.py:40-74 math)."""
+
+    def __init__(self, input_dim, hidden_dim, tau):
+        super().__init__()
+        self.d2h = nn.Linear(hidden_dim, hidden_dim)
+        self.in2h = nn.Linear(input_dim, hidden_dim)
+        self.tau = tau
+
+    def forward(self, x, prev_d, hidden):
+        hidden = (1 - 1 / self.tau) * hidden + (self.d2h(prev_d) + self.in2h(x)) / self.tau
+        return torch.tanh(hidden), hidden
+
+
+class TorchMoPoEMMTRSSM(nn.Module):
+    """Architecture-faithful hierarchical variant (reference
+    mopoe_mmtrssm/core.py:77-610) for the cross-framework golden test."""
+
+    HD = LD = 32
+    HS = LS = 16
+    L_TAU, H_TAU = 2.0, 4.0
+
+    def __init__(self):
+        super().__init__()
+        self.audio_encoder = CoordConvEncoder()
+        self.vision_encoder = CoordConvEncoder()
+        feat = self.HD + self.HS + self.LD + self.LS  # 96
+        self.audio_decoder = Decoder(feat)
+        self.vision_decoder = Decoder(feat)
+        self.l_rnn = TorchMTRNN(ACT_DIM + self.LS + self.HS, self.LD, self.L_TAU)
+        self.h_rnn = TorchMTRNN(self.HS, self.HD, self.H_TAU)
+        self.l_prior = mlp(self.LD, self.LS, 32)
+        self.h_prior = mlp(self.HD, self.HS, 32)
+        self.h_posterior = mlp(self.LD + self.HD, self.HS, 32)
+        self.audio_rep = mlp(self.LD + EMBED, self.LS, 32)
+        self.vision_rep = mlp(self.LD + EMBED, self.LS, 32)
+        self.init_proj = mlp(EMBED, self.HD + self.LD, 200, act=nn.Tanh)
+        self.w_kl_h = 1.0
+
+    @staticmethod
+    def _rsample(logits, classes, cats):
+        b = logits.shape[:-1]
+        bl = logits.view(*b, classes, cats)
+        probs = torch.softmax(bl, dim=-1)
+        idx = torch.distributions.Categorical(logits=bl).sample()
+        onehot = torch.nn.functional.one_hot(idx, cats).float()
+        return (onehot + probs - probs.detach()).view(*b, classes * cats)
+
+    def forward(self, batch):
+        import math
+
+        F = torch.nn.functional
+        action, audio, vision = batch[0], batch[1], batch[2]
+        bsz, T_ = action.shape[0], action.shape[1]
+        a_emb = self.audio_encoder(audio.flatten(0, 1)).view(bsz, T_, EMBED)
+        v_emb = self.vision_encoder(vision.flatten(0, 1)).view(bsz, T_, EMBED)
+        h = self.init_proj((a_emb[:, 0] + v_emb[:, 0]) / 2.0)
+        hd, ld = h[:, : self.HD], h[:, self.HD :]
+        hidh, hidl = hd, ld
+        hs = self._rsample(self.h_prior(hd), 2, 8)
+        ls = self._rsample(self.l_prior(ld), 4, 4)
+        feats, l_post_all, l_prior_all, h_post_all, h_prior_all = [], [], [], [], []
+        for t in range(T_):
+            l_in = torch.cat([action[:, t], ls, hs], -1)
+            l_deter, hidl = self.l_rnn(l_in, ld, hidl)
+            l_prior_logits = self.l_prior(l_deter)
+            a_logits = self.audio_rep(torch.cat([l_deter, a_emb[:, t]], -1))
+            v_logits = self.vision_rep(torch.cat([l_deter, v_emb[:, t]], -1))
+            a_lp = F.log_softmax(a_logits, -1)
+            v_lp = F.log_softmax(v_logits, -1)
+            mixed = torch.logsumexp(
+                torch.stack([a_lp, v_lp, a_lp + v_lp], -2) + math.log(1 / 3), -2
+            )
+            ls = self._rsample(mixed, 4, 4)
+            h_deter, hidh = self.h_rnn(hs, hd, hidh)
+            h_prior_logits = self.h_prior(h_deter)
+            h_post_logits = self.h_posterior(torch.cat([l_deter, h_deter], -1))
+            hs = self._rsample(h_post_logits, 2, 8)
+            hd, ld = h_deter, l_deter
+            feats.append(torch.cat([h_deter, hs, l_deter, ls], -1))
+            l_post_all.append(mixed)
+            l_prior_all.append(l_prior_logits)
+            h_post_all.append(h_post_logits)
+            h_prior_all.append(h_prior_logits)
+        feats = torch.stack(feats, 1)
+        a_rec = self.audio_decoder(feats.flatten(0, 1)).view(bsz, T_, 1, 32, 32)
+        v_rec = self.vision_decoder(feats.flatten(0, 1)).view(bsz, T_, 1, 32, 32)
+
+        def nll(pred, tgt):
+            d = torch.distributions.Independent(torch.distributions.Normal(pred, 1.0), 3)
+            return -d.log_prob(tgt).mean()
+
+        recon = nll(a_rec, batch[4]) + nll(v_rec, batch[5])
+
+        def kl(q, p, classes, cats):
+            ql = F.log_softmax(torch.stack(q, 1).view(bsz, T_, classes, cats), -1)
+            pl = F.log_softmax(torch.stack(p, 1).view(bsz, T_, classes, cats), -1)
+            return (ql.exp() * (ql - pl)).sum((-2, -1))
+
+        def balanced(q, p, classes, cats):
+            qs = [x.detach() for x in q]
+            ps = [x.detach() for x in p]
+            return 0.8 * kl(qs, p, classes, cats) + 0.2 * kl(q, ps, classes, cats)
+
+        kl_l = balanced(l_post_all, l_prior_all, 4, 4).sum(-1).mean()
+        kl_h = balanced(h_post_all, h_prior_all, 2, 8).sum(-1).mean()
+        return recon + kl_l + self.w_kl_h * kl_h
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
