@@ -163,20 +163,42 @@ _predict_digits_jit = jax.jit(_predict_digits, static_argnums=0)
 
 
 def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, actions, key):
-    """MRSSM-only fast path: fused Pallas imagination kernel (wins at the
+    """Fused-Pallas fast path for both model families (wins at the
     batched-interval sizes, benchmarks/bench_pallas.py)."""
     from multimodal_mtrssm_tpu.nn.conv import decoder_apply
-    from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
 
     k1, k2 = jax.random.split(key)
     init = model.initial_state(params, audio0, vision0, k1)
     seed = jax.random.randint(k2, (), 0, 2**31 - 1)
-    deters, _, stochs = fused_rollout_transition(
-        pack_params(params), actions, init.deter, init.stoch, seed,
-        class_size=model.cfg.class_size, category_size=model.cfg.category_size,
-    )
-    feature0 = jnp.concatenate([deters[:, 0], stochs[:, 0]], axis=-1)
-    recon = decoder_apply(params["vision_decoder"], model.decoder_cfg("vision"), feature0)
+    cfg = model.cfg
+    if hasattr(init, "deter_h"):  # hierarchical MTState
+        from multimodal_mtrssm_tpu.ops.pallas import (
+            fused_mt_rollout_transition,
+            pack_mt_params,
+        )
+
+        h_deter, l_deter, _, _, h_stoch, l_stoch = fused_mt_rollout_transition(
+            pack_mt_params(params), actions,
+            (init.deter_h, init.deter_l, init.stoch_h, init.stoch_l,
+             init.hidden_h, init.hidden_l),
+            seed, l_tau=cfg.l_tau, h_tau=cfg.h_tau,
+            ls_class=cfg.ls_class, ls_category=cfg.ls_category,
+            hs_class=cfg.hs_class, hs_category=cfg.hs_category,
+        )
+        feature0 = jnp.concatenate(
+            [h_deter[:, 0], h_stoch[:, 0], l_deter[:, 0], l_stoch[:, 0]], axis=-1
+        )
+        dec_cfg = cfg.decoder_cfg("vision")
+    else:
+        from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
+
+        deters, _, stochs = fused_rollout_transition(
+            pack_params(params), actions, init.deter, init.stoch, seed,
+            class_size=cfg.class_size, category_size=cfg.category_size,
+        )
+        feature0 = jnp.concatenate([deters[:, 0], stochs[:, 0]], axis=-1)
+        dec_cfg = model.decoder_cfg("vision")
+    recon = decoder_apply(params["vision_decoder"], dec_cfg, feature0)
     first = jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 

@@ -148,6 +148,36 @@ def test_batched_predictions_shape_and_pallas_parity(trained_classifier):
     assert all(0 <= d <= 9 for d in digits_p)
 
 
+def test_batched_predictions_pallas_mmtrssm(trained_classifier):
+    """The pallas eval fast path also serves the hierarchical family."""
+    import functools
+
+    from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+    import multimodal_mtrssm_tpu.ops.pallas as P
+    import multimodal_mtrssm_tpu.evaluation.word_transitions as W
+
+    params_clf, _ = trained_classifier
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMMTRSSM(MMTRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    intervals = [
+        {k: v for k, v in make_labeled_episode([1, 2], 0, 8).items() if k != "file_path"},
+    ]
+    orig = P.fused_mt_rollout_transition
+    try:
+        P.fused_mt_rollout_transition = functools.partial(orig, interpret=True)
+        digits = W.generate_predictions_batched(
+            model, params, params_clf, intervals, jax.random.PRNGKey(1),
+            n_predictions=3, n_frames=2, use_pallas=True,
+        )
+    finally:
+        P.fused_mt_rollout_transition = orig
+    assert len(digits) == 3
+    assert all(0 <= d <= 9 for d in digits)
+
+
 def test_end_to_end_eval_with_model(trained_classifier, tmp_path):
     from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
     from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
