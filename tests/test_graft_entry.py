@@ -1,0 +1,60 @@
+"""Tests: the driver entry points must be self-sufficient.
+
+Round 1's ``MULTICHIP_r01.json`` recorded rc=1 because ``dryrun_multichip``
+assumed the caller pre-forced the CPU platform; in the driver environment it
+claimed the TPU backend and crashed (VERDICT.md round 1, item 1). These tests
+invoke the entry point from a *clean* environment (no ``XLA_FLAGS``, no
+``JAX_PLATFORMS``) in a fresh interpreter — exactly what the driver does.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("_GRAFT_MULTICHIP_SUBPROCESS", None)
+    # The dry run must never touch the real TPU chip from a test.
+    env["JAX_PLATFORMS"] = ""
+    env.pop("JAX_PLATFORMS")
+    return env
+
+
+def test_dryrun_multichip_clean_env():
+    """Driver simulation: fresh interpreter, no platform/device-count env."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=_clean_env(), cwd=REPO_ROOT, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_dryrun_multichip_backend_already_claimed():
+    """If another platform already claimed the backend, the dry run must
+    recover via its subprocess fallback rather than crash."""
+    code = (
+        "import jax\n"
+        # Pin the pre-claimed backend to single-device CPU so this test does
+        # not depend on (or wedge) the real TPU tunnel.
+        "jax.config.update('jax_num_cpu_devices', 1)\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "devs = jax.devices()\n"
+        "assert len(devs) == 1, devs\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_clean_env(), cwd=REPO_ROOT, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "dryrun_multichip(8): ok" in proc.stdout
