@@ -29,6 +29,10 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 #              "unit": "seq/s", "device": "cpu"}
 TORCH_REFERENCE_SEQ_PER_S = 15.65
 
+# TPU v5e peak: 197 TFLOP/s bf16 (f32 runs below this; we report MFU against
+# the bf16 peak as the conservative denominator).
+V5E_PEAK_FLOPS = 197e12
+
 B, T = 8, 30
 # The axon backend does background work for ~1-2s after first execution,
 # and the chip tunnel's throughput fluctuates across seconds — so: long
@@ -73,6 +77,16 @@ def main() -> None:
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
+    # Compiled cost analysis → analytic FLOPs/step for the MFU figure
+    # (VERDICT r1 item 2: quantify chip utilization, not just vs-torch ratio).
+    try:
+        ca = train_step.lower(params, opt_state, batch, ks[3], 0).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
+
     for i in range(WARMUP):
         params, opt_state, loss = train_step(params, opt_state, batch, ks[3], i)
     loss.block_until_ready()
@@ -94,6 +108,13 @@ def main() -> None:
         "vs_baseline": (
             round(seq_per_s / TORCH_REFERENCE_SEQ_PER_S, 2) if TORCH_REFERENCE_SEQ_PER_S else None
         ),
+        # Utilization context (see BASELINE.md roofline section): the
+        # reference config B=8 T=30 is latency-bound on the sequential
+        # T=30 recurrence, so MFU is intentionally low here; large-batch
+        # MFU is reported in BASELINE.md via benchmarks/bench_large.py.
+        "ms_per_step": round(best_dt * 1e3, 3),
+        "gflop_per_step": round(flops_per_step / 1e9, 2),
+        "mfu_pct": round(100.0 * flops_per_step / best_dt / V5E_PEAK_FLOPS, 3),
     }
     print(json.dumps(result))
 
