@@ -76,8 +76,11 @@ def _leaf_slots(tree, path=()):  # yields (path tuple, leaf dict with w/b)
 
 
 def _import_by_shape(component: Params, sd: dict, prefix: str, report: dict,
-                     transposed_conv: bool = False) -> None:
-    """Assign reference tensors to same-shape slots, in declaration order."""
+                     transposed_conv: bool = False) -> set[tuple]:
+    """Assign reference tensors to same-shape slots, in declaration order.
+
+    Returns the set of slot paths that were filled from the state dict.
+    """
     ref_pairs = []  # (name, weight, bias)
     names = [k for k in sd if k.startswith(prefix + ".") and k.endswith(".weight")]
     for wk in names:
@@ -86,6 +89,7 @@ def _import_by_shape(component: Params, sd: dict, prefix: str, report: dict,
             ref_pairs.append((wk, _t(sd[wk]), _t(sd[bk])))
     slots = list(_leaf_slots(component))
     used = set()
+    matched_paths: set[tuple] = set()
     for wk, w, b in ref_pairs:
         candidates = []
         for idx, (path, slot) in enumerate(slots):
@@ -112,9 +116,49 @@ def _import_by_shape(component: Params, sd: dict, prefix: str, report: dict,
         else:
             slot["w"] = jnp.asarray(_deconv_to_hwio(w))
         slot["b"] = jnp.asarray(b)
+        matched_paths.add(path)
         report["imported"] += 2
         if len(candidates) > 1:
             report["ambiguous"].append(wk)
+    return matched_paths
+
+
+def _hwc_to_chw_perm(h: int, w: int, c: int) -> np.ndarray:
+    """Permutation: value at flatten(CHW) position = flatten(HWC) index."""
+    idx = np.arange(h * w * c).reshape(h, w, c)
+    return idx.transpose(2, 0, 1).reshape(-1)
+
+
+def _fix_encoder_head_layout(encoder: Params, matched: set[tuple]) -> None:
+    """Permute the encoder head's input columns from torch CHW-flatten order
+    to our HWC-flatten order.
+
+    Torch encoders flatten conv output as ``x.flatten(1)`` on NCHW (channel-
+    major); our ``encoder_apply`` flattens NHWC. A head weight imported by
+    plain transpose would therefore read scrambled pixels — this reorders its
+    input rows so the imported encoder computes the same function
+    (counterpart of the jax→torch sync in ``tests/test_torch_parity.py``).
+    """
+    if ("linears", 0) not in matched:
+        return  # head was not imported; leave our init untouched
+    head = encoder["linears"][0]
+    w = np.asarray(head["w"])  # [flat_in(currently CHW order), out]
+    # Infer (h, w, c) of the conv output feeding the flatten: channels from
+    # the last conv before the head, spatial from the remaining factor.
+    if encoder.get("res_blocks"):
+        c = np.asarray(encoder["res_blocks"][-1]["conv2"]["w"]).shape[-1]
+    elif "res_proj" in encoder:
+        c = np.asarray(encoder["res_proj"]["w"]).shape[-1]
+    else:
+        c = np.asarray(encoder["convs"][-1]["w"]).shape[-1]
+    hw = w.shape[0] // c
+    side = int(round(hw ** 0.5))
+    if side * side != hw:
+        return  # non-square conv output; cannot infer layout — skip
+    perm = _hwc_to_chw_perm(side, side, c)
+    fixed = np.empty_like(w)
+    fixed[perm] = w  # jax row (HWC index) ← torch row (CHW position)
+    head["w"] = jnp.asarray(fixed)
 
 
 def import_reference_state_dict(params: Params, state_dict: dict[str, Any]) -> tuple[Params, dict]:
@@ -159,18 +203,85 @@ def import_reference_state_dict(params: Params, state_dict: dict[str, Any]) -> t
 
     # Encoders / decoders: shape-matched (cnn-package internals unknown).
     for comp in ("audio_encoder", "vision_encoder"):
-        _import_by_shape(params[comp], sd, comp, report)
+        matched = _import_by_shape(params[comp], sd, comp, report)
+        _fix_encoder_head_layout(params[comp], matched)
     for comp in ("audio_decoder", "vision_decoder"):
         _import_by_shape(params[comp], sd, comp, report, transposed_conv=True)
 
     return params, report
 
 
-def load_reference_checkpoint(params: Params, ckpt_path: str) -> tuple[Params, dict]:
+def import_reference_mmtrssm_state_dict(
+    params: Params, state_dict: dict[str, Any]
+) -> tuple[Params, dict]:
+    """Import a reference MoPoE-MMTRSSM ``state_dict`` into a param tree.
+
+    Reference module tree (reference ``mopoe_mmtrssm/core.py:165-194``):
+    MTRNN cells store their linears as ``_d2h``/``_input2h``
+    (``core.py:36-37``), priors/posteriors are torchrl MLP Sequentials,
+    and two module groups are intentionally dropped:
+
+    - ``transition.*`` — the vestigial dummy ``Transition`` built only to
+      satisfy the base ctor (reference ``core.py:141-151``),
+    - ``l_posterior.*`` — stored but never called (the lower posterior is
+      the MoPoE fusion of the modality heads, reference ``core.py:420-455``).
+
+    Both are recorded in ``report["skipped"]``. Pass
+    ``MoPoEMMTRSSM(...).init(key)`` output as the template.
+    """
+    import copy
+
+    params = copy.deepcopy(params)
+    sd = state_dict
+    report = {"imported": 0, "missing": [], "unmatched": [], "ambiguous": [], "skipped": []}
+
+    report["skipped"] = sorted(
+        k for k in sd if k.startswith(("transition.", "l_posterior."))
+    )
+
+    # MTRNN cells: torch Linear [out,in] → ours [in,out].
+    for cell in ("l_rnn", "h_rnn"):
+        for ours, theirs in (("d2h", "_d2h"), ("input2h", "_input2h")):
+            wk, bk = f"{cell}.{theirs}.weight", f"{cell}.{theirs}.bias"
+            if wk in sd and bk in sd:
+                _set_dense(params[cell][ours], sd[wk], sd[bk])
+                report["imported"] += 2
+            else:
+                report["missing"].append(wk)
+
+    # Named MLPs.
+    _import_mlp(params["l_prior"], sd, "l_prior", report)
+    _import_mlp(params["h_prior"], sd, "h_prior", report)
+    _import_mlp(params["h_posterior"], sd, "h_posterior", report)
+    _import_mlp(params["audio_representation"], sd,
+                "audio_representation.rnn_to_post_projector", report)
+    _import_mlp(params["vision_representation"], sd,
+                "vision_representation.rnn_to_post_projector", report)
+    _import_mlp(params["init_proj"], sd, "init_proj", report)
+
+    # Encoders / decoders: shape-matched (cnn-package internals unknown).
+    for comp in ("audio_encoder", "vision_encoder"):
+        matched = _import_by_shape(params[comp], sd, comp, report)
+        _fix_encoder_head_layout(params[comp], matched)
+    for comp in ("audio_decoder", "vision_decoder"):
+        _import_by_shape(params[comp], sd, comp, report, transposed_conv=True)
+
+    return params, report
+
+
+def load_reference_checkpoint(
+    params: Params, ckpt_path: str, model_type: str = "mrssm"
+) -> tuple[Params, dict]:
     """Load a Lightning ``.ckpt`` file and import its ``state_dict``
-    (reference consumption path ``evaluate_word_transitions_mrssm.py:794-796``)."""
+    (reference consumption path ``evaluate_word_transitions_mrssm.py:794-796``
+    / ``evaluate_word_transitions_mtmrssm.py`` equivalent).
+
+    ``model_type``: ``"mrssm"`` (MoPoE-MRSSM) or ``"mmtrssm"`` (MoPoE-MMTRSSM).
+    """
     import torch
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
+    if model_type == "mmtrssm":
+        return import_reference_mmtrssm_state_dict(params, sd)
     return import_reference_state_dict(params, sd)
