@@ -50,12 +50,39 @@ WORD_SET = list(range(10))
 # ---------------------------------------------------------------------------
 
 
-def load_test_data_with_labels(test_data_dir: str | Path) -> list[dict]:
-    """Load labeled test episodes from ``.npz`` files with keys
-    ``audio`` (180,32,32), ``image`` (180,1,32,32) or NHWC, ``label`` (180,),
-    ``speaker`` (180,6)."""
+def load_test_data_with_labels(
+    test_data_dir: str | Path,
+    use_pt_files: bool | None = None,
+    npz_dir_for_labels: str | Path | None = None,
+) -> list[dict]:
+    """Load labeled test episodes (reference ``:22-148``, both layouts).
+
+    Two directory layouts, matching the reference loader:
+
+    - ``.npz`` episodes with keys ``audio`` (180,32,32), ``image``
+      (180,1,32,32) or NHWC, ``label`` (180,), ``speaker`` (180,6);
+    - reference-processed ``.pt`` episodes (``act_*.pt`` /
+      ``audio_obs_*.pt`` / ``vision_obs_*.pt``) plus per-episode label
+      ``.npz`` files (``sample_%04d.npz``) in ``npz_dir_for_labels`` — or
+      its sibling ``train/`` directory, mirroring the reference's
+      train-then-test episode numbering (reference ``:100-113``).
+
+    ``use_pt_files=None`` auto-detects: the ``.pt`` layout is used when the
+    directory contains ``act_*.pt`` files and no ``.npz`` files.
+    """
+    test_data_dir = Path(test_data_dir)
+    if not test_data_dir.exists():
+        print(f"Warning: test data directory does not exist: {test_data_dir}")
+        return []
+    if use_pt_files is None:
+        use_pt_files = (
+            any(test_data_dir.glob("act_*.pt")) and not any(test_data_dir.glob("*.npz"))
+        )
+    if use_pt_files:
+        return _load_pt_episodes_with_labels(test_data_dir, npz_dir_for_labels)
+
     test_data = []
-    for p in sorted(Path(test_data_dir).glob("*.npz")):
+    for p in sorted(test_data_dir.glob("*.npz")):
         try:
             with np.load(p) as z:
                 test_data.append({
@@ -67,6 +94,68 @@ def load_test_data_with_labels(test_data_dir: str | Path) -> list[dict]:
                 })
         except Exception as e:  # noqa: BLE001 — skip unreadable files like the reference
             print(f"Warning: failed to load {p}: {e}")
+    return test_data
+
+
+def _load_pt_episodes_with_labels(
+    test_data_dir: Path, npz_dir_for_labels: str | Path | None
+) -> list[dict]:
+    """Reference-processed ``.pt`` layout (reference ``:51-126``)."""
+    try:
+        import torch
+    except ImportError:
+        print("Warning: .pt test-data layout requires torch, which is not "
+              "installed; convert the directory with "
+              "scripts/convert_audio_mnist_data.py or provide .npz episodes.")
+        return []
+
+    act_files = sorted(test_data_dir.glob("act_*.pt"))
+    if not act_files:
+        print(f"Warning: no act_*.pt files found in {test_data_dir}")
+        return []
+    if npz_dir_for_labels is None:
+        print("Warning: .pt episodes carry no labels; pass npz_dir_for_labels "
+              "pointing at the original sample_*.npz directory.")
+        return []
+    npz_dir = Path(npz_dir_for_labels)
+
+    test_data = []
+    for act_path in act_files:
+        try:
+            file_idx = int(act_path.stem.split("_")[1])
+            audio_path = test_data_dir / f"audio_obs_{file_idx:04d}.pt"
+            vision_path = test_data_dir / f"vision_obs_{file_idx:04d}.pt"
+            if not audio_path.exists() or not vision_path.exists():
+                continue
+            audio = torch.load(audio_path, weights_only=False).numpy()
+            if audio.ndim == 4 and audio.shape[1] == 1:
+                audio = audio[:, 0]  # (180, 1, 32, 32) → (180, 32, 32)
+            image = torch.load(vision_path, weights_only=False).numpy()
+            speaker = torch.load(act_path, weights_only=False).numpy()
+
+            # Train episodes are numbered before test ones (reference
+            # :100-104): look in the sibling train/ dir first, then here.
+            label = None
+            candidates = []
+            if (npz_dir.parent / "train").exists():
+                candidates.append(npz_dir.parent / "train" / f"sample_{file_idx:04d}.npz")
+            candidates.append(npz_dir / f"sample_{file_idx:04d}.npz")
+            for npz_path in candidates:
+                if npz_path.exists():
+                    with np.load(npz_path) as z:
+                        label = np.asarray(z["label"])
+                    break
+            if label is None:
+                continue
+            test_data.append({
+                "audio": np.asarray(audio, dtype=np.float32),
+                "image": np.asarray(image, dtype=np.float32),
+                "label": label,
+                "speaker": np.asarray(speaker, dtype=np.float32),
+                "file_path": str(act_path),
+            })
+        except Exception as e:  # noqa: BLE001 — skip unreadable files like the reference
+            print(f"Warning: failed to load {act_path}: {e}")
     return test_data
 
 
@@ -142,33 +231,44 @@ def generate_predictions_with_classifier(
     last_action = interval["speaker"][-1]  # [A]
 
     n = n_predictions
-    audio0_b = jnp.broadcast_to(jnp.asarray(audio0), (n, *audio0.shape))
-    vision0_b = jnp.broadcast_to(jnp.asarray(vision0), (n, *vision0.shape))
+    audio0_b = jnp.asarray(audio0)[None]  # [1, H, W, C]
+    vision0_b = jnp.asarray(vision0)[None]
     actions = jnp.broadcast_to(jnp.asarray(last_action), (n, n_frames, last_action.shape[-1]))
 
-    digits = _predict_digits_jit(model, params, classifier_params, audio0_b, vision0_b, actions, key)
+    digits = _predict_digits_jit(model, params, classifier_params, audio0_b, vision0_b,
+                                 actions, key, n)
     return [int(d) for d in np.asarray(digits)]
 
 
-def _predict_digits(model, params, classifier_params, audio0, vision0, actions, key):
+def _predict_digits(model, params, classifier_params, audio0, vision0, actions, key,
+                    n_predictions):
+    """``audio0``/``vision0`` are per-interval [I, H, W, C]; ``actions`` is
+    [I * n_predictions, n_frames, A]. The initial state is sampled ONCE per
+    interval and reused across all its prediction rollouts, matching the
+    reference protocol (reference ``:336-370`` samples ``initial_state`` a
+    single time before the ``n_predictions`` loop)."""
     k1, k2 = jax.random.split(key)
-    init = model.initial_state(params, audio0, vision0, k1)
+    init = model.initial_state(params, audio0, vision0, k1)  # [I, ...]
+    init = jax.tree.map(lambda x: jnp.repeat(x, n_predictions, axis=0), init)
     states = model.rollout_transition(params, actions, init, k2)
-    recon = model.decode_state(params, states)["recon/vision"]  # [n, n_frames, H, W, C]
+    recon = model.decode_state(params, states)["recon/vision"]  # [I*P, n_frames, H, W, C]
     first = jnp.clip((recon[:, 0] + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 
 
-_predict_digits_jit = jax.jit(_predict_digits, static_argnums=0)
+_predict_digits_jit = jax.jit(_predict_digits, static_argnums=(0, 7))
 
 
-def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, actions, key):
+def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, actions, key,
+                           n_predictions):
     """Fused-Pallas fast path for both model families (wins at the
-    batched-interval sizes, benchmarks/bench_pallas.py)."""
+    batched-interval sizes, benchmarks/bench_pallas.py). Initial state is
+    sampled once per interval, like ``_predict_digits``."""
     from multimodal_mtrssm_tpu.nn.conv import decoder_apply
 
     k1, k2 = jax.random.split(key)
-    init = model.initial_state(params, audio0, vision0, k1)
+    init = model.initial_state(params, audio0, vision0, k1)  # [I, ...]
+    init = jax.tree.map(lambda x: jnp.repeat(x, n_predictions, axis=0), init)
     seed = jax.random.randint(k2, (), 0, 2**31 - 1)
     cfg = model.cfg
     if hasattr(init, "deter_h"):  # hierarchical MTState
@@ -203,7 +303,7 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
     return recognize_digits(classifier_params, first)
 
 
-_predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=0)
+_predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=(0, 7))
 
 
 def generate_predictions_batched(
@@ -231,14 +331,13 @@ def generate_predictions_batched(
     v0 = np.stack([vision_transform(_to_nhwc(iv["image"]))[0] for iv in intervals])
     last = np.stack([iv["speaker"][-1] for iv in intervals])  # [I, A]
     P = n_predictions
-    a0r = jnp.asarray(np.repeat(a0, P, axis=0))
-    v0r = jnp.asarray(np.repeat(v0, P, axis=0))
     actions = jnp.broadcast_to(
         jnp.asarray(np.repeat(last, P, axis=0))[:, None, :],
         (len(intervals) * P, n_frames, last.shape[-1]),
     )
     fn = _predict_digits_pallas_jit if use_pallas else _predict_digits_jit
-    digits = fn(model, params, classifier_params, a0r, v0r, actions, key)
+    digits = fn(model, params, classifier_params, jnp.asarray(a0), jnp.asarray(v0),
+                actions, key, P)
     return [int(d) for d in np.asarray(digits)]
 
 

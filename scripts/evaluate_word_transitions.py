@@ -28,7 +28,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", required=True, help="checkpoint dir (uses 'best', falls back to 'last')")
-    ap.add_argument("--test-data", required=True, help="dir of labeled .npz test episodes")
+    ap.add_argument("--test-data", required=True,
+                    help="dir of labeled .npz test episodes, or of reference-"
+                         "processed act_/audio_obs_/vision_obs_*.pt episodes")
+    ap.add_argument("--use-pt-files", action="store_true", default=None,
+                    help="force the .pt layout (auto-detected by default)")
+    ap.add_argument("--npz-dir-for-labels", default=None,
+                    help="dir of sample_*.npz label files (required with .pt episodes)")
     ap.add_argument("--classifier", default="ckpts/mnist_classifier.npz")
     ap.add_argument("--mnist-root", default=None)
     ap.add_argument("--out", default="evaluation_results")
@@ -60,7 +66,10 @@ def main() -> None:
     print(f"loaded {name} checkpoint from {args.checkpoint}")
 
     classifier_params = load_or_train_classifier(args.classifier, args.mnist_root)
-    test_data = load_test_data_with_labels(args.test_data)
+    test_data = load_test_data_with_labels(
+        args.test_data, use_pt_files=args.use_pt_files,
+        npz_dir_for_labels=args.npz_dir_for_labels,
+    )
     print(f"{len(test_data)} labeled test episodes")
 
     results = evaluate_word_transitions(

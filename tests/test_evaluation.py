@@ -205,3 +205,80 @@ def test_end_to_end_eval_with_model(trained_classifier, tmp_path):
     md, js = write_results(results, tmp_path)
     assert md.exists() and js.exists()
     assert "mean MR" in md.read_text()
+
+
+def test_load_pt_episodes_with_labels(tmp_path):
+    """Reference-processed .pt layout + sample_*.npz labels loads directly
+    (reference evaluate_word_transitions_mrssm.py:51-126)."""
+    torch = pytest.importorskip("torch")
+    from multimodal_mtrssm_tpu.evaluation import load_test_data_with_labels
+
+    pt_dir = tmp_path / "processed"
+    npz_dir = tmp_path / "npz" / "test"
+    pt_dir.mkdir()
+    npz_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    T = 12
+    for idx in (0, 1):
+        torch.save(torch.tensor(rng.uniform(-80, 0, (T, 1, 32, 32)).astype(np.float32)),
+                   pt_dir / f"audio_obs_{idx:04d}.pt")
+        torch.save(torch.tensor(rng.uniform(0, 255, (T, 1, 32, 32)).astype(np.float32)),
+                   pt_dir / f"vision_obs_{idx:04d}.pt")
+        speaker = np.zeros((T, 6), np.float32)
+        speaker[:, idx] = 1.0
+        torch.save(torch.tensor(speaker), pt_dir / f"act_{idx:04d}.pt")
+        np.savez(npz_dir / f"sample_{idx:04d}.npz",
+                 label=np.full((T,), idx, np.int64))
+    # one orphan .pt without a label npz → skipped
+    torch.save(torch.tensor(np.zeros((T, 6), np.float32)), pt_dir / "act_0007.pt")
+    torch.save(torch.tensor(np.zeros((T, 1, 32, 32), np.float32)), pt_dir / "audio_obs_0007.pt")
+    torch.save(torch.tensor(np.zeros((T, 1, 32, 32), np.float32)), pt_dir / "vision_obs_0007.pt")
+
+    data = load_test_data_with_labels(pt_dir, npz_dir_for_labels=npz_dir)  # auto-detects .pt
+    assert len(data) == 2
+    for i, ep in enumerate(data):
+        assert ep["audio"].shape == (T, 32, 32)  # channel dim squeezed like the reference
+        assert ep["image"].shape == (T, 1, 32, 32)
+        assert ep["speaker"].shape == (T, 6)
+        assert (ep["label"] == i).all()
+
+    # without a label dir → empty with a warning, not a crash
+    assert load_test_data_with_labels(pt_dir) == []
+
+
+def test_batched_predictions_sample_initial_state_once_per_interval(trained_classifier):
+    """The reference samples initial_state once per interval and reuses it
+    across all n_predictions rollouts (reference :336-370); the batched path
+    must therefore call initial_state with batch I, not I*P."""
+    from multimodal_mtrssm_tpu.evaluation import generate_predictions_batched
+    from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+
+    params_clf, _ = trained_classifier
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+
+    seen = []
+    orig = MoPoEMRSSM.initial_state
+
+    def spy(self, params, audio0, vision0, key):
+        seen.append(audio0.shape[0])
+        return orig(self, params, audio0, vision0, key)
+
+    MoPoEMRSSM.initial_state = spy
+    try:
+        intervals = [
+            {k: v for k, v in make_labeled_episode([1, 2], 0, 8).items() if k != "file_path"},
+            {k: v for k, v in make_labeled_episode([2, 3], 1, 8).items() if k != "file_path"},
+            {k: v for k, v in make_labeled_episode([3, 4], 2, 8).items() if k != "file_path"},
+        ]
+        digits = generate_predictions_batched(
+            model, params, params_clf, intervals, jax.random.PRNGKey(1),
+            n_predictions=5, n_frames=3,
+        )
+    finally:
+        MoPoEMRSSM.initial_state = orig
+    assert len(digits) == 15
+    assert seen == [3]  # one call, batch = n_intervals (not intervals*predictions)
