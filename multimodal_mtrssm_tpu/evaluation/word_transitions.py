@@ -277,7 +277,7 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
             pack_mt_params,
         )
 
-        h_deter, l_deter, _, _, h_stoch, l_stoch = fused_mt_rollout_transition(
+        h_deter, l_deter, _, _, h_stoch, l_stoch, _, _ = fused_mt_rollout_transition(
             pack_mt_params(params), actions,
             (init.deter_h, init.deter_l, init.stoch_h, init.stoch_l,
              init.hidden_h, init.hidden_l),
@@ -316,7 +316,7 @@ def generate_predictions_batched(
     n_frames: int = 10,
     audio_transform: NormalizeAudioMelSpectrogram | None = None,
     vision_transform: NormalizeVisionImage | None = None,
-    use_pallas: bool = False,
+    use_pallas: bool | str = "auto",
 ) -> list[int]:
     """All intervals × samples of one word as ONE batched rollout.
 
@@ -335,7 +335,11 @@ def generate_predictions_batched(
         jnp.asarray(np.repeat(last, P, axis=0))[:, None, :],
         (len(intervals) * P, n_frames, last.shape[-1]),
     )
-    fn = _predict_digits_pallas_jit if use_pallas else _predict_digits_jit
+    from multimodal_mtrssm_tpu.ops.pallas import resolve_use_pallas
+
+    kind = "mt" if hasattr(model.cfg, "l_tau") else "mrssm"
+    pallas = resolve_use_pallas(use_pallas, kind, len(intervals) * P, n_frames)
+    fn = _predict_digits_pallas_jit if pallas else _predict_digits_jit
     digits = fn(model, params, classifier_params, jnp.asarray(a0), jnp.asarray(v0),
                 actions, key, P)
     return [int(d) for d in np.asarray(digits)]
@@ -426,12 +430,14 @@ def evaluate_word_transitions(
     seed: int = 0,
     word_set=WORD_SET,
     batched: bool = True,
-    use_pallas: bool = False,
+    use_pallas: bool | str = "auto",
 ) -> dict:
     """Run the full MR evaluation; returns the results dict (JSON-ready).
 
     ``batched=True`` runs each word's intervals × samples as one rollout;
-    ``use_pallas`` additionally routes MRSSM through the fused kernel.
+    ``use_pallas`` routes the rollout through the fused kernel — True,
+    False, or "auto" (shape-based dispatch from the measured crossovers,
+    ``ops.pallas.default_use_pallas``; XLA everywhere off-TPU).
     """
     audio_t = NormalizeAudioMelSpectrogram(audio_min, audio_max)
     vision_t = NormalizeVisionImage()

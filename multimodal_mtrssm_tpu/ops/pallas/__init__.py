@@ -1,14 +1,43 @@
 """Pallas TPU kernels for the recurrence hot paths."""
 
+import jax
+
 from multimodal_mtrssm_tpu.ops.pallas.rollout import fused_rollout_transition, pack_params
 from multimodal_mtrssm_tpu.ops.pallas.rollout_mt import (
     fused_mt_rollout_transition,
     pack_mt_params,
 )
 
+
+def default_use_pallas(kind: str, batch: int, horizon: int) -> bool:
+    """Shape-based kernel-vs-XLA dispatch for ``use_pallas="auto"``.
+
+    Crossovers measured on 1× v5e (BASELINE.md imagination tables,
+    re-measured 2026-08-16): the hierarchical (MT) kernel wins at every
+    measured shape; the MRSSM kernel wins from moderate batch·horizon up
+    (1.2-1.5×) and is a wash at tiny shapes, so "auto" keeps tiny rollouts
+    on XLA. Pallas kernels only exist for the TPU backend — any other
+    platform always gets XLA.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    if kind == "mt":
+        return True
+    return batch * horizon >= 256
+
+
+def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: int) -> bool:
+    """Resolve a ``use_pallas`` flag (True/False/"auto") to a concrete bool."""
+    if use_pallas == "auto":
+        return default_use_pallas(kind, batch, horizon)
+    return bool(use_pallas)
+
+
 __all__ = [
+    "default_use_pallas",
     "fused_mt_rollout_transition",
     "fused_rollout_transition",
     "pack_mt_params",
     "pack_params",
+    "resolve_use_pallas",
 ]

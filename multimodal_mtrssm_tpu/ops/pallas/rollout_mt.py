@@ -59,6 +59,7 @@ def _mt_rollout_kernel(
     hp1_w_ref, hp1_b_ref, hp2_w_ref, hp2_b_ref,
     # outs (blocks [C, B, ·])
     h_deter_ref, l_deter_ref, h_logits_ref, l_logits_ref, h_stoch_ref, l_stoch_ref,
+    h_hidden_ref, l_hidden_ref,
     # scratch carries
     hd_s, ld_s, hs_s, ls_s, hidh_s, hidl_s,
     *,
@@ -121,6 +122,10 @@ def _mt_rollout_kernel(
         l_logits_ref[t] = l_logits
         h_stoch_ref[t] = hs
         l_stoch_ref[t] = ls
+        # Integrator states, emitted so continuations are exact even when
+        # tanh saturates (serving.py previously recovered them via arctanh).
+        h_hidden_ref[t] = hidh
+        l_hidden_ref[t] = hidl
         return h_deter, l_deter, hs, ls, hidh, hidl
 
     carry = jax.lax.fori_loop(
@@ -151,13 +156,16 @@ def fused_mt_rollout_transition(
     chunk: int | None = None,
 ) -> tuple[jax.Array, ...]:
     """Fused hierarchical prior rollout. Returns
-    (h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch), each [B, T, ·]."""
+    (h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch, h_hidden,
+    l_hidden), each [B, T, ·] — the last two are the MTRNN integrator
+    trajectories (``deter = tanh(hidden)``), matching the XLA path's MTState
+    so chained continuations are exact even at tanh saturation."""
     B, T, A = actions.shape
     hd0, ld0, hs0, ls0, hidh0, hidl0 = (x.astype(jnp.float32) for x in init_state)
     HD, LD, HS, LS = hd0.shape[-1], ld0.shape[-1], hs0.shape[-1], ls0.shape[-1]
 
     if chunk is None:
-        chunk = max(1, min(T, 1365 // max(B, 1)))  # 6 output blocks in VMEM
+        chunk = max(1, min(T, 1024 // max(B, 1)))  # 8 output blocks in VMEM
     n_chunks = -(-T // chunk)
     T_pad = n_chunks * chunk
     actions_tm = jnp.swapaxes(actions, 0, 1).astype(jnp.float32)
@@ -181,10 +189,13 @@ def fused_mt_rollout_transition(
             jax.ShapeDtypeStruct((T_pad, B, LS), jnp.float32),
             jax.ShapeDtypeStruct((T_pad, B, HS), jnp.float32),
             jax.ShapeDtypeStruct((T_pad, B, LS), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, HD), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, LD), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), block(A)]
         + [vmem_full() for _ in range(6 + 16)],
-        out_specs=(block(HD), block(LD), block(HS), block(LS), block(HS), block(LS)),
+        out_specs=(block(HD), block(LD), block(HS), block(LS), block(HS), block(LS),
+                   block(HD), block(LD)),
         scratch_shapes=[
             pltpu.VMEM((B, HD), jnp.float32),
             pltpu.VMEM((B, LD), jnp.float32),

@@ -30,9 +30,11 @@ from multimodal_mtrssm_tpu.models.state import MTState, State
 class WorldModel:
     """A trained model + params behind jitted inference entry points."""
 
-    def __init__(self, model, params, use_pallas: bool = False):
+    def __init__(self, model, params, use_pallas: bool | str = "auto"):
         self.model = model
         self.params = params
+        # True / False / "auto" — auto picks kernel vs XLA per rollout shape
+        # from the measured crossovers (ops.pallas.default_use_pallas).
         self.use_pallas = use_pallas
         self._observe = jax.jit(self._observe_impl)
         self._imagine = jax.jit(self._imagine_impl)
@@ -41,7 +43,7 @@ class WorldModel:
     # ---- construction ------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, config_path: str | Path, checkpoint_dir: str | Path,
-                        use_pallas: bool = False) -> "WorldModel":
+                        use_pallas: bool | str = "auto") -> "WorldModel":
         from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
         from multimodal_mtrssm_tpu.train.config import load_experiment
 
@@ -67,7 +69,13 @@ class WorldModel:
                              jnp.asarray(vision_obs), key)
 
     def _imagine_impl(self, params, actions, prev_state, key):
-        if self.use_pallas and isinstance(prev_state, State):
+        from multimodal_mtrssm_tpu.ops.pallas import resolve_use_pallas
+
+        kind = "mt" if isinstance(prev_state, MTState) else "mrssm"
+        use_pallas = resolve_use_pallas(
+            self.use_pallas, kind, actions.shape[0], actions.shape[1]
+        )
+        if use_pallas and isinstance(prev_state, State):
             from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
 
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -80,7 +88,7 @@ class WorldModel:
                 deter=deters, stoch=stochs,
                 distribution=self.model._dist(logits),
             )
-        if self.use_pallas and isinstance(prev_state, MTState):
+        if use_pallas and isinstance(prev_state, MTState):
             from multimodal_mtrssm_tpu.ops.pallas import (
                 fused_mt_rollout_transition,
                 pack_mt_params,
@@ -90,22 +98,22 @@ class WorldModel:
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             init = (prev_state.deter_h, prev_state.deter_l, prev_state.stoch_h,
                     prev_state.stoch_l, prev_state.hidden_h, prev_state.hidden_l)
-            h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch = fused_mt_rollout_transition(
+            (h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch,
+             h_hidden, l_hidden) = fused_mt_rollout_transition(
                 pack_mt_params(params), actions, init, seed,
                 l_tau=cfg.l_tau, h_tau=cfg.h_tau,
                 ls_class=cfg.ls_class, ls_category=cfg.ls_category,
                 hs_class=cfg.hs_class, hs_category=cfg.hs_category,
             )
-            T = actions.shape[1]
             return MTState(
                 deter_h=h_deter, deter_l=l_deter, stoch_h=h_stoch, stoch_l=l_stoch,
                 distribution_h=self.model._h_dist(h_logits),
                 distribution_l=self.model._l_dist(l_logits),
-                # deter = tanh(hidden) exactly, so atanh recovers the
-                # integrator state for exact continuation (clipped for the
-                # asymptote; the kernel keeps hiddens internal).
-                hidden_h=jnp.arctanh(jnp.clip(h_deter, -0.999999, 0.999999)),
-                hidden_l=jnp.arctanh(jnp.clip(l_deter, -0.999999, 0.999999)),
+                # Exact integrator trajectories emitted by the kernel —
+                # chained imagine() continuations stay exact even when the
+                # tanh saturates.
+                hidden_h=h_hidden,
+                hidden_l=l_hidden,
             )
         return self.model.rollout_transition(params, actions, prev_state, key)
 

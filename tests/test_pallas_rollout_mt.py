@@ -44,6 +44,7 @@ def _np_replay(packed, actions, init, h_stochs, l_stochs, l_tau=2.0, h_tau=4.0):
     hd, ld, hs, ls, hidh, hidl = [np.asarray(x) for x in init]
     elu = lambda v: np.where(v > 0, v, np.expm1(v))  # noqa: E731
     h_deters, l_deters, h_logits_all, l_logits_all = [], [], [], []
+    h_hiddens, l_hiddens = [], []
     for t in range(actions.shape[1]):
         l_in = np.concatenate([actions[:, t], ls, hs], -1)
         hidl = (1 - 1 / l_tau) * hidl + (ld @ ld2w + ld2b + l_in @ lin2w + lin2b) / l_tau
@@ -60,30 +61,42 @@ def _np_replay(packed, actions, init, h_stochs, l_stochs, l_tau=2.0, h_tau=4.0):
         l_deters.append(l_deter)
         h_logits_all.append(h_logits)
         l_logits_all.append(l_logits)
+        h_hiddens.append(hidh.copy())
+        l_hiddens.append(hidl.copy())
     return (np.stack(h_deters, 1), np.stack(l_deters, 1),
-            np.stack(h_logits_all, 1), np.stack(l_logits_all, 1))
+            np.stack(h_logits_all, 1), np.stack(l_logits_all, 1),
+            np.stack(h_hiddens, 1), np.stack(l_hiddens, 1))
 
 
 def test_mt_kernel_matches_reference_math(setup):
     model, params, packed, actions, init = setup
-    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch = _run(packed, actions, init)
+    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch, h_hidden, l_hidden = _run(
+        packed, actions, init
+    )
     # valid one-hot blocks
     np.testing.assert_allclose(h_stoch.reshape(*h_stoch.shape[:-1], 2, 8).sum(-1), 1.0, atol=1e-6)
     np.testing.assert_allclose(l_stoch.reshape(*l_stoch.shape[:-1], 4, 4).sum(-1), 1.0, atol=1e-6)
-    rhd, rld, rhl, rll = _np_replay(packed, actions, init, h_stoch, l_stoch)
+    rhd, rld, rhl, rll, rhh, rlh = _np_replay(packed, actions, init, h_stoch, l_stoch)
     np.testing.assert_allclose(h_deter, rhd, atol=2e-5)
     np.testing.assert_allclose(l_deter, rld, atol=2e-5)
     np.testing.assert_allclose(h_logits, rhl, atol=2e-5)
     np.testing.assert_allclose(l_logits, rll, atol=2e-5)
+    # Emitted integrator trajectories are the exact hidden states (not an
+    # atanh reconstruction), so tanh(hidden) == deter and they match replay.
+    np.testing.assert_allclose(h_hidden, rhh, atol=2e-5)
+    np.testing.assert_allclose(l_hidden, rlh, atol=2e-5)
+    np.testing.assert_allclose(np.tanh(h_hidden), h_deter, atol=1e-6)
 
 
 def test_mt_kernel_chunked(setup):
     model, params, packed, actions, init = setup
     out = _run(packed, actions, init, chunk=3)  # T=7 → 3+3+ragged 1
-    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch = out
-    rhd, rld, _, _ = _np_replay(packed, actions, init, h_stoch, l_stoch)
+    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch, h_hidden, l_hidden = out
+    rhd, rld, _, _, rhh, rlh = _np_replay(packed, actions, init, h_stoch, l_stoch)
     np.testing.assert_allclose(h_deter, rhd, atol=2e-5)
     np.testing.assert_allclose(l_deter, rld, atol=2e-5)
+    np.testing.assert_allclose(h_hidden, rhh, atol=2e-5)
+    np.testing.assert_allclose(l_hidden, rlh, atol=2e-5)
 
 
 def test_mt_kernel_matches_xla_rollout(setup):
@@ -92,7 +105,7 @@ def test_mt_kernel_matches_xla_rollout(setup):
     from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot
 
     model, params, packed, actions, init = setup
-    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch = _run(packed, actions, init)
+    h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch, _, _ = _run(packed, actions, init)
     hd, ld, hs, ls, hidh, hidl = (jnp.asarray(x) for x in init)
 
     def step(carry, xs):

@@ -79,3 +79,24 @@ def test_from_checkpoint(tmp_path):
     actions, audio, vision = obs()
     posterior, _ = wm.observe(actions, audio, vision, jax.random.PRNGKey(2))
     assert posterior.feature.shape == (B, T, 48)
+
+
+def test_use_pallas_auto_dispatch():
+    """"auto" resolves per shape: XLA off-TPU always; on TPU, MT always and
+    MRSSM from the measured batch*horizon crossover up."""
+    from unittest import mock
+
+    import multimodal_mtrssm_tpu.ops.pallas as P
+
+    # Tests run on CPU: auto must always resolve to the XLA path.
+    assert P.resolve_use_pallas("auto", "mrssm", 256, 180) is False
+    assert P.resolve_use_pallas("auto", "mt", 10, 10) is False
+    # Explicit booleans pass through regardless of backend.
+    assert P.resolve_use_pallas(True, "mrssm", 1, 1) is True
+    assert P.resolve_use_pallas(False, "mt", 256, 180) is False
+    # On a TPU backend: MT always wins; MRSSM from the crossover up.
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert P.resolve_use_pallas("auto", "mt", 1, 1) is True
+        assert P.resolve_use_pallas("auto", "mrssm", 10, 10) is False
+        assert P.resolve_use_pallas("auto", "mrssm", 60, 10) is True
+        assert P.resolve_use_pallas("auto", "mrssm", 64, 30) is True
