@@ -10,7 +10,6 @@ time (steady-state capability). Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 import time
 from pathlib import Path

@@ -1,9 +1,7 @@
 """Tests: data-parallel sharding — sharded step must match single-device numerics."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.nn.conv import EncoderConfig

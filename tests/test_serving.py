@@ -1,7 +1,6 @@
 """Tests: serving WorldModel API (observe / imagine / decode / from_checkpoint)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig

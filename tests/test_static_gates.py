@@ -1,0 +1,56 @@
+"""Static-analysis gates (reference pyproject.toml:73-97 parity).
+
+Runs real ``ruff check`` / ``mypy`` when the tools are installed (they are
+configured in pyproject.toml); the in-repo AST subset
+(``multimodal_mtrssm_tpu.utils.lint``) always runs.
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+ROOTS = [
+    REPO_ROOT / "multimodal_mtrssm_tpu",
+    REPO_ROOT / "tests",
+    REPO_ROOT / "scripts",
+    REPO_ROOT / "benchmarks",
+    REPO_ROOT / "bench.py",
+    REPO_ROOT / "__graft_entry__.py",
+]
+
+
+def test_ast_lint_clean():
+    from multimodal_mtrssm_tpu.utils.lint import check_paths
+
+    findings = check_paths(ROOTS)
+    assert not findings, "\n".join(findings)
+
+
+def test_ast_lint_detects_violations(tmp_path):
+    from multimodal_mtrssm_tpu.utils.lint import check_paths
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("import os\nimport json\nimport os\nprint(json.dumps({}))\n")
+    findings = check_paths([bad])
+    assert any("F401 'os'" in f for f in findings)
+    assert any("F811" in f for f in findings)
+    ugly = tmp_path / "ugly.py"
+    ugly.write_text("def f(:\n")
+    assert any("E999" in f for f in check_paths([ugly]))
+
+
+@pytest.mark.skipif(shutil.which("ruff") is None, reason="ruff not installed in image")
+def test_ruff_clean():
+    proc = subprocess.run(["ruff", "check", "."], cwd=REPO_ROOT, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+@pytest.mark.skipif(shutil.which("mypy") is None, reason="mypy not installed in image")
+def test_mypy_clean():
+    proc = subprocess.run(
+        ["mypy", "multimodal_mtrssm_tpu"], cwd=REPO_ROOT, capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -1,7 +1,6 @@
 """Tests: ZeRO-1-style sharded optimizer state matches the replicated path."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
