@@ -52,6 +52,11 @@ class DataModuleConfig:
     audio_max: float = 0.0
     seed: int = 42
     drop_modality: str | None = None  # None | "audio" | "vision" (ZeroOut inputs)
+    # Reference DataLoader default is drop_last=False: the ragged tail batch
+    # trains/validates too. The tail is served as a separate smaller batch
+    # (one extra jit compile per distinct tail size, cached afterwards);
+    # True restores strict static-shape-only batching.
+    drop_last: bool = False
     # "multimodal" → 6-tuple batches (reference StackDataset order);
     # "audio"/"vision" → 4-tuple unimodal batches (action_in, obs_in,
     # action_tgt, obs_tgt) for the unimodal RSSM family.
@@ -197,18 +202,26 @@ class EpisodeDataModule:
             return (a_in, vi_in, a, vi)
         return (a_in, au_in, vi_in, a, au, vi)
 
+    def _batched_indices(self, idx: np.ndarray, bs: int) -> list[np.ndarray]:
+        """Split indices into full batches plus (unless drop_last) the ragged
+        tail as a smaller final batch (reference DataLoader drop_last=False:
+        every episode contributes each epoch)."""
+        if bs <= 0:
+            return []
+        n_full = len(idx) // bs
+        out = [idx[i * bs : (i + 1) * bs] for i in range(n_full)]
+        if not self.cfg.drop_last and len(idx) % bs:
+            out.append(idx[n_full * bs :])
+        return out
+
     def train_batches(self, epoch: int, device=None) -> Iterator[Batch]:
-        """Shuffled train batches for one epoch (drops the ragged tail batch,
-        like the reference DataLoader's default drop_last=False — kept:
-        we keep partial batches too when divisible; ragged tails are dropped
-        to preserve static shapes for jit)."""
+        """Shuffled train batches for one epoch."""
         self._require_setup()
         cfg = self.cfg
         bs = self.train_batch_size
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
-        n_full = len(idx) // bs
-        batches = (self._make_batch(idx[i * bs : (i + 1) * bs], rng) for i in range(n_full))
+        batches = (self._make_batch(b, rng) for b in self._batched_indices(idx, bs))
         return _device_prefetch(batches, device)
 
     def val_batches(self, device=None) -> Iterator[Batch]:
@@ -218,10 +231,10 @@ class EpisodeDataModule:
         self._require_setup()
         cfg = self.cfg
         rng = np.random.default_rng((cfg.seed, 987654321))
-        idx = self._split[1]
-        bs = self.val_batch_size
-        n_full = len(idx) // bs if bs else 0
-        batches = (self._make_batch(idx[i * bs : (i + 1) * bs], rng) for i in range(n_full))
+        batches = (
+            self._make_batch(b, rng)
+            for b in self._batched_indices(self._split[1], self.val_batch_size)
+        )
         return _device_prefetch(batches, device)
 
 
@@ -250,7 +263,12 @@ def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterat
     def worker():
         try:
             for b in batches:
-                staged = jax.device_put(b, device) if device is not None else jax.device_put(b)
+                try:
+                    staged = jax.device_put(b, device) if device is not None else jax.device_put(b)
+                except ValueError:
+                    # Ragged tail not divisible by the mesh: place unsharded
+                    # and let jit reshard (one extra compile, exact math).
+                    staged = jax.device_put(b)
                 if not _put(staged):
                     return
         finally:

@@ -38,6 +38,29 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_video(self, key: str, gif_path, fps: float = 10.0, step: int | None = None) -> None:
+        """Mirror a rendered rollout GIF to W&B (reference
+        ``logger.log_video(format="gif")``, ``callback.py:426-502``).
+        Always a no-op on the file itself — GIFs are written locally by the
+        viz callback regardless."""
+        if self._wandb is None:
+            return
+        try:
+            video = self._wandb.Video(str(gif_path), fps=int(fps), format="gif")
+            self._wandb.log({key: video}, step=step)
+        except Exception:  # mirroring must never fail a run
+            pass
+
+    def log_image(self, key: str, png_path, step: int | None = None) -> None:
+        """Mirror a rendered chart PNG to W&B (reference combined
+        ``line_series`` charts, ``callback.py:66-123``)."""
+        if self._wandb is None:
+            return
+        try:
+            self._wandb.log({key: self._wandb.Image(str(png_path))}, step=step)
+        except Exception:
+            pass
+
     def close(self) -> None:
         self._fh.close()
         if self._wandb is not None:

@@ -131,6 +131,10 @@ class PlateauScheduler:
     factor: float = 0.5
     patience: int = 50
     min_lr: float = 0.0
+    # torch ReduceLROnPlateau default relative threshold: an epoch only
+    # counts as improved when value < best * (1 - threshold), so negligible
+    # improvements do not reset patience (threshold_mode='rel').
+    threshold: float = 1e-4
     best: float = float("inf")
     bad_epochs: int = 0
     lr: float | None = None
@@ -141,7 +145,7 @@ class PlateauScheduler:
 
     def step(self, value: float) -> float:
         """Feed one epoch's monitored value; returns the (possibly reduced) LR."""
-        if value < self.best:
+        if value < self.best * (1.0 - self.threshold):
             self.best = value
             self.bad_epochs = 0
         else:
@@ -176,7 +180,9 @@ class EarlyStopping:
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.patience:
+            # Lightning stops when wait_count >= patience (one epoch earlier
+            # than a strict > comparison).
+            if self.bad_epochs >= self.patience:
                 self.should_stop = True
         return self.should_stop
 

@@ -81,7 +81,17 @@ class Trainer:
         n = len(devices)
         while tb % n != 0 or (vb and vb % n != 0):
             n -= 1
+        if n < len(devices):
+            import warnings
+
+            warnings.warn(
+                f"batch sizes (train={tb}, val={vb}) are not divisible by the "
+                f"{len(devices)}-device mesh; training on {n} device(s). Pick a "
+                f"batch size divisible by the device count to use every chip.",
+                stacklevel=2,
+            )
         self.mesh = make_mesh(devices[:n])
+        print(f"trainer mesh: {n}/{len(devices)} device(s) over 'data'")
         self.optimizer = make_optimizer(self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay)
         self.ckpt = CheckpointManager(Path(self.cfg.log_dir) / "checkpoints")
         self.logger = MetricLogger(self.cfg.log_dir, self.cfg.use_wandb, self.cfg.wandb_project)
@@ -145,28 +155,34 @@ class Trainer:
             # inside the jitted step (single RNG transfer per epoch).
             epoch_key = jax.random.fold_in(key, epoch)
             bsh = batch_sharding(self.mesh)
-            train_metrics, n_train = {}, 0
+            # Epoch means are SAMPLE-weighted (Lightning's log_dict weights
+            # by batch size), so the ragged tail batch contributes
+            # proportionally, not equally.
+            train_metrics, n_train_eps = {}, 0
             for batch in self.dm.train_batches(epoch, device=bsh):
+                bs = batch[0].shape[0]
                 params, opt_state, metrics = self._train_step(
                     params, opt_state, batch, epoch_key, global_step
                 )
-                _accumulate(train_metrics, metrics)
-                n_train += 1
+                _accumulate(train_metrics, metrics, weight=bs)
+                n_train_eps += bs
                 global_step += 1
             jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
             epoch_time = time.time() - t0
 
             val_key = jax.random.fold_in(epoch_key, 0x5EED)
-            val_metrics, n_val = {}, 0
+            val_metrics, n_val_eps, n_val = {}, 0, 0
             for batch in self.dm.val_batches(device=bsh):
-                _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val))
+                bs = batch[0].shape[0]
+                _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val), weight=bs)
+                n_val_eps += bs
                 n_val += 1
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.stop_trace()
 
-            row = {f"train/{k}": float(v) / max(n_train, 1) for k, v in train_metrics.items()}
-            row.update({f"val/{k}": float(v) / max(n_val, 1) for k, v in val_metrics.items()})
-            seq_per_s = n_train * self.dm.train_batch_size / max(epoch_time, 1e-9)
+            row = {f"train/{k}": float(v) / max(n_train_eps, 1) for k, v in train_metrics.items()}
+            row.update({f"val/{k}": float(v) / max(n_val_eps, 1) for k, v in val_metrics.items()})
+            seq_per_s = n_train_eps / max(epoch_time, 1e-9)
             row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
             self.logger.log(row, step=epoch)
             history.append(row)
@@ -215,13 +231,14 @@ class Trainer:
             if hook is not None:
                 hook(self, self.load_best_params(params))
 
-        self.logger.close()
         try:
             from multimodal_mtrssm_tpu.viz.charts import render_combined_charts
 
-            render_combined_charts(self.logger.path)
+            for png in render_combined_charts(self.logger.path) or []:
+                self.logger.log_image(f"charts/{Path(png).stem}", png)
         except Exception:  # chart rendering must never fail a run
             pass
+        self.logger.close()
         return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
 
     # ---- inference helpers -------------------------------------------------
@@ -235,8 +252,8 @@ class Trainer:
             return params_template
 
 
-def _accumulate(acc: dict, metrics: dict[str, jax.Array]) -> None:
-    """Accumulate on device (async) — the host sync happens once per epoch
-    when the row is formatted, not per step."""
+def _accumulate(acc: dict, metrics: dict[str, jax.Array], weight: float = 1.0) -> None:
+    """Accumulate weight·metric on device (async) — the host sync happens
+    once per epoch when the row is formatted, not per step."""
     for k, v in metrics.items():
-        acc[k] = acc.get(k, 0.0) + v
+        acc[k] = acc.get(k, 0.0) + weight * v

@@ -106,3 +106,30 @@ def test_datamodule_determinism_and_modality_drop(tmp_path):
     b3 = next(iter(EpisodeDataModule(cfg_drop).train_batches(epoch=0)))
     assert (np.asarray(b3[1]) == -1.0).all()  # audio input zeroed-out
     assert not (np.asarray(b3[4]) == -1.0).all()  # audio target untouched
+
+
+def test_ragged_tail_batches_served(tmp_path):
+    """drop_last=False (reference DataLoader default): the ragged tail is a
+    smaller final batch in both loaders; drop_last=True restores the old
+    static-only behavior."""
+    from multimodal_mtrssm_tpu.data import (
+        DataModuleConfig,
+        EpisodeDataModule,
+        generate_synthetic_audio_mnist,
+    )
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=5)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=4, sequence_length=3))
+    dm.setup()
+    # 11 episodes → 8 train (4+4), 3 val (3)
+    train_sizes = [b[0].shape[0] for b in dm.train_batches(0)]
+    val_sizes = [b[0].shape[0] for b in dm.val_batches()]
+    assert sum(train_sizes) == dm.n_train
+    assert sum(val_sizes) == dm.n_val
+    assert val_sizes[-1] == dm.n_val % 4 or dm.n_val % 4 == 0
+
+    dm2 = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=3, sequence_length=3,
+                                             drop_last=True))
+    dm2.setup()  # 8 train → 3+3, tail 2 dropped
+    assert [b[0].shape[0] for b in dm2.train_batches(0)] == [3, 3]

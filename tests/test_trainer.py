@@ -29,8 +29,20 @@ def test_early_stopping():
     e = EarlyStopping(patience=2)
     assert not e.step(1.0)
     assert not e.step(1.5)
-    assert not e.step(1.5)
-    assert e.step(1.5)  # third bad epoch > patience
+    assert e.step(1.5)  # second bad epoch: wait_count >= patience (Lightning)
+
+
+def test_plateau_relative_threshold():
+    """Negligible improvements must not reset patience (torch
+    ReduceLROnPlateau default rel threshold 1e-4)."""
+    s = PlateauScheduler(base_lr=1.0, factor=0.5, patience=1, threshold=1e-4)
+    assert s.step(100.0) == 1.0  # best
+    assert s.step(99.999) == 1.0  # <1e-4 relative improvement → bad 1
+    assert s.step(99.999) == 0.5  # bad 2 → reduce
+    s2 = PlateauScheduler(base_lr=1.0, factor=0.5, patience=1, threshold=1e-4)
+    s2.step(100.0)
+    assert s2.step(99.9) == 1.0  # real improvement resets
+    assert s2.bad_epochs == 0
 
 
 def test_fit_from_memmapped_pack(tmp_path):
@@ -91,3 +103,47 @@ def test_fit_two_epochs_and_resume(tmp_path):
     out2 = trainer2.fit(resume=True)
     assert len(out2["history"]) == 1  # only epoch 2 ran
     assert out2["history"][0]["epoch"] == 2
+
+
+def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch):
+    """Reference viz parity: episodes from BOTH train and val loaders, <=7
+    per stage (reference callback.py:156-210), and GIFs mirrored through the
+    W&B logger when enabled (callback.py:426-502) — asserted via a stub."""
+    import sys
+    import types
+
+    calls = []
+
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: None
+    stub.log = lambda payload, step=None: calls.append(payload)
+    stub.Video = lambda path, fps=10, format="gif": ("video", str(path))
+    stub.Image = lambda path: ("image", str(path))
+    stub.finish = lambda: None
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from multimodal_mtrssm_tpu.viz.callback import LogRSSMOutput
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=12, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    cfg = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "run"), learning_rate=3e-4,
+                        use_wandb=True)
+    viz = LogRSSMOutput(every_n_epochs=1, query_length=2, fps=5.0)
+    trainer = Trainer(small_model(), dm, cfg, callbacks=[viz])
+    trainer.fit()
+
+    viz_root = tmp_path / "run" / "viz" / "final_best"
+    train_gifs = sorted((viz_root / "train").glob("*.gif"))
+    val_gifs = sorted((viz_root / "val").glob("*.gif"))
+    assert 1 <= len(train_gifs) <= 7
+    assert 1 <= len(val_gifs) <= 7
+    # 12 episodes, 0.8 split → 9 train (capped at 7) and 3 val episodes
+    assert len(train_gifs) == 7
+    assert len(val_gifs) == 3
+    video_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "video"
+                                           for v in c.values())]
+    assert len(video_calls) >= 10  # every rendered gif mirrored
+    image_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "image"
+                                           for v in c.values())]
+    assert image_calls  # combined charts mirrored
