@@ -61,10 +61,30 @@ class DataModuleConfig:
     # "audio"/"vision" → 4-tuple unimodal batches (action_in, obs_in,
     # action_tgt, obs_tgt) for the unimodal RSSM family.
     modality: str = "multimodal"
+    # Common processed-data override dir (reference
+    # get_effective_processed_data_dir, dataset.py:136-161): when this
+    # directory holds a full episode set it takes precedence over data_dir.
+    common_processed_dir: str | Path = Path("data") / "processed_data"
     # Full per-stream transform overrides (None ⇒ reference defaults above).
     action_preprocess: Callable | None = None
     audio_preprocess: Callable | None = None
     vision_preprocess: Callable | None = None
+
+
+def effective_data_dir(cfg: "DataModuleConfig") -> Path:
+    """Reference ``get_effective_processed_data_dir`` (``dataset.py:136-161``):
+    a common processed-data directory overrides the per-dataset dir when it
+    contains a full episode set in any layout this pipeline loads directly
+    (``.npz`` episodes or a memmapped pack). Reference-format ``.pt`` dumps
+    must be converted first (``episodes.convert_reference_processed_dir``).
+    """
+    common = Path(cfg.common_processed_dir)
+    if common.exists():
+        from multimodal_mtrssm_tpu.data import pack as packmod
+
+        if packmod.has_pack(common) or ep.list_episodes(common):
+            return common
+    return Path(cfg.data_dir)
 
 
 class EpisodeDataModule:
@@ -87,9 +107,10 @@ class EpisodeDataModule:
         }
         from multimodal_mtrssm_tpu.data import pack as packmod
 
-        pack_dir = Path(cfg.data_dir) / "pack"
-        if packmod.has_pack(cfg.data_dir):
-            pack_dir = Path(cfg.data_dir)
+        data_dir = effective_data_dir(cfg)
+        pack_dir = Path(data_dir) / "pack"
+        if packmod.has_pack(data_dir):
+            pack_dir = Path(data_dir)
         if packmod.has_pack(pack_dir):
             # Memory-mapped pack: raw streams on disk; preprocessing is
             # applied per gathered batch (only the touched pages load).
@@ -97,10 +118,10 @@ class EpisodeDataModule:
             self._raw = True
             n = self._arrays["action"].shape[0]
         else:
-            paths = ep.list_episodes(cfg.data_dir)
+            paths = ep.list_episodes(data_dir)
             if not paths:
                 raise FileNotFoundError(
-                    f"no episodes under {cfg.data_dir}; generate with "
+                    f"no episodes under {data_dir}; generate with "
                     "multimodal_mtrssm_tpu.data.episodes.generate_synthetic_audio_mnist, "
                     "convert with convert_audio_mnist_npz/convert_reference_processed_dir, "
                     "or pack with data.pack.pack_episodes"

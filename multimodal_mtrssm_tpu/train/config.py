@@ -94,16 +94,41 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     margs = _init_args(model_node)
 
     data_args = _init_args(raw.get("data"))
-    dconf = data_args.get("config", data_args)
-    # TakeFirstN n / GaussianNoise std from the composed input transforms
-    # (no GaussianNoise listed ⇒ no input noise).
-    seq_len, noise_std = 30, 0.0
-    for t in _init_args(dconf.get("audio_observation_input_transform")).get("transforms", []):
-        name = _class_name(t)
-        if name == "TakeFirstN":
-            seq_len = int(_init_args(t).get("n", seq_len))
-        elif name == "GaussianNoise":
-            noise_std = float(_init_args(t).get("std", 0.1))  # transform default
+    # The config value is a flat mapping in the reference YAML but may also
+    # appear as a class_path/init_args node; unwrap either.
+    dconf = _init_args(data_args.get("config", data_args))
+    # TakeFirstN n / GaussianNoise std from the composed input transforms of
+    # ALL streams (the reference schema allows per-stream transforms on
+    # action/audio/vision alike). The model applies one device-side noise
+    # std to every input stream, so mismatched per-stream stds collapse to
+    # the first non-zero one with a warning; TakeFirstN must agree across
+    # streams (they share the scan length).
+    seq_lens: dict[str, int] = {}
+    noise_stds: dict[str, float] = {}
+    for stream in ("action", "audio_observation", "vision_observation"):
+        node = dconf.get(f"{stream}_input_transform")
+        for t in _init_args(node).get("transforms", []):
+            name = _class_name(t)
+            if name == "TakeFirstN":
+                seq_lens[stream] = int(_init_args(t).get("n", 30))
+            elif name == "GaussianNoise":
+                noise_stds[stream] = float(_init_args(t).get("std", 0.1))  # transform default
+    if len(set(seq_lens.values())) > 1:
+        raise ValueError(
+            f"TakeFirstN lengths disagree across input streams: {seq_lens} — "
+            "all streams must share one sequence length"
+        )
+    seq_len = next(iter(seq_lens.values()), 30)
+    if len(set(noise_stds.values())) > 1:
+        import warnings
+
+        warnings.warn(
+            f"per-stream GaussianNoise stds differ ({noise_stds}); this build "
+            "applies one std to all input streams — using "
+            f"{next(iter(noise_stds.values()))}",
+            stacklevel=2,
+        )
+    noise_std = next(iter(noise_stds.values()), 0.0)
 
     # Input noise runs on device inside shared_step (TPU-native home of the
     # GaussianNoise transform); the host pipeline then serves clean inputs.

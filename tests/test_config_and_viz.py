@@ -116,3 +116,84 @@ def test_viz_gif_rendering(tmp_path):
         im = Image.open(p)
         assert im.format == "GIF"
         assert getattr(im, "n_frames", 1) == T
+
+
+def test_config_scans_all_input_transform_streams(tmp_path):
+    """ADVICE r1: GaussianNoise/TakeFirstN on non-audio streams must be seen;
+    disagreeing TakeFirstN errors; disagreeing stds warn and collapse."""
+    import pytest
+
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    def write(cfg, name):
+        p = tmp_path / name
+        import yaml
+
+        p.write_text(yaml.safe_dump(cfg))
+        return p
+
+    def stream(n=None, std=None):
+        ts = []
+        if n is not None:
+            ts.append({"class_path": "multimodal_rssm.models.transform.TakeFirstN",
+                       "init_args": {"n": n}})
+        if std is not None:
+            ts.append({"class_path": "multimodal_rssm.models.transform.GaussianNoise",
+                       "init_args": {"std": std}})
+        return {"class_path": "torchvision.transforms.Compose",
+                "init_args": {"transforms": ts}}
+
+    base = {"model": {"class_path": "x.MoPoE_MRSSM", "init_args": {}}}
+
+    # noise only on the ACTION stream is still picked up
+    cfg = dict(base)
+    cfg["data"] = {"init_args": {"config": {"init_args": {
+        "action_input_transform": stream(n=12, std=0.3),
+    }}}}
+    exp = load_experiment(write(cfg, "a.yaml"))
+    assert exp.model.cfg.input_noise_std == 0.3
+    assert exp.data.sequence_length == 12
+
+    # disagreeing TakeFirstN values error
+    cfg = dict(base)
+    cfg["data"] = {"init_args": {"config": {"init_args": {
+        "action_input_transform": stream(n=10),
+        "vision_observation_input_transform": stream(n=20),
+    }}}}
+    with pytest.raises(ValueError, match="TakeFirstN"):
+        load_experiment(write(cfg, "b.yaml"))
+
+    # disagreeing stds warn and collapse to the first
+    cfg = dict(base)
+    cfg["data"] = {"init_args": {"config": {"init_args": {
+        "audio_observation_input_transform": stream(n=10, std=0.1),
+        "vision_observation_input_transform": stream(n=10, std=0.5),
+    }}}}
+    with pytest.warns(UserWarning, match="per-stream"):
+        exp = load_experiment(write(cfg, "c.yaml"))
+    assert exp.model.cfg.input_noise_std == 0.1
+
+
+def test_effective_data_dir_common_override(tmp_path, monkeypatch):
+    """Reference get_effective_processed_data_dir parity (dataset.py:136-161):
+    a populated common processed_data dir wins over data_dir."""
+    from multimodal_mtrssm_tpu.data import (
+        DataModuleConfig,
+        EpisodeDataModule,
+        generate_synthetic_audio_mnist,
+    )
+    from multimodal_mtrssm_tpu.data.pipeline import effective_data_dir
+
+    common = tmp_path / "data" / "processed_data"
+    generate_synthetic_audio_mnist(common, n_episodes=4, episode_length=5)
+    cfg = DataModuleConfig(data_dir=tmp_path / "data" / "audio_mnist", batch_size=2,
+                           sequence_length=3, common_processed_dir=common)
+    assert effective_data_dir(cfg) == common
+    dm = EpisodeDataModule(cfg)
+    dm.setup()  # loads from the common dir even though data_dir is empty
+    assert dm.n_train == 3
+
+    # empty common dir → fall back to data_dir
+    cfg2 = DataModuleConfig(data_dir=common, batch_size=2, sequence_length=3,
+                            common_processed_dir=tmp_path / "nope")
+    assert effective_data_dir(cfg2) == common
