@@ -71,3 +71,52 @@ def test_zero1_sharded_opt_matches_replicated():
     assert np.abs(diffs).max() < 10 * lr, np.abs(diffs).max()
     m_diff = np.abs(np.asarray(s1.m) - np.asarray(s2.m)[: s1.m.shape[0]])
     assert m_diff.mean() < 1e-5, m_diff.mean()
+
+
+def test_zero1_update_vector_exact():
+    """Shard-offset bugs cannot hide: with distinct non-zero moment patterns
+    and a fixed gradient, one sharded opt.update must reproduce the
+    replicated update to float32 round-off (the only cross-element op is the
+    replicated clip-norm reduction). A mis-sliced pad or wrong shard offset
+    displaces moment entries and produces O(1) relative errors here."""
+    import jax.numpy as jnp
+
+    model = small_model()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    params = model.init(jax.random.PRNGKey(0))
+
+    # Fixed deterministic gradient with per-position structure.
+    sizes = np.cumsum([0] + [np.asarray(p).size for p in jax.tree.leaves(params)])
+    leaves = [
+        jnp.sin(0.1 * (jnp.arange(np.asarray(p).size, dtype=jnp.float32) + off)).reshape(np.asarray(p).shape) * 0.01
+        for p, off in zip(jax.tree.leaves(params), sizes)
+    ]
+    grads = jax.tree.unflatten(jax.tree.structure(params), leaves)
+
+    opt_r = make_optimizer()
+    s_r = opt_r.init(params)
+    n = s_r.m.shape[0]
+    pos = jnp.arange(n, dtype=jnp.float32)
+    m_pat = jnp.sin(0.01 * pos) * 1e-3
+    v_pat = 1e-6 + 1e-4 * jnp.cos(0.02 * pos) ** 2
+    s_r = s_r._replace(m=m_pat, v=v_pat, count=jnp.asarray(3, jnp.int32))
+
+    opt_z = make_optimizer(shard_pad=n_dev)
+    p_z = replicate(params, mesh)
+    s_z = opt_z.init(p_z)
+    pad = s_z.m.shape[0]
+    s_z = s_z._replace(
+        m=jnp.zeros(pad).at[:n].set(m_pat),
+        v=jnp.zeros(pad).at[:n].set(v_pat),
+        count=jnp.asarray(3, jnp.int32),
+    )
+    s_z = shard_opt_state(s_z, mesh)
+
+    u_r, s_r2 = jax.jit(opt_r.update)(grads, s_r, params)
+    u_z, s_z2 = jax.jit(opt_z.update)(grads, s_z, p_z)
+
+    for a, b in zip(jax.tree.leaves(u_r), jax.tree.leaves(u_z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_r2.m), np.asarray(s_z2.m)[:n], rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_r2.v), np.asarray(s_z2.v)[:n], rtol=1e-6, atol=1e-15)
