@@ -35,12 +35,14 @@ V5E_PEAK_FLOPS = 197e12
 
 B, T = 8, 30
 # The axon backend does background work for ~1-2s after first execution,
-# and the chip tunnel's throughput fluctuates across seconds — so: long
-# warmup, several timing windows, report the best window (the machine's
-# steady-state capability rather than transient tunnel congestion).
+# and the chip tunnel's throughput fluctuates across MINUTES (slow phases
+# of 2-3x have been observed) — so: long warmup, many timing windows spread
+# over ~90 s, report the best window (the machine's steady-state capability
+# rather than transient tunnel congestion).
 WARMUP = 40
-WINDOWS = 5
-ITERS = 20
+WINDOWS = 12
+ITERS = 25
+WINDOW_GAP_S = 6.0
 
 
 def main() -> None:
@@ -92,13 +94,15 @@ def main() -> None:
     loss.block_until_ready()
     best_dt = float("inf")
     step_no = 100
-    for _ in range(WINDOWS):
+    for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             params, opt_state, loss = train_step(params, opt_state, batch, ks[3], step_no)
             step_no += 1
         loss.block_until_ready()
         best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
+        if w < WINDOWS - 1:
+            time.sleep(WINDOW_GAP_S)
     seq_per_s = B / best_dt
 
     result = {
