@@ -68,7 +68,9 @@ class MMTRSSMConfig:
     init_proj_activation: str = "Tanh"  # torchrl MLP default (see MRSSMConfig)
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
-    input_noise_std: float = 0.0  # device-side GaussianNoise (see MRSSMConfig)
+    # Device-side GaussianNoise; scalar or per-stream (action, audio, vision)
+    # 3-tuple (see MRSSMConfig).
+    input_noise_std: float | tuple[float, float, float] = 0.0
     remat: bool = False  # rematerialize scan step in backward (see MRSSMConfig)
     scan_unroll: int = 1  # lax.scan unroll factor (see MRSSMConfig)
     w_kl_h: float = 1.0
@@ -362,11 +364,12 @@ class MoPoEMMTRSSM:
         cfg = self.cfg
         action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
         k_init, k_roll, k_noise = jax.random.split(key, 3)
-        if cfg.input_noise_std > 0:
-            from multimodal_mtrssm_tpu.models.mrssm import _add_input_noise
+        from multimodal_mtrssm_tpu.models.mrssm import _add_input_noise, _stream_stds
 
+        stds = _stream_stds(cfg.input_noise_std)
+        if any(s > 0 for s in stds):
             action_input, audio_in, vision_in = _add_input_noise(
-                k_noise, cfg.input_noise_std, action_input, audio_in, vision_in
+                k_noise, stds, action_input, audio_in, vision_in
             )
         dt = cfg.compute_dtype
         init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)

@@ -65,7 +65,10 @@ class MRSSMConfig:
     # of the reference's host-side GaussianNoise input transform, reference
     # configs :157-220 — host generation of ~0.5M gaussians/batch costs as
     # much as the whole train step). 0 disables (host pipeline noise then).
-    input_noise_std: float = 0.0
+    # A scalar applies to all three input streams; a 3-tuple sets
+    # (action, audio, vision) stds independently, matching the reference's
+    # per-stream transform composition.
+    input_noise_std: float | tuple[float, float, float] = 0.0
     # Rematerialize the scan step in the backward pass: trades recompute for
     # O(1)-per-step activation memory — enables full-length (T=180+) training
     # at large batch (SURVEY §5.7 long-sequence story).
@@ -289,9 +292,10 @@ class MoPoEMRSSM:
         """
         action_input, audio_in, vision_in = batch[0], batch[1], batch[2]
         k_init, k_roll, k_noise = jax.random.split(key, 3)
-        if self.cfg.input_noise_std > 0:
+        stds = _stream_stds(self.cfg.input_noise_std)
+        if any(s > 0 for s in stds):
             action_input, audio_in, vision_in = _add_input_noise(
-                k_noise, self.cfg.input_noise_std, action_input, audio_in, vision_in
+                k_noise, stds, action_input, audio_in, vision_in
             )
         dt = self.cfg.compute_dtype
         init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
@@ -312,11 +316,20 @@ class MoPoEMRSSM:
         return loss_dict
 
 
-def _add_input_noise(key: jax.Array, std: float, *streams: jax.Array) -> tuple[jax.Array, ...]:
+def _stream_stds(std: float | tuple) -> tuple[float, ...]:
+    """Normalize a noise-std config value to per-stream (action, audio,
+    vision) floats."""
+    if isinstance(std, (tuple, list)):
+        return tuple(float(s) for s in std)
+    return (float(std),) * 3
+
+
+def _add_input_noise(key: jax.Array, stds, *streams: jax.Array) -> tuple[jax.Array, ...]:
     """GaussianNoise on input streams, fused on device (reference
-    ``transform.py:55-72`` applied it per-episode on host)."""
+    ``transform.py:55-72`` applied it per-episode on host). ``stds`` is one
+    float per stream; 0 leaves that stream clean."""
     keys = jax.random.split(key, len(streams))
     return tuple(
-        x + std * jax.random.normal(k, x.shape, jnp.float32).astype(x.dtype)
-        for k, x in zip(keys, streams)
+        x if s == 0 else x + s * jax.random.normal(k, x.shape, jnp.float32).astype(x.dtype)
+        for k, s, x in zip(keys, stds, streams)
     )

@@ -49,7 +49,8 @@ class RSSMConfig:
     init_proj_activation: str = "Tanh"  # torchrl MLP default (see MRSSMConfig)
     kl_coeff: float = 1.0
     use_kl_balancing: bool = True
-    input_noise_std: float = 0.0
+    # Scalar or per-stream (action, obs) 2-tuple (see MRSSMConfig).
+    input_noise_std: float | tuple[float, float] = 0.0
     remat: bool = False
     encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     decoder: DecoderConfig | None = None
@@ -181,8 +182,11 @@ class RSSM:
         cfg = self.cfg
         action_input, obs_in = batch[0], batch[1]
         k_init, k_roll, k_noise = jax.random.split(key, 3)
-        if cfg.input_noise_std > 0:
-            action_input, obs_in = _add_input_noise(k_noise, cfg.input_noise_std, action_input, obs_in)
+        from multimodal_mtrssm_tpu.models.mrssm import _stream_stds
+
+        stds = _stream_stds(cfg.input_noise_std)[:2]
+        if any(s > 0 for s in stds):
+            action_input, obs_in = _add_input_noise(k_noise, stds, action_input, obs_in)
         dt = cfg.compute_dtype
         init = self.initial_state(params, obs_in[:, 0].astype(dt), k_init)
         posterior, prior = self.rollout_representation(

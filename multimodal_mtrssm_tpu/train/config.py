@@ -99,10 +99,8 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     dconf = _init_args(data_args.get("config", data_args))
     # TakeFirstN n / GaussianNoise std from the composed input transforms of
     # ALL streams (the reference schema allows per-stream transforms on
-    # action/audio/vision alike). The model applies one device-side noise
-    # std to every input stream, so mismatched per-stream stds collapse to
-    # the first non-zero one with a warning; TakeFirstN must agree across
-    # streams (they share the scan length).
+    # action/audio/vision alike). Noise is applied on device per stream;
+    # TakeFirstN must agree across streams (they share the scan length).
     seq_lens: dict[str, int] = {}
     noise_stds: dict[str, float] = {}
     for stream in ("action", "audio_observation", "vision_observation"):
@@ -119,16 +117,13 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
             "all streams must share one sequence length"
         )
     seq_len = next(iter(seq_lens.values()), 30)
-    if len(set(noise_stds.values())) > 1:
-        import warnings
-
-        warnings.warn(
-            f"per-stream GaussianNoise stds differ ({noise_stds}); this build "
-            "applies one std to all input streams — using "
-            f"{next(iter(noise_stds.values()))}",
-            stacklevel=2,
-        )
-    noise_std = next(iter(noise_stds.values()), 0.0)
+    stds3 = (
+        noise_stds.get("action", 0.0),
+        noise_stds.get("audio_observation", 0.0),
+        noise_stds.get("vision_observation", 0.0),
+    )
+    # Scalar when uniform (the common case — keeps configs/ckpt metadata tidy).
+    noise_std = stds3[0] if len(set(stds3)) == 1 else stds3
 
     # Input noise runs on device inside shared_step (TPU-native home of the
     # GaussianNoise transform); the host pipeline then serves clean inputs.
@@ -140,7 +135,10 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     elif "MRSSM" in cls_u or not model_cls:
         model = _build_mrssm(margs, noise_std)
     elif "RSSM" in cls_u:
-        model = _build_unimodal_rssm(margs, noise_std)
+        # Unimodal models take (action, obs) stds; pick the obs stream.
+        obs_std = stds3[2] if dconf.get("modality") == "vision" else stds3[1]
+        uni_std = stds3[0] if stds3[0] == obs_std else (stds3[0], obs_std)
+        model = _build_unimodal_rssm(margs, uni_std)
     else:
         raise ValueError(f"unknown model class_path: {model_node.get('class_path')}")
 

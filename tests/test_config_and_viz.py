@@ -145,13 +145,13 @@ def test_config_scans_all_input_transform_streams(tmp_path):
 
     base = {"model": {"class_path": "x.MoPoE_MRSSM", "init_args": {}}}
 
-    # noise only on the ACTION stream is still picked up
+    # noise only on the ACTION stream is still picked up (per-stream stds)
     cfg = dict(base)
     cfg["data"] = {"init_args": {"config": {"init_args": {
         "action_input_transform": stream(n=12, std=0.3),
     }}}}
     exp = load_experiment(write(cfg, "a.yaml"))
-    assert exp.model.cfg.input_noise_std == 0.3
+    assert exp.model.cfg.input_noise_std == (0.3, 0.0, 0.0)
     assert exp.data.sequence_length == 12
 
     # disagreeing TakeFirstN values error
@@ -163,14 +163,23 @@ def test_config_scans_all_input_transform_streams(tmp_path):
     with pytest.raises(ValueError, match="TakeFirstN"):
         load_experiment(write(cfg, "b.yaml"))
 
-    # disagreeing stds warn and collapse to the first
+    # differing per-stream stds are carried through exactly
     cfg = dict(base)
     cfg["data"] = {"init_args": {"config": {"init_args": {
         "audio_observation_input_transform": stream(n=10, std=0.1),
         "vision_observation_input_transform": stream(n=10, std=0.5),
     }}}}
-    with pytest.warns(UserWarning, match="per-stream"):
-        exp = load_experiment(write(cfg, "c.yaml"))
+    exp = load_experiment(write(cfg, "c.yaml"))
+    assert exp.model.cfg.input_noise_std == (0.0, 0.1, 0.5)
+
+    # uniform stds collapse to the reference's scalar form
+    cfg = dict(base)
+    cfg["data"] = {"init_args": {"config": {"init_args": {
+        "action_input_transform": stream(n=10, std=0.1),
+        "audio_observation_input_transform": stream(n=10, std=0.1),
+        "vision_observation_input_transform": stream(n=10, std=0.1),
+    }}}}
+    exp = load_experiment(write(cfg, "d.yaml"))
     assert exp.model.cfg.input_noise_std == 0.1
 
 
