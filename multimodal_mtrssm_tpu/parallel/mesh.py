@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(devices: list | None = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -33,9 +34,61 @@ def make_mesh(devices: list | None = None, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(devs.reshape(-1), (axis_name,))
 
 
+def slice_groups(devices: list) -> list[list]:
+    """Group devices by TPU slice (``slice_index``; one group off-TPU).
+
+    Within a group, links are ICI; across groups, DCN.
+    """
+    groups: dict[int, list] = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+    return [groups[k] for k in sorted(groups)]
+
+
+def make_hybrid_mesh(
+    devices: list | None = None,
+    dcn_size: int | None = None,
+    dcn_axis: str = DCN_AXIS,
+    axis_name: str = DATA_AXIS,
+) -> Mesh:
+    """2-D ``(dcn, data)`` mesh for multi-slice pods: the inner ``data`` axis
+    stays within one slice (ICI), the outer ``dcn`` axis crosses slices.
+
+    Both axes carry data parallelism; the split matters for WHERE collectives
+    run: anything annotated over ``data`` only (e.g. ZeRO-1 moment shards and
+    their parameter-step all-gather) rides ICI, while only the gradient psum
+    crosses DCN — the layout recipe from the scaling-book mental model.
+
+    ``dcn_size=None`` auto-detects slices (1-D ``data`` mesh when there is
+    only one); an explicit ``dcn_size`` forces the outer dimension, which is
+    how the virtual CPU mesh tests a simulated 2-slice pod.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if dcn_size is None:
+        groups = slice_groups(devs)
+        if len(groups) <= 1:
+            return make_mesh(devs, axis_name)
+        sizes = {len(g) for g in groups}
+        if len(sizes) != 1:
+            raise ValueError(f"unequal slice sizes {sorted(sizes)}; pass dcn_size explicitly")
+        dcn_size = len(groups)
+        devs = [d for g in groups for d in g]
+    if len(devs) % dcn_size:
+        raise ValueError(f"{len(devs)} devices not divisible by dcn_size={dcn_size}")
+    arr = np.asarray(devs).reshape(dcn_size, -1)
+    return Mesh(arr, (dcn_axis, axis_name))
+
+
+def ici_size(mesh: Mesh, axis_name: str = DATA_AXIS) -> int:
+    """Size of the within-slice (ICI) axis — the ZeRO-1 shard count."""
+    return mesh.shape[axis_name]
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard axis 0 (batch) across the data axis."""
-    return NamedSharding(mesh, P(axis_name))
+    """Shard axis 0 (batch) across every mesh axis (pure DP: on a hybrid
+    mesh the batch splits over slices and chips alike)."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P(names if len(names) > 1 else axis_name))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -160,6 +160,8 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         log_dir=str(raw.get("log_dir", f"runs/{logger_args.get('project', 'default')}")),
         use_wandb=bool(raw.get("use_wandb", False)),
         wandb_project=logger_args.get("project"),
+        zero1=bool(trainer_node.get("zero1", False)),
+        dcn_size=trainer_node.get("dcn_size"),
     )
 
     audio_pre = _init_args(dconf.get("audio_observation_preprocess"))

@@ -54,6 +54,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     shard_pad: int = 1,
+    moment_sharding=None,
 ) -> FusedAdamW:
     """See :class:`FusedAdamW`.
 
@@ -61,7 +62,13 @@ def make_optimizer(
     be placed with a ``data``-sharded ``NamedSharding`` (ZeRO-1-style: each
     chip holds 1/n of the optimizer state; XLA inserts the dynamic-slice of
     the replicated gradient and the all-gather of the parameter step from
-    the sharding annotations alone). Use ``shard_pad=mesh size``.
+    the sharding annotations alone). Use ``shard_pad=mesh size`` (the ICI
+    axis size on a hybrid mesh).
+
+    ``moment_sharding`` (a ``NamedSharding``) pins the updated m/v inside the
+    jitted step via ``with_sharding_constraint`` — without it GSPMD is free
+    to re-replicate the moments on some meshes (observed on hybrid
+    (dcn, data) meshes), silently dropping the ZeRO-1 memory saving.
     """
 
     def _pad(x: jax.Array) -> jax.Array:
@@ -90,6 +97,9 @@ def make_optimizer(
         count = state.count + 1
         m = b1 * state.m + (1.0 - b1) * g
         v = b2 * state.v + (1.0 - b2) * g * g
+        if moment_sharding is not None:
+            m = jax.lax.with_sharding_constraint(m, moment_sharding)
+            v = jax.lax.with_sharding_constraint(v, moment_sharding)
         t = count.astype(jnp.float32)
         mh = m / (1.0 - b1**t)
         vh = v / (1.0 - b2**t)

@@ -28,7 +28,12 @@ from typing import Any
 import jax
 
 from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
-from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from multimodal_mtrssm_tpu.parallel.mesh import (
+    batch_sharding,
+    ici_size,
+    make_hybrid_mesh,
+    replicate,
+)
 from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
 from multimodal_mtrssm_tpu.train.metrics import MetricLogger
 from multimodal_mtrssm_tpu.train.optim import (
@@ -54,6 +59,17 @@ class TrainerConfig:
     wandb_project: str | None = None
     profile_epoch: int | None = None  # jax.profiler trace of this epoch
     checkpoint_every_n_epochs: int = 10
+    # ZeRO-1: shard the flat optimizer moment vectors over the within-slice
+    # (ICI) mesh axis instead of replicating them. Pointless at the
+    # reference's ~100k params; real memory relief for config-scaled models
+    # (bench_large.py's 27M-param config: 2/n of a param-sized buffer pair
+    # per chip).
+    zero1: bool = False
+    # Multi-slice pods: outer DCN mesh dimension. None auto-detects TPU
+    # slices (1-D data mesh when single-slice); an explicit value forces a
+    # (dcn, data) hybrid mesh — gradients psum across DCN, ZeRO-1 state and
+    # its all-gather stay on ICI.
+    dcn_size: int | None = None
 
 
 class Trainer:
@@ -90,9 +106,23 @@ class Trainer:
                 f"batch size divisible by the device count to use every chip.",
                 stacklevel=2,
             )
-        self.mesh = make_mesh(devices[:n])
-        print(f"trainer mesh: {n}/{len(devices)} device(s) over 'data'")
-        self.optimizer = make_optimizer(self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay)
+        self.mesh = make_hybrid_mesh(devices[:n], dcn_size=self.cfg.dcn_size)
+        print(
+            f"trainer mesh: {n}/{len(devices)} device(s), "
+            + " × ".join(f"{self.mesh.shape[a]} {a}" for a in self.mesh.axis_names)
+        )
+        if self.cfg.zero1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            zero1_kw = dict(
+                shard_pad=ici_size(self.mesh),
+                moment_sharding=NamedSharding(self.mesh, PartitionSpec("data")),
+            )
+        else:
+            zero1_kw = {}
+        self.optimizer = make_optimizer(
+            self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay, **zero1_kw
+        )
         self.ckpt = CheckpointManager(Path(self.cfg.log_dir) / "checkpoints")
         self.logger = MetricLogger(self.cfg.log_dir, self.cfg.use_wandb, self.cfg.wandb_project)
         self._build_steps()
@@ -121,6 +151,14 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
 
+    def _place_opt_state(self, opt_state):
+        """Replicate, or shard the moment vectors over ICI when ZeRO-1 is on."""
+        if self.cfg.zero1:
+            from multimodal_mtrssm_tpu.train.optim import shard_opt_state
+
+            return shard_opt_state(opt_state, self.mesh)
+        return replicate(opt_state, self.mesh)
+
     # ---- fit -----------------------------------------------------------------
     def fit(self, resume: bool = False) -> dict[str, Any]:
         cfg = self.cfg
@@ -129,7 +167,7 @@ class Trainer:
         params = self.model.init(k_init)
         opt_state = self.optimizer.init(params)
         params = replicate(params, self.mesh)
-        opt_state = replicate(opt_state, self.mesh)
+        opt_state = self._place_opt_state(opt_state)
         scheduler = PlateauScheduler(cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience)
         early_stop = EarlyStopping(cfg.early_stop_patience)
         start_epoch = 0
@@ -138,7 +176,7 @@ class Trainer:
         if resume and self.ckpt.exists("last"):
             state, aux = self.ckpt.restore("last", {"params": params, "opt_state": opt_state})
             params = replicate(state["params"], self.mesh)
-            opt_state = replicate(state["opt_state"], self.mesh)
+            opt_state = self._place_opt_state(state["opt_state"])
             scheduler = PlateauScheduler.from_state_dict(aux["scheduler"])
             early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
             start_epoch = aux["epoch"] + 1

@@ -105,3 +105,50 @@ def test_bench_scaling_script(tmp_path):
     assert all(np.isfinite(p["loss"]) for p in points)
     summary = [r for r in rows if r.get("metric") == "dp_scaling_efficiency"]
     assert summary and "2" in summary[0]["curve"]
+
+
+def test_hybrid_mesh_matches_single_device():
+    """(dcn, data) hybrid mesh: batch sharded over both axes, ZeRO-1 moments
+    sharded over the within-slice axis only — numerics must match the
+    unsharded step."""
+    from multimodal_mtrssm_tpu.parallel import batch_sharding, ici_size, make_hybrid_mesh
+    from multimodal_mtrssm_tpu.train.optim import shard_opt_state
+
+    model = small_model()
+    batch = make_batch(8, 3)
+    key = jax.random.PRNGKey(3)
+
+    mesh = make_hybrid_mesh(dcn_size=2)  # simulated 2-slice pod on 8 CPUs
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.shape["dcn"] == 2 and ici_size(mesh) == 4
+
+    opt = make_optimizer(shard_pad=ici_size(mesh))
+
+    def train_step(p, st, b, k):
+        loss, g = jax.value_and_grad(lambda q: model.shared_step(q, b, k)["loss"])(p)
+        u, st = opt.update(g, st, p)
+        return jax.tree.map(lambda a, b_: a + b_, p, u), st, loss
+
+    f = jax.jit(train_step)
+
+    p1 = model.init(jax.random.PRNGKey(0))
+    p1, s1, l1 = f(p1, opt.init(p1), batch, key)
+
+    p2 = replicate(model.init(jax.random.PRNGKey(0)), mesh)
+    s2 = shard_opt_state(opt.init(p2), mesh)
+    bsh = batch_sharding(mesh)
+    batch_s = tuple(jax.device_put(x, bsh) for x in batch)
+    assert "dcn" in str(batch_s[0].sharding.spec) and "data" in str(batch_s[0].sharding.spec)
+    assert str(s2.m.sharding.spec) == "PartitionSpec('data',)"  # ICI only
+    p2, s2, l2 = f(p2, s2, batch_s, key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hybrid_mesh_single_slice_is_flat():
+    from multimodal_mtrssm_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh()  # CPU devices: one slice group → 1-D mesh
+    assert mesh.axis_names == ("data",)

@@ -147,3 +147,30 @@ def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch
     image_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "image"
                                            for v in c.values())]
     assert image_calls  # combined charts mirrored
+
+
+def test_fit_zero1_hybrid_mesh_matches_replicated(tmp_path):
+    """TrainerConfig(zero1=True, dcn_size=2): moments sharded over the
+    within-slice axis, training numerics equal to the replicated run
+    (batch 8 divides the 8-device mesh, so both runs use every device)."""
+    data_dir = tmp_path / "data"
+    # 40 episodes → 32 train / 8 val: both batch sizes divide the 8-device
+    # mesh, so the divisibility loop keeps every device.
+    generate_synthetic_audio_mnist(data_dir, n_episodes=40, episode_length=6)
+
+    def run(log_dir, **kw):
+        dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=8, sequence_length=3))
+        cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / log_dir), learning_rate=3e-4, **kw)
+        tr = Trainer(small_model(), dm, cfg)
+        return tr, tr.fit()
+
+    tr_z, out_z = run("zero1", zero1=True, dcn_size=2)
+    assert tr_z.mesh.axis_names == ("dcn", "data")
+    assert str(out_z["opt_state"].m.sharding.spec) == "PartitionSpec('data',)"
+    assert np.isfinite(out_z["history"][-1]["train/loss"])
+
+    _, out_r = run("repl")
+    # f32 moment math reassociates across shards; losses agree tightly.
+    np.testing.assert_allclose(
+        out_z["history"][-1]["train/loss"], out_r["history"][-1]["train/loss"], rtol=1e-4
+    )
