@@ -162,6 +162,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         wandb_project=logger_args.get("project"),
         zero1=bool(trainer_node.get("zero1", False)),
         dcn_size=trainer_node.get("dcn_size"),
+        accumulate_grad_batches=int(trainer_node.get("accumulate_grad_batches", 1)),
     )
 
     audio_pre = _init_args(dconf.get("audio_observation_preprocess"))

@@ -26,6 +26,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
 from multimodal_mtrssm_tpu.parallel.mesh import (
@@ -59,6 +60,11 @@ class TrainerConfig:
     wandb_project: str | None = None
     profile_epoch: int | None = None  # jax.profiler trace of this epoch
     checkpoint_every_n_epochs: int = 10
+    # Lightning Trainer.accumulate_grad_batches: optimizer steps every N
+    # batches on the mean of the window's gradients (clip applies to the
+    # accumulated gradient, matching Lightning). 1 = the fused
+    # grad+update step (the fast path).
+    accumulate_grad_batches: int = 1
     # ZeRO-1: shard the flat optimizer moment vectors over the within-slice
     # (ICI) mesh axis instead of replicating them. Pointless at the
     # reference's ~100k params; real memory relief for config-scaled models
@@ -148,8 +154,28 @@ class Trainer:
         def val_step(params, batch, key, step):
             return model.shared_step(params, batch, jax.random.fold_in(key, step))
 
+        def grad_step(params, acc, batch, key, step):
+            key = jax.random.fold_in(key, step)
+
+            def loss_fn(p):
+                d = model.shared_step(p, batch, key)
+                return d["loss"], d
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+            acc = jax.tree.map(lambda a, g: a + g, acc, grads)
+            return acc, metrics
+
+        def apply_step(params, opt_state, acc, n_batches):
+            grads = jax.tree.map(lambda g: g / n_batches, acc)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
+        self._grad_step = jax.jit(grad_step, donate_argnums=(1,))
+        self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+        self._zero_grads = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
 
     def _place_opt_state(self, opt_state):
         """Replicate, or shard the moment vectors over ICI when ZeRO-1 is on."""
@@ -197,14 +223,32 @@ class Trainer:
             # by batch size), so the ragged tail batch contributes
             # proportionally, not equally.
             train_metrics, n_train_eps = {}, 0
+            accum = max(1, cfg.accumulate_grad_batches)
+            acc_grads, window = None, 0
             for batch in self.dm.train_batches(epoch, device=bsh):
                 bs = batch[0].shape[0]
-                params, opt_state, metrics = self._train_step(
-                    params, opt_state, batch, epoch_key, global_step
-                )
+                if accum == 1:
+                    params, opt_state, metrics = self._train_step(
+                        params, opt_state, batch, epoch_key, global_step
+                    )
+                else:
+                    if acc_grads is None:
+                        acc_grads = self._zero_grads(params)
+                    acc_grads, metrics = self._grad_step(
+                        params, acc_grads, batch, epoch_key, global_step
+                    )
+                    window += 1
+                    if window == accum:
+                        params, opt_state = self._apply_step(
+                            params, opt_state, acc_grads, float(window)
+                        )
+                        acc_grads, window = None, 0
                 _accumulate(train_metrics, metrics, weight=bs)
                 n_train_eps += bs
                 global_step += 1
+            if acc_grads is not None and window:
+                # Lightning steps on the epoch's leftover window too.
+                params, opt_state = self._apply_step(params, opt_state, acc_grads, float(window))
             jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
             epoch_time = time.time() - t0
 

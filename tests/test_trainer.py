@@ -174,3 +174,24 @@ def test_fit_zero1_hybrid_mesh_matches_replicated(tmp_path):
     np.testing.assert_allclose(
         out_z["history"][-1]["train/loss"], out_r["history"][-1]["train/loss"], rtol=1e-4
     )
+
+
+def test_accumulate_grad_batches(tmp_path):
+    """Lightning Trainer.accumulate_grad_batches semantics: one optimizer
+    step per window (+ the leftover window), gradients averaged over it."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=7, episode_length=6)
+    # 5 train episodes / batch 1 → 5 batches; accum=2 → steps at batch
+    # 2 and 4, plus the leftover single-batch window = 3 steps/epoch.
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=1, sequence_length=3))
+    cfg = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "run"),
+                        learning_rate=3e-4, accumulate_grad_batches=2)
+    out = Trainer(small_model(), dm, cfg).fit()
+    assert np.isfinite(out["history"][0]["train/loss"])
+    assert int(out["opt_state"].count) == 3  # optimizer steps, not batches
+
+    # deterministic across runs with accumulation on
+    cfg2 = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "run2"),
+                         learning_rate=3e-4, accumulate_grad_batches=2)
+    out2 = Trainer(small_model(), dm, cfg2).fit()
+    assert out["history"][0]["train/loss"] == out2["history"][0]["train/loss"]
