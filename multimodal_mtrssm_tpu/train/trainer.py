@@ -45,6 +45,41 @@ from multimodal_mtrssm_tpu.train.optim import (
 )
 
 
+class _PreemptionGuard:
+    """SIGTERM → finish the in-flight step, checkpoint, exit cleanly.
+
+    Preemptible/spot TPU VMs deliver SIGTERM with a grace window; the
+    reference (Lightning defaults) would die mid-epoch and lose everything
+    since its last best-checkpoint. Here the fit loop polls ``flagged``
+    after every batch and saves an exact-resume ``last`` checkpoint before
+    returning. The previous handler is restored on exit; non-main-thread
+    use (where signals can't be installed) degrades to a no-op guard.
+    """
+
+    def __init__(self):
+        self.flagged = False
+        self._prev = None
+
+    def __enter__(self):
+        import signal
+
+        def _handler(signum, frame):
+            self.flagged = True
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, _handler)
+        except ValueError:  # not the main thread
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     max_epochs: int = 100
@@ -211,6 +246,8 @@ class Trainer:
 
         history = []
         global_step = 0
+        preempt = _PreemptionGuard()
+        preempt.__enter__()
         for epoch in range(start_epoch, cfg.max_epochs):
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
@@ -246,9 +283,27 @@ class Trainer:
                 _accumulate(train_metrics, metrics, weight=bs)
                 n_train_eps += bs
                 global_step += 1
+                if preempt.flagged:
+                    break
             if acc_grads is not None and window:
                 # Lightning steps on the epoch's leftover window too.
                 params, opt_state = self._apply_step(params, opt_state, acc_grads, float(window))
+            if preempt.flagged:
+                # Preemption (SIGTERM): save an exact-resume checkpoint for
+                # the last COMPLETED epoch and stop; resume=True re-runs the
+                # interrupted one.
+                self.ckpt.save(
+                    "last",
+                    {"params": params, "opt_state": opt_state},
+                    {
+                        "epoch": epoch - 1,
+                        "best_val": best_val,
+                        "scheduler": scheduler.state_dict(),
+                        "early_stop": early_stop.state_dict(),
+                    },
+                )
+                print(f"preemption: saved exact-resume checkpoint at epoch {epoch - 1}, stopping")
+                break
             jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
             epoch_time = time.time() - t0
 
@@ -306,6 +361,7 @@ class Trainer:
                 )
                 break
 
+        preempt.__exit__()
         # Reference on_train_end hook: final viz/cleanup with the BEST
         # checkpoint, also after early stopping (reference callback.py:194-210).
         for cb in self.callbacks:

@@ -195,3 +195,35 @@ def test_accumulate_grad_batches(tmp_path):
                          learning_rate=3e-4, accumulate_grad_batches=2)
     out2 = Trainer(small_model(), dm, cfg2).fit()
     assert out["history"][0]["train/loss"] == out2["history"][0]["train/loss"]
+
+
+def test_preemption_sigterm_saves_exact_resume(tmp_path):
+    """SIGTERM mid-run (spot/preemptible TPU) → the fit loop finishes the
+    in-flight step, saves an exact-resume 'last' checkpoint, and returns;
+    resume=True re-runs the interrupted epoch and completes the run."""
+    import os
+    import signal
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+
+    class PreemptAfterEpoch1:
+        def __call__(self, trainer, epoch, params, row):
+            if epoch == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    cfg = TrainerConfig(max_epochs=50, log_dir=str(tmp_path / "run"), learning_rate=3e-4,
+                        checkpoint_every_n_epochs=1000)  # periodic saves off
+    model = small_model()
+    trainer = Trainer(model, dm, cfg, callbacks=[PreemptAfterEpoch1()])
+    out = trainer.fit()
+    # Signal lands during epoch 2's batch loop → epochs 0..1 complete.
+    assert len(out["history"]) == 2
+    assert trainer.ckpt.exists("last")
+    # default SIGTERM disposition restored after fit
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    cfg2 = TrainerConfig(max_epochs=4, log_dir=str(tmp_path / "run"), learning_rate=3e-4)
+    out2 = Trainer(model, dm, cfg2).fit(resume=True)
+    assert [r["epoch"] for r in out2["history"]] == [2, 3]
