@@ -1,0 +1,172 @@
+"""HTTP inference server: the deployment surface over ``serving.WorldModel``.
+
+The reference has no serving layer at all (SURVEY §1: "no serving layer");
+this stands a trained world model behind a small JSON-over-HTTP API so
+non-JAX clients can drive observe → imagine → decode loops:
+
+- ``GET  /healthz``            → model class, param count, device platform.
+- ``POST /observe``            → filter an observation batch; returns a
+  ``state_id`` handle for the final posterior latent (and, with
+  ``"decode": true``, the posterior reconstructions).
+- ``POST /imagine``            → prior-only rollout from a ``state_id``
+  under an action plan; returns decoded frames (``"decode": true``,
+  default) and a new ``state_id`` for chained continuation.
+
+Arrays travel as JSON nested lists (the payloads are 32×32 frames — a few
+hundred KB; no binary framing needed at this scale). Latent states never
+leave the device: the server keeps them in a bounded LRU store and hands
+out opaque ids, so a continuation costs one handle instead of a
+host→device round trip of the whole latent.
+
+Run: ``python scripts/serve.py --config configs/mopoe_mrssm.yaml
+--checkpoint runs/x/checkpoints [--port 8000]``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+
+class _StateStore:
+    """Bounded LRU map: state_id → on-device latent state."""
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self._d: OrderedDict[str, object] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def put(self, state) -> str:
+        sid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self._d[sid] = state
+            while len(self._d) > self.capacity:
+                self._d.popitem(last=False)
+        return sid
+
+    def get(self, sid: str):
+        with self._lock:
+            state = self._d.get(sid)
+            if state is not None:
+                self._d.move_to_end(sid)
+            return state
+
+
+class InferenceServer:
+    """Serve a ``WorldModel`` over HTTP. ``port=0`` picks a free port
+    (exposed as ``.port`` after construction)."""
+
+    def __init__(self, world_model, host: str = "127.0.0.1", port: int = 8000,
+                 state_capacity: int = 64):
+        self.wm = world_model
+        self.states = _StateStore(state_capacity)
+        # One lock around device work: requests serialize on the chip anyway;
+        # this keeps jit-cache/state interactions race-free under the
+        # threading server.
+        self._device_lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet; observability is JSONL/W&B
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, server._health())
+                else:
+                    self._send(404, {"error": f"unknown route {self.path}"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": f"bad request body: {e}"})
+                    return
+                try:
+                    if self.path == "/observe":
+                        self._send(200, server._observe(req))
+                    elif self.path == "/imagine":
+                        self._send(200, server._imagine(req))
+                    else:
+                        self._send(404, {"error": f"unknown route {self.path}"})
+                except KeyError as e:
+                    self._send(404, {"error": f"unknown state_id {e}"})
+                except (ValueError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ---- endpoints -----------------------------------------------------------
+    def _health(self) -> dict:
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.wm.params))
+        return {
+            "ok": True,
+            "model": type(self.wm.model).__name__,
+            "n_params": n_params,
+            "platform": jax.devices()[0].platform,
+        }
+
+    def _observe(self, req: dict) -> dict:
+        actions = np.asarray(req["actions"], np.float32)
+        audio = np.asarray(req["audio"], np.float32)
+        vision = np.asarray(req["vision"], np.float32)
+        key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        with self._device_lock:
+            posterior, _ = self.wm.observe(actions, audio, vision, key)
+            last = posterior[:, -1]
+            sid = self.states.put(last)
+            out = {"state_id": sid, "batch": int(actions.shape[0]),
+                   "t": int(actions.shape[1])}
+            if req.get("decode", False):
+                out["recon"] = _frames_to_json(self.wm.decode(posterior))
+        return out
+
+    def _imagine(self, req: dict) -> dict:
+        state = self.states.get(str(req["state_id"]))
+        if state is None:
+            raise KeyError(req["state_id"])
+        actions = np.asarray(req["actions"], np.float32)
+        key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        with self._device_lock:
+            imagined = self.wm.imagine(actions, state, key)
+            sid = self.states.put(imagined[:, -1])
+            out = {"state_id": sid, "t": int(actions.shape[1])}
+            if req.get("decode", True):
+                out["frames"] = _frames_to_json(self.wm.decode(imagined))
+        return out
+
+    # ---- lifecycle -----------------------------------------------------------
+    def start(self) -> None:
+        """Serve in a daemon thread (returns immediately)."""
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+def _frames_to_json(decoded: dict) -> dict:
+    return {k: np.asarray(v, np.float32).tolist() for k, v in decoded.items()}

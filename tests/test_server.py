@@ -1,0 +1,82 @@
+"""Tests: HTTP inference server (observe → imagine → decode over JSON)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+from multimodal_mtrssm_tpu.server import InferenceServer
+from multimodal_mtrssm_tpu.serving import WorldModel
+
+
+@pytest.fixture(scope="module")
+def server():
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=16))
+    wm = WorldModel(model, model.init(jax.random.PRNGKey(0)), use_pallas=False)
+    srv = InferenceServer(wm, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, route, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{route}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["model"] == "MoPoEMRSSM" and h["n_params"] > 0
+
+
+def test_observe_then_chained_imagine(server):
+    B, T = 2, 3
+    rng = np.random.default_rng(0)
+    obs = {
+        "actions": rng.normal(size=(B, T, 6)).tolist(),
+        "audio": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).tolist(),
+        "vision": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).tolist(),
+        "seed": 1,
+        "decode": True,
+    }
+    out = _post(server, "/observe", obs)
+    assert out["batch"] == B and out["t"] == T
+    recon = np.asarray(out["recon"]["recon/vision"])
+    assert recon.shape == (B, T, 32, 32, 1)
+
+    # imagine from the stored posterior latent, then CHAIN from the new id
+    im = _post(server, "/imagine", {
+        "state_id": out["state_id"],
+        "actions": rng.normal(size=(B, 4, 6)).tolist(),
+        "seed": 2,
+    })
+    frames = np.asarray(im["frames"]["recon/audio"])
+    assert frames.shape == (B, 4, 32, 32, 1)
+    im2 = _post(server, "/imagine", {
+        "state_id": im["state_id"],
+        "actions": rng.normal(size=(B, 2, 6)).tolist(),
+        "decode": False,
+    })
+    assert "frames" not in im2 and im2["state_id"] != im["state_id"]
+
+
+def test_unknown_state_and_route(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/imagine", {"state_id": "nope", "actions": [[[0.0] * 6]]})
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/nonsense", {})
+    assert e.value.code == 404
