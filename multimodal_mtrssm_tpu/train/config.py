@@ -78,6 +78,34 @@ def _decoder_cfg(node: dict | None, in_features: int) -> DecoderConfig:
     return DecoderConfig.from_dict({k: v for k, v in cfg.items() if k in known})
 
 
+def _scheduler_spec(node: dict | None) -> dict | None:
+    """Map a YAML ``lr_scheduler`` node (torch/Lightning ``class_path``) to a
+    :func:`multimodal_mtrssm_tpu.train.optim.make_scheduler` spec.
+
+    ``ReduceLROnPlateau`` (the reference default, ``configs/default.yaml:
+    108-114``) returns None — the Trainer builds plateau from the separately
+    parsed factor/patience. Unknown scheduler classes warn and fall back to
+    plateau rather than silently training with a different schedule name.
+    """
+    name = _class_name(node)
+    if not name or "ReduceLROnPlateau" in name:
+        return None
+    args = _init_args(node)
+    if "CosineAnnealing" in name:
+        return {"kind": "cosine", "t_max": int(args.get("T_max", 100)),
+                "eta_min": float(args.get("eta_min", 0.0))}
+    if "StepLR" in name:
+        return {"kind": "step", "step_size": int(args.get("step_size", 30)),
+                "gamma": float(args.get("gamma", 0.1))}
+    if "ExponentialLR" in name:
+        return {"kind": "exponential", "gamma": float(args.get("gamma", 0.95))}
+    import warnings
+
+    warnings.warn(f"unsupported lr_scheduler class {name!r}; using ReduceLROnPlateau",
+                  stacklevel=2)
+    return None
+
+
 def _find_callback(callbacks: list, name: str) -> dict:
     for cb in callbacks or []:
         if _class_name(cb).endswith(name):
@@ -145,6 +173,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     trainer_node = raw.get("trainer", {})
     callbacks = trainer_node.get("callbacks", [])
     sched = _init_args(raw.get("lr_scheduler"))
+    sched_spec = _scheduler_spec(raw.get("lr_scheduler"))
     early = _find_callback(callbacks, "EarlyStopping")
     viz_args = _find_callback(callbacks, "Output")  # LogMoPoE*Output
     logger_args = _init_args(trainer_node.get("logger"))
@@ -163,6 +192,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         zero1=bool(trainer_node.get("zero1", False)),
         dcn_size=trainer_node.get("dcn_size"),
         accumulate_grad_batches=int(trainer_node.get("accumulate_grad_batches", 1)),
+        lr_scheduler=sched_spec,
     )
 
     audio_pre = _init_args(dconf.get("audio_observation_preprocess"))

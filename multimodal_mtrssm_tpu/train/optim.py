@@ -174,6 +174,135 @@ class PlateauScheduler:
 
 
 @dataclasses.dataclass
+class CosineAnnealingScheduler:
+    """torch ``CosineAnnealingLR`` epoch semantics: the LR used in epoch t is
+    ``eta_min + (base−eta_min)·(1+cos(π·t/T_max))/2`` — periodic past T_max,
+    exactly like torch (no clamp; set T_max = max_epochs for one half-wave)."""
+
+    base_lr: float
+    t_max: int
+    eta_min: float = 0.0
+    epoch: int = 0
+    lr: float | None = None
+
+    def __post_init__(self):
+        if self.lr is None:
+            self.lr = self._at(self.epoch)
+
+    def _at(self, t: int) -> float:
+        import math
+
+        return self.eta_min + (self.base_lr - self.eta_min) * (1 + math.cos(math.pi * t / self.t_max)) / 2
+
+    def step(self, value: float) -> float:  # monitored value unused
+        self.epoch += 1
+        self.lr = self._at(self.epoch)
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"kind": "cosine", **dataclasses.asdict(self)}
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "CosineAnnealingScheduler":
+        return cls(**{k: v for k, v in d.items() if k != "kind"})
+
+
+@dataclasses.dataclass
+class StepScheduler:
+    """torch ``StepLR``: lr = base·gamma^(epoch // step_size)."""
+
+    base_lr: float
+    step_size: int
+    gamma: float = 0.1
+    epoch: int = 0
+    lr: float | None = None
+
+    def __post_init__(self):
+        if self.lr is None:
+            self.lr = self.base_lr * self.gamma ** (self.epoch // self.step_size)
+
+    def step(self, value: float) -> float:
+        self.epoch += 1
+        self.lr = self.base_lr * self.gamma ** (self.epoch // self.step_size)
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"kind": "step", **dataclasses.asdict(self)}
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "StepScheduler":
+        return cls(**{k: v for k, v in d.items() if k != "kind"})
+
+
+@dataclasses.dataclass
+class ExponentialScheduler:
+    """torch ``ExponentialLR``: lr = base·gamma^epoch."""
+
+    base_lr: float
+    gamma: float
+    epoch: int = 0
+    lr: float | None = None
+
+    def __post_init__(self):
+        if self.lr is None:
+            self.lr = self.base_lr * self.gamma ** self.epoch
+
+    def step(self, value: float) -> float:
+        self.epoch += 1
+        self.lr = self.base_lr * self.gamma ** self.epoch
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"kind": "exponential", **dataclasses.asdict(self)}
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "ExponentialScheduler":
+        return cls(**{k: v for k, v in d.items() if k != "kind"})
+
+
+_SCHEDULERS = {
+    "plateau": None,  # PlateauScheduler, resolved below (defined earlier)
+    "cosine": CosineAnnealingScheduler,
+    "step": StepScheduler,
+    "exponential": ExponentialScheduler,
+}
+
+
+def make_scheduler(spec: dict | None, base_lr: float,
+                   plateau_factor: float = 0.5, plateau_patience: int = 50):
+    """Build an LR scheduler from a spec dict (``{"kind": ..., **kwargs}``).
+
+    ``None`` or ``kind: plateau`` → the reference's ReduceLROnPlateau
+    (reference ``configs/default.yaml:108-114``); other kinds mirror the
+    torch schedulers the LightningCLI schema can name via ``class_path``.
+    """
+    spec = dict(spec or {})
+    kind = spec.pop("kind", "plateau")
+    if kind == "plateau":
+        return PlateauScheduler(
+            base_lr,
+            factor=float(spec.get("factor", plateau_factor)),
+            patience=int(spec.get("patience", plateau_patience)),
+            min_lr=float(spec.get("min_lr", 0.0)),
+            threshold=float(spec.get("threshold", 1e-4)),
+        )
+    cls = _SCHEDULERS.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown lr scheduler kind {kind!r} (have {sorted(_SCHEDULERS)})")
+    return cls(base_lr, **spec)
+
+
+def scheduler_from_state_dict(d: dict):
+    """Restore any scheduler from its ``state_dict`` (``kind`` defaults to
+    plateau for checkpoints written before kinds existed)."""
+    d = dict(d)
+    kind = d.pop("kind", "plateau")
+    if kind == "plateau":
+        return PlateauScheduler.from_state_dict(d)
+    return _SCHEDULERS[kind].from_state_dict(d)
+
+
+@dataclasses.dataclass
 class EarlyStopping:
     """EarlyStopping on a monitored value (min mode), reference
     ``configs/default.yaml:137-142``."""

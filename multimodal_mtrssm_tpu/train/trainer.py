@@ -39,8 +39,9 @@ from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
 from multimodal_mtrssm_tpu.train.metrics import MetricLogger
 from multimodal_mtrssm_tpu.train.optim import (
     EarlyStopping,
-    PlateauScheduler,
     make_optimizer,
+    make_scheduler,
+    scheduler_from_state_dict,
     set_learning_rate,
 )
 
@@ -95,6 +96,11 @@ class TrainerConfig:
     wandb_project: str | None = None
     profile_epoch: int | None = None  # jax.profiler trace of this epoch
     checkpoint_every_n_epochs: int = 10
+    # LR scheduler spec: None → the reference's ReduceLROnPlateau with
+    # plateau_factor/plateau_patience below; or {"kind": "cosine"|"step"|
+    # "exponential"|"plateau", **kwargs} mirroring the torch schedulers the
+    # YAML lr_scheduler.class_path can name.
+    lr_scheduler: dict | None = None
     # Lightning Trainer.accumulate_grad_batches: optimizer steps every N
     # batches on the mean of the window's gradients (clip applies to the
     # accumulated gradient, matching Lightning). 1 = the fused
@@ -229,7 +235,9 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         params = replicate(params, self.mesh)
         opt_state = self._place_opt_state(opt_state)
-        scheduler = PlateauScheduler(cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience)
+        scheduler = make_scheduler(
+            cfg.lr_scheduler, cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
+        )
         early_stop = EarlyStopping(cfg.early_stop_patience)
         start_epoch = 0
         best_val = float("inf")
@@ -238,7 +246,7 @@ class Trainer:
             state, aux = self.ckpt.restore("last", {"params": params, "opt_state": opt_state})
             params = replicate(state["params"], self.mesh)
             opt_state = self._place_opt_state(state["opt_state"])
-            scheduler = PlateauScheduler.from_state_dict(aux["scheduler"])
+            scheduler = scheduler_from_state_dict(aux["scheduler"])
             early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
             start_epoch = aux["epoch"] + 1
             best_val = aux.get("best_val", float("inf"))

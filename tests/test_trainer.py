@@ -227,3 +227,80 @@ def test_preemption_sigterm_saves_exact_resume(tmp_path):
     cfg2 = TrainerConfig(max_epochs=4, log_dir=str(tmp_path / "run"), learning_rate=3e-4)
     out2 = Trainer(model, dm, cfg2).fit(resume=True)
     assert [r["epoch"] for r in out2["history"]] == [2, 3]
+
+
+def test_schedulers_match_torch():
+    """Cosine/Step/Exponential schedules must track torch.optim.lr_scheduler
+    epoch-for-epoch (torch is in-image: use it as ground truth)."""
+    import torch
+
+    from multimodal_mtrssm_tpu.train.optim import (
+        CosineAnnealingScheduler,
+        ExponentialScheduler,
+        StepScheduler,
+        scheduler_from_state_dict,
+    )
+
+    def torch_lrs(make, epochs=12):
+        p = [torch.nn.Parameter(torch.zeros(1))]
+        opt = torch.optim.SGD(p, lr=0.1)
+        sch = make(opt)
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sch.step()
+        return lrs
+
+    def ours_lrs(sch, epochs=12):
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(sch.lr)
+            sch.step(0.0)
+        return lrs
+
+    got = ours_lrs(CosineAnnealingScheduler(0.1, t_max=10, eta_min=0.01))
+    want = torch_lrs(lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(o, T_max=10, eta_min=0.01))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    got = ours_lrs(StepScheduler(0.1, step_size=4, gamma=0.5))
+    want = torch_lrs(lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=4, gamma=0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    got = ours_lrs(ExponentialScheduler(0.1, gamma=0.9))
+    want = torch_lrs(lambda o: torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.9))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # resume round-trip keeps kind and position
+    s = CosineAnnealingScheduler(0.1, t_max=10)
+    s.step(0.0); s.step(0.0)
+    s2 = scheduler_from_state_dict(s.state_dict())
+    assert type(s2) is CosineAnnealingScheduler and s2.epoch == 2 and s2.lr == s.lr
+
+
+def test_cosine_scheduler_from_yaml(tmp_path):
+    """A CosineAnnealingLR lr_scheduler node drives the fit loop's LR."""
+    import yaml
+
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    base = yaml.safe_load(open("configs/mopoe_mrssm.yaml"))
+    base["lr_scheduler"] = {
+        "class_path": "torch.optim.lr_scheduler.CosineAnnealingLR",
+        "init_args": {"T_max": 4, "eta_min": 0.0},
+    }
+    cfg_path = tmp_path / "cosine.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    exp = load_experiment(cfg_path)
+    assert exp.trainer.lr_scheduler == {"kind": "cosine", "t_max": 4, "eta_min": 0.0}
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    cfg = TrainerConfig(max_epochs=3, log_dir=str(tmp_path / "run"), learning_rate=1e-3,
+                        lr_scheduler=exp.trainer.lr_scheduler)
+    out = Trainer(small_model(), dm, cfg).fit()
+    lrs = [r["lr"] for r in out["history"]]
+    import math
+    want = [1e-3 * (1 + math.cos(math.pi * t / 4)) / 2 for t in range(3)]
+    np.testing.assert_allclose(lrs, want, rtol=1e-6)
