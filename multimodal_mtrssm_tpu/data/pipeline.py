@@ -74,15 +74,17 @@ class DataModuleConfig:
 def effective_data_dir(cfg: "DataModuleConfig") -> Path:
     """Reference ``get_effective_processed_data_dir`` (``dataset.py:136-161``):
     a common processed-data directory overrides the per-dataset dir when it
-    contains a full episode set in any layout this pipeline loads directly
-    (``.npz`` episodes or a memmapped pack). Reference-format ``.pt`` dumps
-    must be converted first (``episodes.convert_reference_processed_dir``).
+    contains a full episode set in any layout this pipeline loads —
+    ``.npz`` episodes, a memmapped pack, or a reference-format
+    ``act_*/audio_obs_*/vision_obs_*`` ``.pt``/``.npy`` dump (converted
+    once automatically in ``setup``).
     """
     common = Path(cfg.common_processed_dir)
     if common.exists():
         from multimodal_mtrssm_tpu.data import pack as packmod
 
-        if packmod.has_pack(common) or ep.list_episodes(common):
+        if (packmod.has_pack(common) or ep.list_episodes(common)
+                or sorted(common.glob("act*"))):  # reference .pt layout: auto-converted in setup
             return common
     return Path(cfg.data_dir)
 
@@ -119,6 +121,15 @@ class EpisodeDataModule:
             n = self._arrays["action"].shape[0]
         else:
             paths = ep.list_episodes(data_dir)
+            if not paths and sorted(Path(data_dir).glob("act*")):
+                # Reference-layout processed dir (act_*/audio_obs_*/vision_obs_*
+                # .pt/.npy triplets): convert once in place, like the
+                # reference's one-time prepare_data (``dataset.py:264-315``).
+                converted = Path(data_dir) / "converted_episodes"
+                if not ep.list_episodes(converted):
+                    n = ep.convert_reference_processed_dir(data_dir, converted)
+                    print(f"converted {n} reference-format episodes into {converted}")
+                paths = ep.list_episodes(converted)
             if not paths:
                 raise FileNotFoundError(
                     f"no episodes under {data_dir}; generate with "

@@ -133,3 +133,30 @@ def test_ragged_tail_batches_served(tmp_path):
                                              drop_last=True))
     dm2.setup()  # 8 train → 3+3, tail 2 dropped
     assert [b[0].shape[0] for b in dm2.train_batches(0)] == [3, 3]
+
+
+def test_reference_pt_dir_trains_directly(tmp_path):
+    """Pointing the datamodule at a reference-layout processed dir
+    (act_*/audio_obs_*/vision_obs_* .pt triplets, reference
+    mrssm/dataset.py:105-153) converts once automatically and serves
+    batches — no manual conversion step."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        torch.save(torch.from_numpy(rng.normal(size=(6, 6)).astype(np.float32)),
+                   tmp_path / f"act_{i:04d}.pt")
+        torch.save(torch.from_numpy(rng.uniform(-80, 0, (6, 1, 32, 32)).astype(np.float32)),
+                   tmp_path / f"audio_obs_{i:04d}.pt")
+        torch.save(torch.from_numpy(rng.uniform(0, 255, (6, 1, 32, 32)).astype(np.float32)),
+                   tmp_path / f"vision_obs_{i:04d}.pt")
+
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=tmp_path, batch_size=2, sequence_length=3))
+    dm.setup()
+    assert dm.n_train == 3 and dm.n_val == 1
+    b = next(iter(dm.train_batches(epoch=0)))
+    assert np.asarray(b[1]).shape == (2, 3, 32, 32, 1)  # CHW → NHWC on convert
+    # second setup reuses the converted store (no re-conversion)
+    dm2 = EpisodeDataModule(DataModuleConfig(data_dir=tmp_path, batch_size=2, sequence_length=3))
+    dm2.setup()
+    assert dm2.n_train == 3
