@@ -1,8 +1,8 @@
 """Tests: HTTP inference server (observe → imagine → decode over JSON)."""
 
 import json
-import urllib.error
 import urllib.request
+from urllib.error import HTTPError
 
 import jax
 import numpy as np
@@ -74,9 +74,9 @@ def test_observe_then_chained_imagine(server):
 
 
 def test_unknown_state_and_route(server):
-    with pytest.raises(urllib.error.HTTPError) as e:
+    with pytest.raises(HTTPError) as e:
         _post(server, "/imagine", {"state_id": "nope", "actions": [[[0.0] * 6]]})
     assert e.value.code == 404
-    with pytest.raises(urllib.error.HTTPError) as e:
+    with pytest.raises(HTTPError) as e:
         _post(server, "/nonsense", {})
     assert e.value.code == 404
