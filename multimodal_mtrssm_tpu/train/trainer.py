@@ -21,6 +21,7 @@ TPU-first structure:
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from pathlib import Path
 from typing import Any
@@ -117,6 +118,12 @@ class TrainerConfig:
     # (dcn, data) hybrid mesh — gradients psum across DCN, ZeRO-1 state and
     # its all-gather stay on ICI.
     dcn_size: int | None = None
+    # Failure detection (SURVEY §5.3 — the reference has none at runtime):
+    # when an epoch's aggregated metrics go non-finite, save a "diverged"
+    # diagnostic checkpoint and halt instead of silently training on NaNs
+    # (NaN poisons every subsequent step; EarlyStopping would never fire
+    # because NaN < best is always False).
+    halt_on_non_finite: bool = True
 
 
 class Trainer:
@@ -331,6 +338,26 @@ class Trainer:
             row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
             self.logger.log(row, step=epoch)
             history.append(row)
+
+            if cfg.halt_on_non_finite and any(
+                not math.isfinite(v)
+                for k, v in row.items()
+                if k.startswith(("train/", "val/"))
+            ):
+                bad = [k for k, v in row.items()
+                       if k.startswith(("train/", "val/")) and not math.isfinite(v)]
+                self.ckpt.save(
+                    "diverged",
+                    {"params": params, "opt_state": opt_state},
+                    {"epoch": epoch, "non_finite": bad,
+                     "scheduler": scheduler.state_dict()},
+                )
+                print(
+                    f"divergence: non-finite metrics {bad} at epoch {epoch}; "
+                    f"saved 'diverged' diagnostic checkpoint and halting — "
+                    f"resume from 'last' with a lower learning rate"
+                )
+                break
 
             monitored = row.get("val/loss", row.get("train/loss", float("inf")))
             prev_lr = scheduler.lr

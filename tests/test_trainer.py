@@ -304,3 +304,21 @@ def test_cosine_scheduler_from_yaml(tmp_path):
     import math
     want = [1e-3 * (1 + math.cos(math.pi * t / 4)) / 2 for t in range(3)]
     np.testing.assert_allclose(lrs, want, rtol=1e-6)
+
+
+def test_divergence_guard_halts_and_saves(tmp_path):
+    """Failure detection (SURVEY §5.3): a diverging run (absurd LR → non-
+    finite metrics) halts with a 'diverged' diagnostic checkpoint instead of
+    silently training on NaNs for the remaining epochs."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    cfg = TrainerConfig(max_epochs=5, log_dir=str(tmp_path / "run"), learning_rate=1e18)
+    trainer = Trainer(small_model(), dm, cfg)
+    out = trainer.fit()
+    assert len(out["history"]) < 5, "guard did not halt a diverged run"
+    assert trainer.ckpt.exists("diverged")
+    _, aux = trainer.ckpt.restore(
+        "diverged", {"params": out["params"], "opt_state": out["opt_state"]}
+    )
+    assert aux["non_finite"], "diagnostic checkpoint missing the offending metric names"
