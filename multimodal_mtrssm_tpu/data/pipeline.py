@@ -296,10 +296,19 @@ def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterat
         try:
             for b in batches:
                 try:
-                    staged = jax.device_put(b, device) if device is not None else jax.device_put(b)
+                    if device is None:
+                        staged = jax.device_put(b)
+                    else:
+                        # Multi-host-safe placement: each process materializes
+                        # only its local shard rows (parallel.mesh.put_sharded).
+                        from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
+
+                        staged = tuple(put_sharded(x, device) for x in b)
                 except ValueError:
                     # Ragged tail not divisible by the mesh: place unsharded
                     # and let jit reshard (one extra compile, exact math).
+                    # Multi-host runs must avoid this path (pick a global
+                    # batch divisible by the device count, or drop_last).
                     staged = jax.device_put(b)
                 if not _put(staged):
                     return

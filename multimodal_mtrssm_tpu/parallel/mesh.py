@@ -110,3 +110,22 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.device_put(tree, sharding)
+
+
+def put_sharded(x: np.ndarray, sharding: NamedSharding):
+    """Place one host array onto a (possibly multi-host) sharding.
+
+    Single-process: plain ``jax.device_put``. Under multi-process (pod-scale
+    DP, one process per host), a sharding spans devices this process cannot
+    address, so the global array is assembled from per-shard callbacks
+    instead — each process materializes ONLY the rows its local chips own
+    (``jax.make_array_from_callback``); JAX stitches the global logical
+    array without any cross-host data movement. The Audio-MNIST dataset is
+    tiny, so every host holds the full preprocessed arrays and slices its
+    own shard — the standard "replicated dataset, sharded batch" input
+    recipe for data-parallel pods.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

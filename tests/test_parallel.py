@@ -152,3 +152,34 @@ def test_hybrid_mesh_single_slice_is_flat():
 
     mesh = make_hybrid_mesh()  # CPU devices: one slice group → 1-D mesh
     assert mesh.axis_names == ("data",)
+
+
+def test_put_sharded_multihost_path_matches_device_put(monkeypatch):
+    """put_sharded's multi-process branch (per-shard callbacks, the pod-scale
+    input path) must produce the same global array + sharding as the
+    single-process device_put branch. Forced by faking process_count>1 —
+    make_array_from_callback is valid single-process too."""
+    from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, put_sharded
+
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    x = np.arange(8 * 3 * 4, dtype=np.float32).reshape(8, 3, 4)
+    want = jax.device_put(x, bsh)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = put_sharded(x, bsh)
+    assert got.sharding == want.sharding
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # prefetcher integration: device batches still identical with the
+    # multihost placement path active
+    from multimodal_mtrssm_tpu.data.pipeline import _device_prefetch
+
+    batches = [tuple(np.random.default_rng(i).normal(size=(8, 2)).astype(np.float32)
+                     for _ in range(3)) for i in range(2)]
+    out = list(_device_prefetch(iter(batches), bsh))
+    assert len(out) == 2
+    for host_b, dev_b in zip(batches, out):
+        for h, d in zip(host_b, dev_b):
+            assert d.sharding == bsh
+            np.testing.assert_array_equal(np.asarray(d), h)
