@@ -256,6 +256,60 @@ class EpisodeDataModule:
         batches = (self._make_batch(b, rng) for b in self._batched_indices(idx, bs))
         return _device_prefetch(batches, device)
 
+    def train_batches_chunked(
+        self, epoch: int, k: int, device=None, stacked_device=None
+    ) -> Iterator[tuple[str, Batch]]:
+        """Shuffled train batches grouped for the multi-step-scan train path.
+
+        Yields ``("scan", stacked)`` items where ``stacked`` is k full-size
+        batches stacked on a new leading axis ([k, B, ...] per stream), then
+        ``("step", batch)`` for the remaining batches (fewer than k full
+        ones, plus the ragged tail). Batch contents and order are IDENTICAL
+        to ``train_batches(epoch)`` — same permutation, same noise draws —
+        so the scan path trains the exact same steps with K× fewer host
+        dispatches (each one a tunnel/PCIe round trip on this backend).
+        """
+        self._require_setup()
+        cfg = self.cfg
+        bs = self.train_batch_size
+        rng = np.random.default_rng((cfg.seed, epoch))
+        idx = rng.permutation(self._split[0])
+        groups = self._batched_indices(idx, bs)
+
+        def gen():
+            pending: list[Batch] = []
+            for g in groups:
+                b = self._make_batch(g, rng)
+                if len(g) == bs and k > 1:
+                    pending.append(b)
+                    if len(pending) == k:
+                        yield ("scan", tuple(np.stack(xs) for xs in zip(*pending)))
+                        pending = []
+                else:
+                    # Ragged tail: flush buffered full batches first so the
+                    # training-step ORDER matches train_batches exactly.
+                    for pb in pending:
+                        yield ("step", pb)
+                    pending = []
+                    yield ("step", b)
+            for pb in pending:
+                yield ("step", pb)
+
+        def place(items):
+            from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
+
+            for kind, b in items:
+                sh = stacked_device if kind == "scan" else device
+                if sh is None:
+                    yield (kind, jax.device_put(b))
+                else:
+                    try:
+                        yield (kind, tuple(put_sharded(x, sh) for x in b))
+                    except ValueError:
+                        yield (kind, jax.device_put(b))
+
+        return _prefetch_iter(place(gen()))
+
     def val_batches(self, device=None) -> Iterator[Batch]:
         """Deterministic validation batches (noise still applied to inputs,
         matching the reference's val DataLoader which reuses the same
@@ -272,7 +326,31 @@ class EpisodeDataModule:
 
 def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterator[Batch]:
     """Host→device double buffering: a daemon thread stages `depth` batches
-    ahead with ``jax.device_put`` so transfers overlap compute.
+    ahead so transfers overlap compute."""
+
+    def place(items):
+        from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
+
+        for b in items:
+            try:
+                if device is None:
+                    yield jax.device_put(b)
+                else:
+                    # Multi-host-safe placement: each process materializes
+                    # only its local shard rows (parallel.mesh.put_sharded).
+                    yield tuple(put_sharded(x, device) for x in b)
+            except ValueError:
+                # Ragged tail not divisible by the mesh: place unsharded
+                # and let jit reshard (one extra compile, exact math).
+                # Multi-host runs must avoid this path (pick a global
+                # batch divisible by the device count, or drop_last).
+                yield jax.device_put(b)
+
+    return _prefetch_iter(place(batches), depth)
+
+
+def _prefetch_iter(items: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator on a daemon thread, `depth` items ahead.
 
     If the consumer abandons the generator early (e.g. viz takes one batch),
     closing it sets ``stop`` so the worker thread exits instead of blocking
@@ -294,23 +372,8 @@ def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterat
 
     def worker():
         try:
-            for b in batches:
-                try:
-                    if device is None:
-                        staged = jax.device_put(b)
-                    else:
-                        # Multi-host-safe placement: each process materializes
-                        # only its local shard rows (parallel.mesh.put_sharded).
-                        from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
-
-                        staged = tuple(put_sharded(x, device) for x in b)
-                except ValueError:
-                    # Ragged tail not divisible by the mesh: place unsharded
-                    # and let jit reshard (one extra compile, exact math).
-                    # Multi-host runs must avoid this path (pick a global
-                    # batch divisible by the device count, or drop_last).
-                    staged = jax.device_put(b)
-                if not _put(staged):
+            for item in items:
+                if not _put(item):
                     return
         finally:
             _put(_SENTINEL)

@@ -96,6 +96,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for a [K, B, ...] stack of K batches (the multi-step-scan
+    training path): leading scan axis replicated, batch axis sharded."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P(None, names if len(names) > 1 else axis_name))
+
+
 def shard_batch(batch: tuple, mesh: Mesh, axis_name: str = DATA_AXIS) -> tuple:
     """Place a host batch on the mesh, sharded along the batch axis.
 

@@ -192,6 +192,9 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         zero1=bool(trainer_node.get("zero1", False)),
         dcn_size=trainer_node.get("dcn_size"),
         accumulate_grad_batches=int(trainer_node.get("accumulate_grad_batches", 1)),
+        steps_per_dispatch=(
+            spd if (spd := trainer_node.get("steps_per_dispatch", "auto")) == "auto" else int(spd)
+        ),
         lr_scheduler=sched_spec,
     )
 

@@ -322,3 +322,46 @@ def test_divergence_guard_halts_and_saves(tmp_path):
         "diverged", {"params": out["params"], "opt_state": out["opt_state"]}
     )
     assert aux["non_finite"], "diagnostic checkpoint missing the offending metric names"
+
+
+def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
+    """Multi-step-scan training (K optimizer steps per dispatch) must train
+    the SAME steps as the per-step loop: same batch order, same RNG folds —
+    epoch metrics agree to f32 tolerance."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=9, episode_length=6)
+
+    def run(log_dir, k):
+        dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+        cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / log_dir),
+                            learning_rate=3e-4, steps_per_dispatch=k)
+        return Trainer(small_model(), dm, cfg).fit()["history"]
+    # 7 train episodes / batch 2 → 3 full batches + ragged tail of 1:
+    # K=2 exercises one scan chunk, one leftover full batch, and the tail.
+    h1, h2 = run("r1", 1), run("r2", 2)
+    for a, b in zip(h1, h2):
+        for key in ("train/loss", "train/kl", "val/loss"):
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-4, err_msg=key)
+
+
+def test_train_batches_chunked_identical_content(tmp_path):
+    """The chunked stream must reproduce train_batches exactly (same
+    permutation and noise draws), grouped as [K,B,...] stacks + leftovers."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=9, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    dm.setup()
+    flat = [tuple(np.asarray(x) for x in b) for b in dm.train_batches(3)]
+    chunked = list(dm.train_batches_chunked(3, 2))
+    rebuilt = []
+    for kind, payload in chunked:
+        if kind == "scan":
+            k = payload[0].shape[0]
+            for i in range(k):
+                rebuilt.append(tuple(np.asarray(x[i]) for x in payload))
+        else:
+            rebuilt.append(tuple(np.asarray(x) for x in payload))
+    assert len(rebuilt) == len(flat)
+    for a, b in zip(flat, rebuilt):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
