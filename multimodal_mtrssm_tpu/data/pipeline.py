@@ -275,7 +275,22 @@ class EpisodeDataModule:
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         groups = self._batched_indices(idx, bs)
+        return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
 
+    def val_batches_chunked(
+        self, k: int, device=None, stacked_device=None
+    ) -> Iterator[tuple[str, Batch]]:
+        """Validation counterpart of ``train_batches_chunked``: same batches
+        as ``val_batches`` (identical noise draws and order), grouped into
+        [k, B, ...] stacks for the scan val step."""
+        self._require_setup()
+        cfg = self.cfg
+        bs = self.val_batch_size
+        rng = np.random.default_rng((cfg.seed, 987654321))
+        groups = self._batched_indices(self._split[1], bs)
+        return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
+
+    def _chunked_stream(self, groups, bs, rng, k, device, stacked_device):
         def gen():
             pending: list[Batch] = []
             for g in groups:
@@ -287,7 +302,7 @@ class EpisodeDataModule:
                         pending = []
                 else:
                     # Ragged tail: flush buffered full batches first so the
-                    # training-step ORDER matches train_batches exactly.
+                    # step ORDER matches the unchunked stream exactly.
                     for pb in pending:
                         yield ("step", pb)
                     pending = []

@@ -212,6 +212,17 @@ class Trainer:
         def val_step(params, batch, key, step):
             return model.shared_step(params, batch, jax.random.fold_in(key, step))
 
+        def val_scan(params, stacked, key, step0):
+            """K validation steps in one dispatch (metrics summed on device)."""
+            k = stacked[0].shape[0]
+
+            def body(carry, xs):
+                batch, step = xs
+                return carry, model.shared_step(params, batch, jax.random.fold_in(key, step))
+
+            _, metrics = jax.lax.scan(body, None, (stacked, step0 + jnp.arange(k)))
+            return jax.tree.map(jnp.sum, metrics)
+
         def train_scan(params, opt_state, stacked, key, step0):
             """K train steps in one dispatch: scan over the leading axis of a
             [K, B, ...] batch stack. Per-step math/RNG identical to
@@ -260,6 +271,7 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._train_scan = jax.jit(train_scan, donate_argnums=(0, 1))
         self._val_step = jax.jit(val_step)
+        self._val_scan = jax.jit(val_scan)
         self._grad_step = jax.jit(grad_step, donate_argnums=(1,))
         self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._zero_grads = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
@@ -390,11 +402,34 @@ class Trainer:
 
             val_key = jax.random.fold_in(epoch_key, 0x5EED)
             val_metrics, n_val_eps, n_val = {}, 0, 0
-            for batch in self.dm.val_batches(device=bsh):
-                bs = batch[0].shape[0]
-                _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val), weight=bs)
-                n_val_eps += bs
-                n_val += 1
+            if spd > 1:
+                from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
+
+                for kind, payload in self.dm.val_batches_chunked(
+                    spd, device=bsh, stacked_device=stacked_batch_sharding(self.mesh)
+                ):
+                    if kind == "scan":
+                        k, bs = payload[0].shape[0], payload[0].shape[1]
+                        _accumulate(
+                            val_metrics,
+                            self._val_scan(params, payload, val_key, n_val),
+                            weight=bs,
+                        )
+                        n_val_eps += bs * k
+                        n_val += k
+                    else:
+                        bs = payload[0].shape[0]
+                        _accumulate(
+                            val_metrics, self._val_step(params, payload, val_key, n_val), weight=bs
+                        )
+                        n_val_eps += bs
+                        n_val += 1
+            else:
+                for batch in self.dm.val_batches(device=bsh):
+                    bs = batch[0].shape[0]
+                    _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val), weight=bs)
+                    n_val_eps += bs
+                    n_val += 1
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.stop_trace()
 

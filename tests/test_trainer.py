@@ -329,15 +329,16 @@ def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
     the SAME steps as the per-step loop: same batch order, same RNG folds —
     epoch metrics agree to f32 tolerance."""
     data_dir = tmp_path / "data"
-    generate_synthetic_audio_mnist(data_dir, n_episodes=9, episode_length=6)
+    generate_synthetic_audio_mnist(data_dir, n_episodes=22, episode_length=6)
 
     def run(log_dir, k):
         dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
         cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / log_dir),
                             learning_rate=3e-4, steps_per_dispatch=k)
         return Trainer(small_model(), dm, cfg).fit()["history"]
-    # 7 train episodes / batch 2 → 3 full batches + ragged tail of 1:
-    # K=2 exercises one scan chunk, one leftover full batch, and the tail.
+    # 17 train episodes / batch 2 → 8 full batches + ragged tail; 5 val
+    # episodes → 2 full batches + tail: K=2 exercises train AND val scan
+    # chunks, leftover full batches, and both ragged tails.
     h1, h2 = run("r1", 1), run("r2", 2)
     for a, b in zip(h1, h2):
         for key in ("train/loss", "train/kl", "val/loss"):
