@@ -366,3 +366,23 @@ def test_train_batches_chunked_identical_content(tmp_path):
     for a, b in zip(flat, rebuilt):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+def test_mmtrssm_fit_scan_mode(tmp_path):
+    """The multi-step-scan path is model-agnostic: MoPoE-MMTRSSM (MTState
+    carry, dual KL) trains through scan chunks with finite improving loss."""
+    from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False, linear_sizes=(64,))
+    model = MoPoEMMTRSSM(MMTRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32))
+    cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / "run"),
+                        learning_rate=3e-4, steps_per_dispatch=2)
+    out = Trainer(model, dm, cfg).fit()  # 8 train eps -> 4 full batches -> 2 scan chunks
+    assert np.isfinite(out["history"][-1]["train/loss"])
+    assert "train/kl_h" in out["history"][-1]
+    assert out["history"][1]["train/loss"] < out["history"][0]["train/loss"]
