@@ -176,6 +176,14 @@ class EpisodeDataModule:
     def val_batch_size(self) -> int:
         return max(1, min(self.cfg.batch_size, self.n_val)) if self.n_val else 0
 
+    def batch_nbytes(self, bs: int) -> int:
+        """Approximate f32 bytes of one assembled batch (inputs + targets) —
+        the sizing input for the auto steps-per-dispatch heuristic."""
+        self._require_setup()
+        T = self.cfg.sequence_length
+        per_frame = sum(int(np.prod(a.shape[2:])) for a in self._arrays.values())
+        return 2 * bs * T * per_frame * 4
+
     # ---- batch assembly ------------------------------------------------------
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator | None) -> Batch:
         """6-tuple batch; inputs get Gaussian noise, targets don't

@@ -124,9 +124,9 @@ class TrainerConfig:
     # per-step RNG fold), but removes K-1 of every K host→device dispatches;
     # measured 2.2× train throughput at the reference config B=8 T=30 on
     # one v5e (see BASELINE.md). Leftover/ragged batches run per-step.
-    # Only active when accumulate_grad_batches == 1. "auto" = 8 steps per
-    # dispatch (datasets with fewer than 8 full batches per epoch simply
-    # never form a chunk and stay on the per-step path).
+    # Only active when accumulate_grad_batches == 1. "auto" sizes K from
+    # the batch bytes (≤256 MB per chunk, K ≤ 32, K ≤ full batches per
+    # epoch) — see Trainer._resolve_spd.
     steps_per_dispatch: int | str = "auto"
     # Failure detection (SURVEY §5.3 — the reference has none at runtime):
     # when an epoch's aggregated metrics go non-finite, save a "diverged"
@@ -276,6 +276,20 @@ class Trainer:
         self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._zero_grads = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
 
+    def _resolve_spd(self) -> int:
+        """Steps per dispatch. "auto" sizes K so the stacked [K, B, ...]
+        chunk stays ≤256 MB (K up to 32 — measured monotone gains to K=32 at
+        B=8, BASELINE.md) and never exceeds the number of full train batches
+        per epoch (a chunk that can't fill would silently disable the scan
+        path)."""
+        cfg = self.cfg
+        if cfg.steps_per_dispatch != "auto":
+            return max(1, int(cfg.steps_per_dispatch))
+        bs = self.dm.train_batch_size
+        n_full = self.dm.n_train // max(bs, 1)
+        by_mem = (256 << 20) // max(1, self.dm.batch_nbytes(bs))
+        return max(1, min(32, by_mem, n_full))
+
     def _place_opt_state(self, opt_state):
         """Replicate, or shard the moment vectors over ICI when ZeRO-1 is on."""
         if self.cfg.zero1:
@@ -328,7 +342,7 @@ class Trainer:
             train_metrics, n_train_eps = {}, 0
             accum = max(1, cfg.accumulate_grad_batches)
             acc_grads, window = None, 0
-            spd = 8 if cfg.steps_per_dispatch == "auto" else int(cfg.steps_per_dispatch)
+            spd = self._resolve_spd()
             if accum == 1 and spd > 1:
                 from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
 

@@ -1,5 +1,7 @@
 """Tests: trainer loop e2e on synthetic data, schedulers, checkpoint resume."""
 
+import dataclasses
+
 import numpy as np
 
 from multimodal_mtrssm_tpu.data import DataModuleConfig, EpisodeDataModule, generate_synthetic_audio_mnist
@@ -386,3 +388,16 @@ def test_mmtrssm_fit_scan_mode(tmp_path):
     assert np.isfinite(out["history"][-1]["train/loss"])
     assert "train/kl_h" in out["history"][-1]
     assert out["history"][1]["train/loss"] < out["history"][0]["train/loss"]
+
+
+def test_auto_steps_per_dispatch_resolution(tmp_path):
+    """auto K: bounded by chunk memory, the K=32 cap, and the number of
+    full train batches per epoch (so small datasets still form chunks)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    tr = Trainer(small_model(), dm, TrainerConfig(log_dir=str(tmp_path / "r")))
+    # 8 train episodes / batch 2 -> 4 full batches; tiny batches -> memory no bound
+    assert tr._resolve_spd() == 4
+    tr.cfg = dataclasses.replace(tr.cfg, steps_per_dispatch=7)
+    assert tr._resolve_spd() == 7
