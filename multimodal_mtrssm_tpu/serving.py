@@ -28,17 +28,40 @@ from multimodal_mtrssm_tpu.models.state import MTState, State
 
 
 class WorldModel:
-    """A trained model + params behind jitted inference entry points."""
+    """A trained model + params behind jitted inference entry points.
 
-    def __init__(self, model, params, use_pallas: bool | str = "auto"):
+    ``mesh``: optional ``jax.sharding.Mesh`` for batch-parallel serving —
+    params are replicated, request batches sharded on axis 0, and GSPMD
+    partitions the rollout across chips (the serving-side mirror of the
+    trainer's data mesh). The Pallas fast path is single-chip; on a
+    multi-device mesh rollouts take the XLA path, which partitions
+    automatically.
+    """
+
+    def __init__(self, model, params, use_pallas: bool | str = "auto", mesh=None):
         self.model = model
-        self.params = params
         # True / False / "auto" — auto picks kernel vs XLA per rollout shape
         # from the measured crossovers (ops.pallas.default_use_pallas).
         self.use_pallas = use_pallas
+        self.mesh = mesh
+        self._bsh = None
+        if mesh is not None and mesh.size > 1:
+            from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, replicate
+
+            params = replicate(params, mesh)
+            self._bsh = batch_sharding(mesh)
+            self.use_pallas = False
+        self.params = params
         self._observe = jax.jit(self._observe_impl)
         self._imagine = jax.jit(self._imagine_impl)
         self._decode = jax.jit(lambda p, s: model.decode_state(p, s))
+
+    def _place(self, x):
+        """Shard a request array over the mesh batch axis (no-op off-mesh)."""
+        x = jnp.asarray(x)
+        if self._bsh is not None and x.ndim and x.shape[0] % self.mesh.size == 0:
+            return jax.device_put(x, self._bsh)
+        return x
 
     # ---- construction ------------------------------------------------------
     @classmethod
@@ -65,8 +88,8 @@ class WorldModel:
 
     def observe(self, actions, audio_obs, vision_obs, key):
         """Filter observations → (posterior, prior) latent sequences [B, T]."""
-        return self._observe(self.params, jnp.asarray(actions), jnp.asarray(audio_obs),
-                             jnp.asarray(vision_obs), key)
+        return self._observe(self.params, self._place(actions), self._place(audio_obs),
+                             self._place(vision_obs), key)
 
     def _imagine_impl(self, params, actions, prev_state, key):
         from multimodal_mtrssm_tpu.ops.pallas import resolve_use_pallas
@@ -119,7 +142,7 @@ class WorldModel:
 
     def imagine(self, actions, prev_state, key):
         """Prior-only rollout from ``prev_state`` under an action plan."""
-        return self._imagine(self.params, jnp.asarray(actions), prev_state, key)
+        return self._imagine(self.params, self._place(actions), prev_state, key)
 
     def decode(self, state):
         """Reconstruct both modalities from latents."""

@@ -99,3 +99,37 @@ def test_use_pallas_auto_dispatch():
         assert P.resolve_use_pallas("auto", "mrssm", 10, 10) is False
         assert P.resolve_use_pallas("auto", "mrssm", 60, 10) is True
         assert P.resolve_use_pallas("auto", "mrssm", 64, 30) is True
+
+
+def test_worldmodel_mesh_parallel_matches_single_device():
+    """Batch-parallel serving: WorldModel(mesh=...) shards request batches
+    over the data mesh; observe/imagine/decode numerics equal the
+    single-device path (GSPMD partitioning only)."""
+    from multimodal_mtrssm_tpu.parallel import make_mesh
+
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+    Bm, Tm = 8, 4
+    ks = jax.random.split(key, 3)
+    actions = jax.random.normal(ks[0], (Bm, Tm, 6))
+    audio = jax.random.uniform(ks[1], (Bm, Tm, 32, 32, 1), minval=-1, maxval=1)
+    vision = jax.random.uniform(ks[2], (Bm, Tm, 32, 32, 1), minval=-1, maxval=1)
+
+    wm1 = WorldModel(model, params, use_pallas=False)
+    wm8 = WorldModel(model, params, mesh=make_mesh())
+    post1, _ = wm1.observe(actions, audio, vision, key)
+    post8, _ = wm8.observe(actions, audio, vision, key)
+    np.testing.assert_allclose(np.asarray(post1.deter), np.asarray(post8.deter),
+                               rtol=1e-5, atol=1e-6)
+
+    last1 = post1[:, -1]
+    last8 = post8[:, -1]
+    img1 = wm1.imagine(actions, last1, key)
+    img8 = wm8.imagine(actions, last8, key)
+    np.testing.assert_allclose(np.asarray(img1.deter), np.asarray(img8.deter),
+                               rtol=1e-5, atol=1e-6)
+    dec1 = wm1.decode(img1)
+    dec8 = wm8.decode(img8)
+    np.testing.assert_allclose(np.asarray(dec1["recon/vision"]),
+                               np.asarray(dec8["recon/vision"]), rtol=1e-5, atol=1e-6)
