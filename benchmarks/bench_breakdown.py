@@ -7,6 +7,13 @@ biggest slice can be attacked with evidence.
 
 Run on the real TPU: ``python benchmarks/bench_breakdown.py [--unroll N]
 [--bf16]``.
+
+Round-2 caveat: each component here is timed per-dispatch, and a host
+dispatch round-trip costs ~3 ms on this tunneled backend (measured via the
+scan A/B, BASELINE.md) — so ABSOLUTE numbers overstate device time and the
+components do not sum to the scan-mode step (2.1 ms). Use these figures
+for RELATIVE comparisons; the true end-to-end step time is what
+``bench.py`` (K-step scan) reports.
 """
 
 from __future__ import annotations
