@@ -66,7 +66,7 @@ class WorldModel:
     # ---- construction ------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, config_path: str | Path, checkpoint_dir: str | Path,
-                        use_pallas: bool | str = "auto") -> "WorldModel":
+                        use_pallas: bool | str = "auto", mesh=None) -> "WorldModel":
         from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
         from multimodal_mtrssm_tpu.train.config import load_experiment
 
@@ -75,7 +75,7 @@ class WorldModel:
         ckpt = CheckpointManager(checkpoint_dir)
         name = "best" if ckpt.exists("best") else "last"
         state, _ = ckpt.restore(name, {"params": template})
-        return cls(exp.model, state["params"], use_pallas=use_pallas)
+        return cls(exp.model, state["params"], use_pallas=use_pallas, mesh=mesh)
 
     # ---- inference ---------------------------------------------------------
     def _observe_impl(self, params, actions, audio_obs, vision_obs, key):

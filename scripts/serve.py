@@ -25,10 +25,18 @@ if __name__ == "__main__":
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"])
+    ap.add_argument("--mesh", action="store_true",
+                    help="batch-parallel serving over all devices (data mesh)")
     args = ap.parse_args()
 
     use_pallas = {"auto": "auto", "true": True, "false": False}[args.use_pallas]
-    wm = WorldModel.from_checkpoint(args.config, args.checkpoint, use_pallas=use_pallas)
+    mesh = None
+    if args.mesh:
+        from multimodal_mtrssm_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    wm = WorldModel.from_checkpoint(args.config, args.checkpoint,
+                                    use_pallas=use_pallas, mesh=mesh)
     server = InferenceServer(wm, host=args.host, port=args.port)
     print(f"serving {type(wm.model).__name__} on http://{args.host}:{server.port} "
           "(/healthz /observe /imagine)")
