@@ -178,10 +178,15 @@ class EpisodeDataModule:
 
     def batch_nbytes(self, bs: int) -> int:
         """Approximate f32 bytes of one assembled batch (inputs + targets) —
-        the sizing input for the auto steps-per-dispatch heuristic."""
+        the sizing input for the auto steps-per-dispatch heuristic. Counts
+        only the streams the configured modality actually serves."""
         self._require_setup()
         T = self.cfg.sequence_length
-        per_frame = sum(int(np.prod(a.shape[2:])) for a in self._arrays.values())
+        streams = {
+            "audio": ("action", "audio"),
+            "vision": ("action", "vision"),
+        }.get(self.cfg.modality, ("action", "audio", "vision"))
+        per_frame = sum(int(np.prod(self._arrays[s].shape[2:])) for s in streams)
         return 2 * bs * T * per_frame * 4
 
     # ---- batch assembly ------------------------------------------------------
@@ -319,17 +324,8 @@ class EpisodeDataModule:
                 yield ("step", pb)
 
         def place(items):
-            from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
-
             for kind, b in items:
-                sh = stacked_device if kind == "scan" else device
-                if sh is None:
-                    yield (kind, jax.device_put(b))
-                else:
-                    try:
-                        yield (kind, tuple(put_sharded(x, sh) for x in b))
-                    except ValueError:
-                        yield (kind, jax.device_put(b))
+                yield (kind, _place_batch(b, stacked_device if kind == "scan" else device))
 
         return _prefetch_iter(place(gen()))
 
@@ -347,29 +343,27 @@ class EpisodeDataModule:
         return _device_prefetch(batches, device)
 
 
+def _place_batch(b: Batch, sharding) -> Batch:
+    """Stage one batch tuple on device with multi-host-safe placement: each
+    process materializes only its local shard rows
+    (``parallel.mesh.put_sharded``). A ragged tail not divisible by the mesh
+    falls back to unsharded placement and lets jit reshard (one extra
+    compile, exact math) — multi-host runs must avoid that path (pick a
+    global batch divisible by the device count, or ``drop_last``)."""
+    if sharding is None:
+        return jax.device_put(b)
+    from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
+
+    try:
+        return tuple(put_sharded(x, sharding) for x in b)
+    except ValueError:
+        return jax.device_put(b)
+
+
 def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterator[Batch]:
     """Host→device double buffering: a daemon thread stages `depth` batches
     ahead so transfers overlap compute."""
-
-    def place(items):
-        from multimodal_mtrssm_tpu.parallel.mesh import put_sharded
-
-        for b in items:
-            try:
-                if device is None:
-                    yield jax.device_put(b)
-                else:
-                    # Multi-host-safe placement: each process materializes
-                    # only its local shard rows (parallel.mesh.put_sharded).
-                    yield tuple(put_sharded(x, device) for x in b)
-            except ValueError:
-                # Ragged tail not divisible by the mesh: place unsharded
-                # and let jit reshard (one extra compile, exact math).
-                # Multi-host runs must avoid this path (pick a global
-                # batch divisible by the device count, or drop_last).
-                yield jax.device_put(b)
-
-    return _prefetch_iter(place(batches), depth)
+    return _prefetch_iter((_place_batch(b, device) for b in batches), depth)
 
 
 def _prefetch_iter(items: Iterator, depth: int = 2) -> Iterator:

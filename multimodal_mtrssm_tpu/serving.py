@@ -57,11 +57,22 @@ class WorldModel:
         self._decode = jax.jit(lambda p, s: model.decode_state(p, s))
 
     def _place(self, x):
-        """Shard a request array over the mesh batch axis (no-op off-mesh)."""
-        x = jnp.asarray(x)
-        if self._bsh is not None and x.ndim and x.shape[0] % self.mesh.size == 0:
+        """Shard a request array over the mesh batch axis (no-op off-mesh).
+
+        Host arrays go straight to ``device_put`` with the sharding (ONE
+        host→shards transfer — staging through ``jnp.asarray`` first would
+        add a device0 hop on the serving hot path)."""
+        if self._bsh is None:
+            return jnp.asarray(x)
+        shape = getattr(x, "shape", None)
+        if shape is None:
+            import numpy as np
+
+            x = np.asarray(x)
+            shape = x.shape
+        if len(shape) and shape[0] % self.mesh.size == 0:
             return jax.device_put(x, self._bsh)
-        return x
+        return jnp.asarray(x)
 
     # ---- construction ------------------------------------------------------
     @classmethod

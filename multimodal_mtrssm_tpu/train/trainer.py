@@ -343,10 +343,13 @@ class Trainer:
             accum = max(1, cfg.accumulate_grad_batches)
             acc_grads, window = None, 0
             spd = self._resolve_spd()
-            if accum == 1 and spd > 1:
-                from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
+            from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
 
-                ssh = stacked_batch_sharding(self.mesh)
+            ssh = stacked_batch_sharding(self.mesh)
+            if accum == 1:
+                # Fast path: chunked stream — ("scan", [K,B,...]) chunks when
+                # spd > 1, plain ("step", batch) items otherwise (the chunked
+                # stream with k=1 IS the per-batch stream; equivalence-tested).
                 for kind, payload in self.dm.train_batches_chunked(
                     epoch, spd, device=bsh, stacked_device=ssh
                 ):
@@ -355,38 +358,30 @@ class Trainer:
                         params, opt_state, metrics = self._train_scan(
                             params, opt_state, payload, epoch_key, global_step
                         )
-                        _accumulate(train_metrics, metrics, weight=bs)
-                        n_train_eps += bs * k
-                        global_step += k
                     else:
-                        bs = payload[0].shape[0]
+                        k, bs = 1, payload[0].shape[0]
                         params, opt_state, metrics = self._train_step(
                             params, opt_state, payload, epoch_key, global_step
                         )
-                        _accumulate(train_metrics, metrics, weight=bs)
-                        n_train_eps += bs
-                        global_step += 1
+                    _accumulate(train_metrics, metrics, weight=bs)
+                    n_train_eps += bs * k
+                    global_step += k
                     if preempt.flagged:
                         break
             else:
                 for batch in self.dm.train_batches(epoch, device=bsh):
                     bs = batch[0].shape[0]
-                    if accum == 1:
-                        params, opt_state, metrics = self._train_step(
-                            params, opt_state, batch, epoch_key, global_step
+                    if acc_grads is None:
+                        acc_grads = self._zero_grads(params)
+                    acc_grads, metrics = self._grad_step(
+                        params, acc_grads, batch, epoch_key, global_step
+                    )
+                    window += 1
+                    if window == accum:
+                        params, opt_state = self._apply_step(
+                            params, opt_state, acc_grads, float(window)
                         )
-                    else:
-                        if acc_grads is None:
-                            acc_grads = self._zero_grads(params)
-                        acc_grads, metrics = self._grad_step(
-                            params, acc_grads, batch, epoch_key, global_step
-                        )
-                        window += 1
-                        if window == accum:
-                            params, opt_state = self._apply_step(
-                                params, opt_state, acc_grads, float(window)
-                            )
-                            acc_grads, window = None, 0
+                        acc_grads, window = None, 0
                     _accumulate(train_metrics, metrics, weight=bs)
                     n_train_eps += bs
                     global_step += 1
@@ -416,34 +411,16 @@ class Trainer:
 
             val_key = jax.random.fold_in(epoch_key, 0x5EED)
             val_metrics, n_val_eps, n_val = {}, 0, 0
-            if spd > 1:
-                from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
-
-                for kind, payload in self.dm.val_batches_chunked(
-                    spd, device=bsh, stacked_device=stacked_batch_sharding(self.mesh)
-                ):
-                    if kind == "scan":
-                        k, bs = payload[0].shape[0], payload[0].shape[1]
-                        _accumulate(
-                            val_metrics,
-                            self._val_scan(params, payload, val_key, n_val),
-                            weight=bs,
-                        )
-                        n_val_eps += bs * k
-                        n_val += k
-                    else:
-                        bs = payload[0].shape[0]
-                        _accumulate(
-                            val_metrics, self._val_step(params, payload, val_key, n_val), weight=bs
-                        )
-                        n_val_eps += bs
-                        n_val += 1
-            else:
-                for batch in self.dm.val_batches(device=bsh):
-                    bs = batch[0].shape[0]
-                    _accumulate(val_metrics, self._val_step(params, batch, val_key, n_val), weight=bs)
-                    n_val_eps += bs
-                    n_val += 1
+            for kind, payload in self.dm.val_batches_chunked(spd, device=bsh, stacked_device=ssh):
+                if kind == "scan":
+                    k, bs = payload[0].shape[0], payload[0].shape[1]
+                    metrics = self._val_scan(params, payload, val_key, n_val)
+                else:
+                    k, bs = 1, payload[0].shape[0]
+                    metrics = self._val_step(params, payload, val_key, n_val)
+                _accumulate(val_metrics, metrics, weight=bs)
+                n_val_eps += bs * k
+                n_val += k
             if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
                 jax.profiler.stop_trace()
 
@@ -454,23 +431,24 @@ class Trainer:
             self.logger.log(row, step=epoch)
             history.append(row)
 
-            if cfg.halt_on_non_finite and any(
-                not math.isfinite(v)
-                for k, v in row.items()
-                if k.startswith(("train/", "val/"))
-            ):
-                bad = [k for k, v in row.items()
-                       if k.startswith(("train/", "val/")) and not math.isfinite(v)]
+            bad = [k for k, v in row.items()
+                   if k.startswith(("train/", "val/")) and not math.isfinite(v)]
+            if cfg.halt_on_non_finite and bad:
                 self.ckpt.save(
                     "diverged",
                     {"params": params, "opt_state": opt_state},
-                    {"epoch": epoch, "non_finite": bad,
-                     "scheduler": scheduler.state_dict()},
+                    {"epoch": epoch, "non_finite": bad, "best_val": best_val,
+                     "scheduler": scheduler.state_dict(),
+                     "early_stop": early_stop.state_dict()},
+                )
+                advice = (
+                    "resume from 'last' with a lower learning rate"
+                    if self.ckpt.exists("last")
+                    else "restart with a lower learning rate (no 'last' checkpoint exists yet)"
                 )
                 print(
                     f"divergence: non-finite metrics {bad} at epoch {epoch}; "
-                    f"saved 'diverged' diagnostic checkpoint and halting — "
-                    f"resume from 'last' with a lower learning rate"
+                    f"saved 'diverged' diagnostic checkpoint and halting — {advice}"
                 )
                 break
 
