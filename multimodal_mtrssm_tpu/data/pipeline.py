@@ -84,9 +84,17 @@ def effective_data_dir(cfg: "DataModuleConfig") -> Path:
         from multimodal_mtrssm_tpu.data import pack as packmod
 
         if (packmod.has_pack(common) or ep.list_episodes(common)
-                or sorted(common.glob("act*"))):  # reference .pt layout: auto-converted in setup
+                or _is_reference_pt_layout(common)):  # auto-converted in setup
             return common
     return Path(cfg.data_dir)
+
+
+def _is_reference_pt_layout(d: Path) -> bool:
+    """True for a reference-format processed dir: ``act_*`` files WITH their
+    matching observation streams (a lone ``act``-prefixed stray must not
+    hijack an explicitly configured data_dir)."""
+    return bool(sorted(d.glob("act_*")) and sorted(d.glob("audio_obs_*"))
+                and sorted(d.glob("vision_obs_*")))
 
 
 class EpisodeDataModule:
@@ -121,7 +129,7 @@ class EpisodeDataModule:
             n = self._arrays["action"].shape[0]
         else:
             paths = ep.list_episodes(data_dir)
-            if not paths and sorted(Path(data_dir).glob("act*")):
+            if not paths and _is_reference_pt_layout(Path(data_dir)):
                 # Reference-layout processed dir (act_*/audio_obs_*/vision_obs_*
                 # .pt/.npy triplets): convert once in place, like the
                 # reference's one-time prepare_data (``dataset.py:264-315``).
@@ -259,18 +267,25 @@ class EpisodeDataModule:
             out.append(idx[n_full * bs :])
         return out
 
-    def train_batches(self, epoch: int, device=None) -> Iterator[Batch]:
-        """Shuffled train batches for one epoch."""
+    def train_batches(self, epoch: int, device=None, skip: int = 0) -> Iterator[Batch]:
+        """Shuffled train batches for one epoch.
+
+        ``skip``: drop the first N batches AFTER generating them (the RNG
+        stream stays identical to a full epoch) — mid-epoch preemption
+        resume continues exactly where the interrupted epoch stopped.
+        """
         self._require_setup()
         cfg = self.cfg
         bs = self.train_batch_size
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         batches = (self._make_batch(b, rng) for b in self._batched_indices(idx, bs))
+        if skip:
+            batches = (b for i, b in enumerate(batches) if i >= skip)
         return _device_prefetch(batches, device)
 
     def train_batches_chunked(
-        self, epoch: int, k: int, device=None, stacked_device=None
+        self, epoch: int, k: int, device=None, stacked_device=None, skip: int = 0
     ) -> Iterator[tuple[str, Batch]]:
         """Shuffled train batches grouped for the multi-step-scan train path.
 
@@ -281,6 +296,9 @@ class EpisodeDataModule:
         to ``train_batches(epoch)`` — same permutation, same noise draws —
         so the scan path trains the exact same steps with K× fewer host
         dispatches (each one a tunnel/PCIe round trip on this backend).
+
+        ``skip``: drop the first N yielded ITEMS after generating them
+        (RNG stream unchanged) — mid-epoch preemption resume.
         """
         self._require_setup()
         cfg = self.cfg
@@ -288,7 +306,7 @@ class EpisodeDataModule:
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         groups = self._batched_indices(idx, bs)
-        return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
+        return self._chunked_stream(groups, bs, rng, k, device, stacked_device, skip)
 
     def val_batches_chunked(
         self, k: int, device=None, stacked_device=None
@@ -303,7 +321,7 @@ class EpisodeDataModule:
         groups = self._batched_indices(self._split[1], bs)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
 
-    def _chunked_stream(self, groups, bs, rng, k, device, stacked_device):
+    def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
         def gen():
             pending: list[Batch] = []
             for g in groups:
@@ -324,7 +342,9 @@ class EpisodeDataModule:
                 yield ("step", pb)
 
         def place(items):
-            for kind, b in items:
+            for i, (kind, b) in enumerate(items):
+                if i < skip:  # mid-epoch resume: already trained, never placed
+                    continue
                 yield (kind, _place_batch(b, stacked_device if kind == "scan" else device))
 
         return _prefetch_iter(place(gen()))
@@ -341,6 +361,22 @@ class EpisodeDataModule:
             for b in self._batched_indices(self._split[1], self.val_batch_size)
         )
         return _device_prefetch(batches, device)
+
+    def host_batches(self, stage: str, epoch: int = 0) -> Iterator[Batch]:
+        """Un-placed host batches (numpy) for consumers that post-process on
+        the host anyway (viz frame assembly): skips the device staging that
+        ``train_batches``/``val_batches`` perform."""
+        self._require_setup()
+        cfg = self.cfg
+        if stage == "train":
+            rng = np.random.default_rng((cfg.seed, epoch))
+            idx = rng.permutation(self._split[0])
+            bs = self.train_batch_size
+        else:
+            rng = np.random.default_rng((cfg.seed, 987654321))
+            idx = self._split[1]
+            bs = self.val_batch_size
+        return (self._make_batch(g, rng) for g in self._batched_indices(idx, bs))
 
 
 def _place_batch(b: Batch, sharding) -> Batch:

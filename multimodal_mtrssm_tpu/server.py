@@ -34,6 +34,10 @@ import jax
 import numpy as np
 
 
+class UnknownStateError(KeyError):
+    """A state_id handle that is not (or no longer) in the LRU store."""
+
+
 class _StateStore:
     """Bounded LRU map: state_id → on-device latent state."""
 
@@ -104,8 +108,11 @@ class InferenceServer:
                         self._send(200, server._imagine(req))
                     else:
                         self._send(404, {"error": f"unknown route {self.path}"})
+                except UnknownStateError as e:
+                    self._send(404, {"error": f"unknown state_id {e.args[0]!r}"})
                 except KeyError as e:
-                    self._send(404, {"error": f"unknown state_id {e}"})
+                    # Missing request field — schema error, not a lookup miss.
+                    self._send(400, {"error": f"missing field {e.args[0]!r}"})
                 except (ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
 
@@ -141,7 +148,7 @@ class InferenceServer:
     def _imagine(self, req: dict) -> dict:
         state = self.states.get(str(req["state_id"]))
         if state is None:
-            raise KeyError(req["state_id"])
+            raise UnknownStateError(str(req["state_id"]))
         actions = np.asarray(req["actions"], np.float32)
         key = jax.random.PRNGKey(int(req.get("seed", 0)))
         with self._device_lock:

@@ -88,16 +88,22 @@ def _scheduler_spec(node: dict | None) -> dict | None:
     plateau rather than silently training with a different schedule name.
     """
     name = _class_name(node)
-    if not name or "ReduceLROnPlateau" in name:
+    if not name:
+        return None
+    # Exact class-name matching on the final path segment: substring checks
+    # would silently misread e.g. CosineAnnealingWarmRestarts as plain
+    # cosine or MultiStepLR as StepLR.
+    leaf = name.rsplit(".", 1)[-1]
+    if leaf == "ReduceLROnPlateau":
         return None
     args = _init_args(node)
-    if "CosineAnnealing" in name:
+    if leaf == "CosineAnnealingLR":
         return {"kind": "cosine", "t_max": int(args.get("T_max", 100)),
                 "eta_min": float(args.get("eta_min", 0.0))}
-    if "StepLR" in name:
+    if leaf == "StepLR":
         return {"kind": "step", "step_size": int(args.get("step_size", 30)),
                 "gamma": float(args.get("gamma", 0.1))}
-    if "ExponentialLR" in name:
+    if leaf == "ExponentialLR":
         return {"kind": "exponential", "gamma": float(args.get("gamma", 0.95))}
     import warnings
 

@@ -158,9 +158,23 @@ class Trainer:
         devices = jax.devices()
         self.dm._require_setup()
         tb, vb = self.dm.train_batch_size, self.dm.val_batch_size
+        dcn = self.cfg.dcn_size
         n = len(devices)
-        while tb % n != 0 or (vb and vb % n != 0):
+        # An explicit hybrid mesh additionally needs n divisible by dcn_size.
+        while tb % n != 0 or (vb and vb % n != 0) or (dcn and n >= dcn and n % dcn != 0):
             n -= 1
+        if dcn and n < dcn:
+            import warnings
+
+            warnings.warn(
+                f"batch sizes (train={tb}, val={vb}) admit no device count "
+                f"divisible by dcn_size={dcn}; falling back to a flat data mesh.",
+                stacklevel=2,
+            )
+            dcn = None
+            n = len(devices)
+            while tb % n != 0 or (vb and vb % n != 0):
+                n -= 1
         if n < len(devices):
             import warnings
 
@@ -170,7 +184,7 @@ class Trainer:
                 f"batch size divisible by the device count to use every chip.",
                 stacklevel=2,
             )
-        self.mesh = make_hybrid_mesh(devices[:n], dcn_size=self.cfg.dcn_size)
+        self.mesh = make_hybrid_mesh(devices[:n], dcn_size=dcn)
         print(
             f"trainer mesh: {n}/{len(devices)} device(s), "
             + " × ".join(f"{self.mesh.shape[a]} {a}" for a in self.mesh.axis_names)
@@ -314,182 +328,237 @@ class Trainer:
         start_epoch = 0
         best_val = float("inf")
 
+        resume_mid = None
+        global_step = 0
         if resume and self.ckpt.exists("last"):
             state, aux = self.ckpt.restore("last", {"params": params, "opt_state": opt_state})
             params = replicate(state["params"], self.mesh)
             opt_state = self._place_opt_state(state["opt_state"])
             scheduler = scheduler_from_state_dict(aux["scheduler"])
             early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
-            start_epoch = aux["epoch"] + 1
+            if aux.get("mid_epoch"):
+                # Step-granular preemption resume: continue the interrupted
+                # epoch right after the last APPLIED optimizer step (the data
+                # stream is deterministic per epoch; consumed items are
+                # regenerated and skipped, so no batch trains twice). The
+                # original run's key schedule is reconstructed from the seed,
+                # so with global_step restored the continued steps are
+                # BIT-IDENTICAL to an uninterrupted run.
+                start_epoch = aux["epoch"]
+                resume_mid = aux
+                key = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
+            else:
+                start_epoch = aux["epoch"] + 1
+                key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
             best_val = aux.get("best_val", float("inf"))
-            key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
+            global_step = int(aux.get("global_step", 0))
 
         history = []
-        global_step = 0
         preempt = _PreemptionGuard()
         preempt.__enter__()
-        for epoch in range(start_epoch, cfg.max_epochs):
-            if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
-                jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
-            t0 = time.time()
-            # One device key per epoch; per-step keys fold in the step index
-            # inside the jitted step (single RNG transfer per epoch).
-            epoch_key = jax.random.fold_in(key, epoch)
-            bsh = batch_sharding(self.mesh)
-            # Epoch means are SAMPLE-weighted (Lightning's log_dict weights
-            # by batch size), so the ragged tail batch contributes
-            # proportionally, not equally.
-            train_metrics, n_train_eps = {}, 0
-            accum = max(1, cfg.accumulate_grad_batches)
-            acc_grads, window = None, 0
-            spd = self._resolve_spd()
-            from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
+        try:
+            for epoch in range(start_epoch, cfg.max_epochs):
+                if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
+                    jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
+                t0 = time.time()
+                # One device key per epoch; per-step keys fold in the step index
+                # inside the jitted step (single RNG transfer per epoch).
+                epoch_key = jax.random.fold_in(key, epoch)
+                bsh = batch_sharding(self.mesh)
+                # Epoch means are SAMPLE-weighted (Lightning's log_dict weights
+                # by batch size), so the ragged tail batch contributes
+                # proportionally, not equally.
+                train_metrics, n_train_eps = {}, 0
+                accum = max(1, cfg.accumulate_grad_batches)
+                acc_grads, window = None, 0
+                spd = self._resolve_spd()
+                stream_pos = 0  # items consumed from this epoch's (chunked) stream
+                skip = 0
+                if resume_mid is not None and epoch == start_epoch:
+                    # Continue the interrupted epoch: restore its partial metric
+                    # sums and skip the already-trained stream prefix.
+                    skip = stream_pos = int(resume_mid["items_done"])
+                    train_metrics = dict(resume_mid.get("partial_metrics", {}))
+                    n_train_eps = int(resume_mid.get("n_train_eps", 0))
+                    resume_mid = None
+                from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
 
-            ssh = stacked_batch_sharding(self.mesh)
-            if accum == 1:
-                # Fast path: chunked stream — ("scan", [K,B,...]) chunks when
-                # spd > 1, plain ("step", batch) items otherwise (the chunked
-                # stream with k=1 IS the per-batch stream; equivalence-tested).
-                for kind, payload in self.dm.train_batches_chunked(
-                    epoch, spd, device=bsh, stacked_device=ssh
-                ):
-                    if kind == "scan":
-                        k, bs = payload[0].shape[0], payload[0].shape[1]
-                        params, opt_state, metrics = self._train_scan(
-                            params, opt_state, payload, epoch_key, global_step
+                ssh = stacked_batch_sharding(self.mesh)
+                if accum == 1:
+                    # Fast path: chunked stream — ("scan", [K,B,...]) chunks when
+                    # spd > 1, plain ("step", batch) items otherwise (the chunked
+                    # stream with k=1 IS the per-batch stream; equivalence-tested).
+                    for kind, payload in self.dm.train_batches_chunked(
+                        epoch, spd, device=bsh, stacked_device=ssh, skip=skip
+                    ):
+                        if kind == "scan":
+                            k, bs = payload[0].shape[0], payload[0].shape[1]
+                            params, opt_state, metrics = self._train_scan(
+                                params, opt_state, payload, epoch_key, global_step
+                            )
+                        else:
+                            k, bs = 1, payload[0].shape[0]
+                            params, opt_state, metrics = self._train_step(
+                                params, opt_state, payload, epoch_key, global_step
+                            )
+                        _accumulate(train_metrics, metrics, weight=bs)
+                        n_train_eps += bs * k
+                        global_step += k
+                        stream_pos += 1
+                        if preempt.flagged:
+                            break
+                else:
+                    # Window metrics/episode counts are buffered and committed
+                    # only when the window's optimizer step applies, so a
+                    # preempted partial window is replayed on resume without
+                    # double-counting.
+                    window_buf: list[tuple[dict, int]] = []
+                    for batch in self.dm.train_batches(epoch, device=bsh, skip=skip):
+                        bs = batch[0].shape[0]
+                        if acc_grads is None:
+                            acc_grads = self._zero_grads(params)
+                        acc_grads, metrics = self._grad_step(
+                            params, acc_grads, batch, epoch_key, global_step
                         )
-                    else:
-                        k, bs = 1, payload[0].shape[0]
-                        params, opt_state, metrics = self._train_step(
-                            params, opt_state, payload, epoch_key, global_step
-                        )
-                    _accumulate(train_metrics, metrics, weight=bs)
-                    n_train_eps += bs * k
-                    global_step += k
-                    if preempt.flagged:
-                        break
-            else:
-                for batch in self.dm.train_batches(epoch, device=bsh):
-                    bs = batch[0].shape[0]
-                    if acc_grads is None:
-                        acc_grads = self._zero_grads(params)
-                    acc_grads, metrics = self._grad_step(
-                        params, acc_grads, batch, epoch_key, global_step
-                    )
-                    window += 1
-                    if window == accum:
+                        window += 1
+                        window_buf.append((metrics, bs))
+                        global_step += 1
+                        if window == accum:
+                            params, opt_state = self._apply_step(
+                                params, opt_state, acc_grads, float(window)
+                            )
+                            for m, b in window_buf:
+                                _accumulate(train_metrics, m, weight=b)
+                                n_train_eps += b
+                            stream_pos += window
+                            acc_grads, window, window_buf = None, 0, []
+                        if preempt.flagged:
+                            break
+                    if acc_grads is not None and window and not preempt.flagged:
+                        # Lightning steps on the epoch's leftover window too.
                         params, opt_state = self._apply_step(
                             params, opt_state, acc_grads, float(window)
                         )
-                        acc_grads, window = None, 0
-                    _accumulate(train_metrics, metrics, weight=bs)
-                    n_train_eps += bs
-                    global_step += 1
-                    if preempt.flagged:
-                        break
-            if acc_grads is not None and window:
-                # Lightning steps on the epoch's leftover window too.
-                params, opt_state = self._apply_step(params, opt_state, acc_grads, float(window))
-            if preempt.flagged:
-                # Preemption (SIGTERM): save an exact-resume checkpoint for
-                # the last COMPLETED epoch and stop; resume=True re-runs the
-                # interrupted one.
-                self.ckpt.save(
-                    "last",
-                    {"params": params, "opt_state": opt_state},
-                    {
-                        "epoch": epoch - 1,
-                        "best_val": best_val,
-                        "scheduler": scheduler.state_dict(),
-                        "early_stop": early_stop.state_dict(),
-                    },
-                )
-                print(f"preemption: saved exact-resume checkpoint at epoch {epoch - 1}, stopping")
-                break
-            jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
-            epoch_time = time.time() - t0
+                        for m, b in window_buf:
+                            _accumulate(train_metrics, m, weight=b)
+                            n_train_eps += b
+                        stream_pos += window
+                if preempt.flagged:
+                    # Preemption (SIGTERM): save a step-granular exact-resume
+                    # checkpoint — params/optimizer state after the last APPLIED
+                    # step plus the stream position; resume=True continues this
+                    # epoch from the next batch. (A preempted partial
+                    # accumulation window is discarded and replayed.)
+                    partial = {k: float(v) for k, v in train_metrics.items()}
+                    self.ckpt.save(
+                        "last",
+                        {"params": params, "opt_state": opt_state},
+                        {
+                            "epoch": epoch,
+                            "mid_epoch": True,
+                            "items_done": stream_pos,
+                            "global_step": global_step - window,
+                            "n_train_eps": n_train_eps,
+                            "partial_metrics": partial,
+                            "best_val": best_val,
+                            "scheduler": scheduler.state_dict(),
+                            "early_stop": early_stop.state_dict(),
+                        },
+                    )
+                    print(
+                        f"preemption: saved step-granular resume checkpoint "
+                        f"(epoch {epoch}, {stream_pos} stream items applied), stopping"
+                    )
+                    break
+                jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
+                epoch_time = time.time() - t0
 
-            val_key = jax.random.fold_in(epoch_key, 0x5EED)
-            val_metrics, n_val_eps, n_val = {}, 0, 0
-            for kind, payload in self.dm.val_batches_chunked(spd, device=bsh, stacked_device=ssh):
-                if kind == "scan":
-                    k, bs = payload[0].shape[0], payload[0].shape[1]
-                    metrics = self._val_scan(params, payload, val_key, n_val)
-                else:
-                    k, bs = 1, payload[0].shape[0]
-                    metrics = self._val_step(params, payload, val_key, n_val)
-                _accumulate(val_metrics, metrics, weight=bs)
-                n_val_eps += bs * k
-                n_val += k
-            if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
-                jax.profiler.stop_trace()
+                val_key = jax.random.fold_in(epoch_key, 0x5EED)
+                val_metrics, n_val_eps, n_val = {}, 0, 0
+                for kind, payload in self.dm.val_batches_chunked(spd, device=bsh, stacked_device=ssh):
+                    if kind == "scan":
+                        k, bs = payload[0].shape[0], payload[0].shape[1]
+                        metrics = self._val_scan(params, payload, val_key, n_val)
+                    else:
+                        k, bs = 1, payload[0].shape[0]
+                        metrics = self._val_step(params, payload, val_key, n_val)
+                    _accumulate(val_metrics, metrics, weight=bs)
+                    n_val_eps += bs * k
+                    n_val += k
+                if cfg.profile_epoch is not None and epoch == cfg.profile_epoch:
+                    jax.profiler.stop_trace()
 
-            row = {f"train/{k}": float(v) / max(n_train_eps, 1) for k, v in train_metrics.items()}
-            row.update({f"val/{k}": float(v) / max(n_val_eps, 1) for k, v in val_metrics.items()})
-            seq_per_s = n_train_eps / max(epoch_time, 1e-9)
-            row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
-            self.logger.log(row, step=epoch)
-            history.append(row)
+                row = {f"train/{k}": float(v) / max(n_train_eps, 1) for k, v in train_metrics.items()}
+                row.update({f"val/{k}": float(v) / max(n_val_eps, 1) for k, v in val_metrics.items()})
+                seq_per_s = n_train_eps / max(epoch_time, 1e-9)
+                row.update({"epoch": epoch, "lr": scheduler.lr, "seq_per_sec": seq_per_s})
+                self.logger.log(row, step=epoch)
+                history.append(row)
 
-            bad = [k for k, v in row.items()
-                   if k.startswith(("train/", "val/")) and not math.isfinite(v)]
-            if cfg.halt_on_non_finite and bad:
-                self.ckpt.save(
-                    "diverged",
-                    {"params": params, "opt_state": opt_state},
-                    {"epoch": epoch, "non_finite": bad, "best_val": best_val,
-                     "scheduler": scheduler.state_dict(),
-                     "early_stop": early_stop.state_dict()},
-                )
-                advice = (
-                    "resume from 'last' with a lower learning rate"
-                    if self.ckpt.exists("last")
-                    else "restart with a lower learning rate (no 'last' checkpoint exists yet)"
-                )
-                print(
-                    f"divergence: non-finite metrics {bad} at epoch {epoch}; "
-                    f"saved 'diverged' diagnostic checkpoint and halting — {advice}"
-                )
-                break
+                bad = [k for k, v in row.items()
+                       if k.startswith(("train/", "val/")) and not math.isfinite(v)]
+                if cfg.halt_on_non_finite and bad:
+                    self.ckpt.save(
+                        "diverged",
+                        {"params": params, "opt_state": opt_state},
+                        {"epoch": epoch, "non_finite": bad, "best_val": best_val,
+                         "scheduler": scheduler.state_dict(),
+                         "early_stop": early_stop.state_dict()},
+                    )
+                    advice = (
+                        "resume from 'last' with a lower learning rate"
+                        if self.ckpt.exists("last")
+                        else "restart with a lower learning rate (no 'last' checkpoint exists yet)"
+                    )
+                    print(
+                        f"divergence: non-finite metrics {bad} at epoch {epoch}; "
+                        f"saved 'diverged' diagnostic checkpoint and halting — {advice}"
+                    )
+                    break
 
-            monitored = row.get("val/loss", row.get("train/loss", float("inf")))
-            prev_lr = scheduler.lr
-            new_lr = scheduler.step(monitored)
-            if new_lr != prev_lr:
-                opt_state = set_learning_rate(opt_state, new_lr)
+                monitored = row.get("val/loss", row.get("train/loss", float("inf")))
+                prev_lr = scheduler.lr
+                new_lr = scheduler.step(monitored)
+                if new_lr != prev_lr:
+                    opt_state = set_learning_rate(opt_state, new_lr)
 
-            if monitored < best_val:
-                best_val = monitored
-                self.ckpt.save("best", {"params": params}, {"epoch": epoch, "val_loss": monitored})
-            if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
-                self.ckpt.save(
-                    "last",
-                    {"params": params, "opt_state": opt_state},
-                    {
-                        "epoch": epoch,
-                        "best_val": best_val,
-                        "scheduler": scheduler.state_dict(),
-                        "early_stop": early_stop.state_dict(),
-                    },
-                )
-            for cb in self.callbacks:
-                cb(self, epoch, params, row)
-            if early_stop.step(monitored):
-                # Capture the true final state (the periodic save above may
-                # be up to checkpoint_every_n_epochs-1 epochs stale).
-                self.ckpt.save(
-                    "last",
-                    {"params": params, "opt_state": opt_state},
-                    {
-                        "epoch": epoch,
-                        "best_val": best_val,
-                        "scheduler": scheduler.state_dict(),
-                        "early_stop": early_stop.state_dict(),
-                    },
-                )
-                break
+                if monitored < best_val:
+                    best_val = monitored
+                    self.ckpt.save("best", {"params": params}, {"epoch": epoch, "val_loss": monitored})
+                if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
+                    self.ckpt.save(
+                        "last",
+                        {"params": params, "opt_state": opt_state},
+                        {
+                            "epoch": epoch,
+                            "global_step": global_step,
+                            "best_val": best_val,
+                            "scheduler": scheduler.state_dict(),
+                            "early_stop": early_stop.state_dict(),
+                        },
+                    )
+                for cb in self.callbacks:
+                    cb(self, epoch, params, row)
+                if early_stop.step(monitored):
+                    # Capture the true final state (the periodic save above may
+                    # be up to checkpoint_every_n_epochs-1 epochs stale).
+                    self.ckpt.save(
+                        "last",
+                        {"params": params, "opt_state": opt_state},
+                        {
+                            "epoch": epoch,
+                            "global_step": global_step,
+                            "best_val": best_val,
+                            "scheduler": scheduler.state_dict(),
+                            "early_stop": early_stop.state_dict(),
+                        },
+                    )
+                    break
 
-        preempt.__exit__()
+        finally:
+            # Restore the SIGTERM disposition even when fit() raises
+            # (a leaked no-op handler would swallow later SIGTERMs).
+            preempt.__exit__()
         # Reference on_train_end hook: final viz/cleanup with the BEST
         # checkpoint, also after early stopping (reference callback.py:194-210).
         for cb in self.callbacks:

@@ -24,7 +24,11 @@ class LogRSSMOutput:
     def __init__(self, every_n_epochs: int = 10, indices=(0, 1, 2), query_length: int = 10,
                  fps: float = 10.0, episodes_per_stage: int = EPISODES_PER_STAGE):
         self.every_n_epochs = every_n_epochs
-        self.indices = tuple(indices)  # kept for config-surface parity
+        # Accepted for YAML-surface parity and intentionally unused: the
+        # reference stores `indices` (callback.py:139) but its render loops
+        # use `all_episodes[:7]`, never consulting it (callback.py:188-190,
+        # 205-210) — a dead parameter there, replicated as dead here.
+        self.indices = tuple(indices)
         self.query_length = query_length
         self.fps = fps
         self.episodes_per_stage = min(episodes_per_stage, MAX_EPISODES)
@@ -44,8 +48,10 @@ class LogRSSMOutput:
         (reference iterates the dataloader up to 60 episodes then renders
         the first 7, ``callback.py:156-176,188-190``; collecting beyond
         what is rendered would be dead work here)."""
-        # epoch=0 → deterministic (unshuffled-seed) episode order for viz
-        batches = trainer.dm.train_batches(0) if stage == "train" else trainer.dm.val_batches()
+        # epoch=0 → deterministic (unshuffled-seed) episode order for viz.
+        # Host batches: frame assembly is host-side, so staging them on
+        # device here would just round-trip host→device→host.
+        batches = trainer.dm.host_batches(stage)
         parts: list[tuple] = []
         have = 0
         for batch in batches:

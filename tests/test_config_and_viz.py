@@ -206,3 +206,23 @@ def test_effective_data_dir_common_override(tmp_path, monkeypatch):
     cfg2 = DataModuleConfig(data_dir=common, batch_size=2, sequence_length=3,
                             common_processed_dir=tmp_path / "nope")
     assert effective_data_dir(cfg2) == common
+
+
+def test_scheduler_spec_exact_class_matching():
+    """Substring lookalikes (CosineAnnealingWarmRestarts, MultiStepLR) must
+    warn + fall back to plateau, not silently misparse as cosine/step."""
+    import warnings
+
+    from multimodal_mtrssm_tpu.train.config import _scheduler_spec
+
+    def node(leaf, args=None):
+        return {"class_path": f"torch.optim.lr_scheduler.{leaf}", "init_args": args or {}}
+
+    assert _scheduler_spec(node("CosineAnnealingLR", {"T_max": 7})) == {
+        "kind": "cosine", "t_max": 7, "eta_min": 0.0}
+    assert _scheduler_spec(node("StepLR", {"step_size": 4}))["kind"] == "step"
+    for lookalike in ("CosineAnnealingWarmRestarts", "MultiStepLR"):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert _scheduler_spec(node(lookalike)) is None
+        assert any("unsupported lr_scheduler" in str(x.message) for x in w)

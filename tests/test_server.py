@@ -80,3 +80,14 @@ def test_unknown_state_and_route(server):
     with pytest.raises(HTTPError) as e:
         _post(server, "/nonsense", {})
     assert e.value.code == 404
+
+
+def test_missing_fields_are_400_not_404(server):
+    """Schema errors (missing request fields) map to 400 with a clear
+    message; 404 is reserved for unknown state_id / route."""
+    for route, payload in (("/observe", {}), ("/imagine", {"actions": [[[0.0] * 6]]})):
+        with pytest.raises(HTTPError) as e:
+            _post(server, route, payload)
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert "missing field" in body["error"]
