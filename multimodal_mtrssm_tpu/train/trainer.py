@@ -376,8 +376,12 @@ class Trainer:
                 skip = 0
                 if resume_mid is not None and epoch == start_epoch:
                     # Continue the interrupted epoch: restore its partial metric
-                    # sums and skip the already-trained stream prefix.
+                    # sums and skip the already-trained stream prefix. The
+                    # stream position is measured in chunk items, so the
+                    # interrupted run's K governs this epoch's chunking even
+                    # if steps_per_dispatch changed in between.
                     skip = stream_pos = int(resume_mid["items_done"])
+                    spd = int(resume_mid.get("spd", spd))
                     train_metrics = dict(resume_mid.get("partial_metrics", {}))
                     n_train_eps = int(resume_mid.get("n_train_eps", 0))
                     resume_mid = None
@@ -457,6 +461,7 @@ class Trainer:
                             "epoch": epoch,
                             "mid_epoch": True,
                             "items_done": stream_pos,
+                            "spd": spd,
                             "global_step": global_step - window,
                             "n_train_eps": n_train_eps,
                             "partial_metrics": partial,
