@@ -93,13 +93,17 @@ def train_classifier(
 
     n = len(images)
     rng = np.random.default_rng(seed)
+    # Clamp the batch to the dataset so small datasets still take full
+    # optimizer steps (a fixed 128 with n<128 would skip EVERY batch below
+    # and silently return untrained params).
+    batch_size = min(batch_size, n)
     n_batches = max(n // batch_size, 1)
     for epoch in range(num_epochs):
         perm = rng.permutation(n)
         for i in range(n_batches):
             idx = perm[i * batch_size : (i + 1) * batch_size]
             if len(idx) < batch_size:
-                continue
+                continue  # ragged tail: keep jit shapes static
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(images[idx]), jnp.asarray(labels[idx]), sub
@@ -134,9 +138,16 @@ def recognize_digit(params: Params, image: np.ndarray) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _npz_path(path: str | Path) -> Path:
+    """np.savez appends ``.npz`` to other suffixes; normalize up front so
+    save/exists/load all agree on the on-disk name."""
+    p = Path(path)
+    return p if p.suffix == ".npz" else p.with_suffix(p.suffix + ".npz")
+
+
 def save_classifier(params: Params, path: str | Path) -> None:
     flat = {"/".join(map(str, k)): np.asarray(v) for k, v in _flatten(params)}
-    np.savez(path, **flat)
+    np.savez(_npz_path(path), **flat)
 
 
 def load_classifier(path: str | Path) -> Params:
@@ -157,7 +168,7 @@ def load_or_train_classifier(
     **train_kwargs,
 ) -> Params:
     """Load ``ckpt_path`` if present; otherwise train on local MNIST and save."""
-    ckpt_path = Path(ckpt_path)
+    ckpt_path = _npz_path(ckpt_path)
     if ckpt_path.exists():
         return load_classifier(ckpt_path)
     if mnist_root is None:
@@ -218,10 +229,21 @@ def _read_idx(path: Path) -> np.ndarray:
 
 
 def _resize_28_to_32(images: np.ndarray) -> np.ndarray:
-    """Pad 28×28 to 32×32 (centered) — the torchvision Resize the reference
-    uses is bilinear; zero-padding keeps pixels exact and the classifier
-    learns on the same footprint it scores (decoded 32×32 frames)."""
-    n = images.shape[0]
-    out = np.zeros((n, 32, 32), dtype=images.dtype)
-    out[:, 2:30, 2:30] = images
-    return out
+    """Bilinear 28×28 → 32×32 upscale, matching the reference's
+    ``transforms.Resize((32, 32))`` (``mnist_classifier.py:89``, PIL
+    bilinear). The scored frames come from 32×32 episodes whose digits
+    fill the frame, so the classifier must train on full-scale digits —
+    center-padding would introduce a scale domain shift (CNNs are not
+    scale invariant)."""
+    n, h, w = images.shape
+    ys = (np.arange(32) + 0.5) * (h / 32.0) - 0.5
+    xs = (np.arange(32) + 0.5) * (w / 32.0) - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[None, :, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, None, :]
+    top = images[:, y0][:, :, x0] * (1 - wx) + images[:, y0][:, :, x1] * wx
+    bot = images[:, y1][:, :, x0] * (1 - wx) + images[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(images.dtype)

@@ -134,17 +134,26 @@ def _load_pt_episodes_with_labels(
             speaker = torch.load(act_path, weights_only=False).numpy()
 
             # Train episodes are numbered before test ones (reference
-            # :100-104): look in the sibling train/ dir first, then here.
+            # :100-104): look in the sibling train/ dir first, then here —
+            # replicating the reference's preference order. This assumes
+            # CONTINUED numbering across splits; warn when both candidates
+            # exist (per-split numbering would bind the wrong labels).
             label = None
             candidates = []
             if (npz_dir.parent / "train").exists():
                 candidates.append(npz_dir.parent / "train" / f"sample_{file_idx:04d}.npz")
             candidates.append(npz_dir / f"sample_{file_idx:04d}.npz")
-            for npz_path in candidates:
-                if npz_path.exists():
-                    with np.load(npz_path) as z:
-                        label = np.asarray(z["label"])
-                    break
+            existing = [p for p in candidates if p.exists()]
+            if len(existing) > 1:
+                print(
+                    f"Warning: labels for index {file_idx} exist in BOTH "
+                    f"{existing[0].parent.name}/ and {existing[1].parent.name}/; "
+                    f"using {existing[0]} (reference preference order — assumes "
+                    "train-then-test continued numbering)"
+                )
+            if existing:
+                with np.load(existing[0]) as z:
+                    label = np.asarray(z["label"])
             if label is None:
                 continue
             test_data.append({
@@ -251,7 +260,11 @@ def _predict_digits(model, params, classifier_params, audio0, vision0, actions, 
     init = model.initial_state(params, audio0, vision0, k1)  # [I, ...]
     init = jax.tree.map(lambda x: jnp.repeat(x, n_predictions, axis=0), init)
     states = model.rollout_transition(params, actions, init, k2)
-    recon = model.decode_state(params, states)["recon/vision"]  # [I*P, n_frames, H, W, C]
+    # Only the FIRST predicted frame is classified (reference :336-370):
+    # slice the state to frame 0 before decoding — decoding all n_frames
+    # and keeping [:, 0] would run the conv-transpose stack at n_frames×
+    # the needed cost.
+    recon = model.decode_state(params, states[:, :1])["recon/vision"]  # [I*P, 1, H, W, C]
     first = jnp.clip((recon[:, 0] + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 
@@ -338,7 +351,8 @@ def generate_predictions_batched(
     from multimodal_mtrssm_tpu.ops.pallas import resolve_use_pallas
 
     kind = "mt" if hasattr(model.cfg, "l_tau") else "mrssm"
-    pallas = resolve_use_pallas(use_pallas, kind, len(intervals) * P, n_frames)
+    pallas = resolve_use_pallas(use_pallas, kind, len(intervals) * P, n_frames,
+                                activation=getattr(model.cfg, "activation_name", "ELU"))
     fn = _predict_digits_pallas_jit if pallas else _predict_digits_jit
     digits = fn(model, params, classifier_params, jnp.asarray(a0), jnp.asarray(v0),
                 actions, key, P)

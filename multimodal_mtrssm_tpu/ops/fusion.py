@@ -18,10 +18,17 @@ All fusion math runs in float32.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_LOG_THIRD = float(jnp.log(jnp.asarray(1.0 / 3.0, dtype=jnp.float32)))
+# Computed host-side: a device op here would initialize the JAX backend
+# (and claim the single-tenant TPU) as an import side effect. f32-rounded
+# to keep the fusion math bit-identical to the previous device-computed
+# value.
+_LOG_THIRD = float(np.float32(-math.log(3.0)))
 
 
 def poe_fuse_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> jax.Array:

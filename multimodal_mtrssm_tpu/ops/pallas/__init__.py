@@ -26,8 +26,25 @@ def default_use_pallas(kind: str, batch: int, horizon: int) -> bool:
     return batch * horizon >= 256
 
 
-def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: int) -> bool:
-    """Resolve a ``use_pallas`` flag (True/False/"auto") to a concrete bool."""
+def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: int,
+                       activation: str = "ELU") -> bool:
+    """Resolve a ``use_pallas`` flag (True/False/"auto") to a concrete bool.
+
+    The fused kernels implement the reference's ELU activation only
+    (``rollout.py::_elu``); a model configured with any other
+    ``activation_name`` must take the XLA path — silently fusing would
+    compute different trajectories than the model.
+    """
+    if activation.lower() != "elu":
+        if use_pallas is True:
+            import warnings
+
+            warnings.warn(
+                f"use_pallas=True ignored: the fused kernels implement ELU, "
+                f"model uses {activation!r}; falling back to XLA",
+                stacklevel=2,
+            )
+        return False
     if use_pallas == "auto":
         return default_use_pallas(kind, batch, horizon)
     return bool(use_pallas)

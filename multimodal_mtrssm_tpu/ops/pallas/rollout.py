@@ -62,9 +62,14 @@ def _elu(x: jax.Array) -> jax.Array:
 
 
 def _uniform_from_bits(bits: jax.Array) -> jax.Array:
-    """uint32 → uniform (0, 1) float32 via mantissa stuffing."""
+    """uint32 → uniform (0, 1) float32 via mantissa stuffing.
+
+    The low mantissa bit is forced on so u can never be exactly 0 — a
+    zero would make the Gumbel score -log(-log(0)) = -inf and bias that
+    category to unreachable on the draw (jax.random.gumbel likewise
+    samples open-interval uniforms)."""
     mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
-    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800001), jnp.float32)
     return one_to_two - 1.0
 
 

@@ -107,7 +107,8 @@ class WorldModel:
 
         kind = "mt" if isinstance(prev_state, MTState) else "mrssm"
         use_pallas = resolve_use_pallas(
-            self.use_pallas, kind, actions.shape[0], actions.shape[1]
+            self.use_pallas, kind, actions.shape[0], actions.shape[1],
+            activation=getattr(self.model.cfg, "activation_name", "ELU"),
         )
         if use_pallas and isinstance(prev_state, State):
             from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params

@@ -282,3 +282,62 @@ def test_batched_predictions_sample_initial_state_once_per_interval(trained_clas
         MoPoEMRSSM.initial_state = orig
     assert len(digits) == 15
     assert seen == [3]  # one call, batch = n_intervals (not intervals*predictions)
+
+
+def test_classifier_small_dataset_actually_trains(tmp_path):
+    """A dataset smaller than the default batch size must still take
+    optimizer steps (regression: the full-batch skip used to turn training
+    into a no-op for n < batch_size)."""
+    import numpy as np
+
+    from multimodal_mtrssm_tpu.evaluation.classifier import (
+        classifier_init,
+        recognize_digits,
+        train_classifier,
+    )
+
+    rng = np.random.default_rng(0)
+    # 40 trivially separable images: class 0 dark, class 1 bright.
+    labels = np.tile(np.array([0, 1], dtype=np.int32), 20)
+    images = np.where(labels[:, None, None, None] == 0, 0.1, 0.9) + rng.normal(
+        0, 0.02, (40, 32, 32, 1)
+    ).astype(np.float32)
+    params = train_classifier(images, labels, num_epochs=3, batch_size=128, seed=0)
+    preds = np.asarray(recognize_digits(params, images))
+    acc = float((preds == labels).mean())
+    untrained = np.asarray(recognize_digits(classifier_init(jax.random.PRNGKey(0)), images))
+    assert acc >= 0.9, f"classifier did not train on a small dataset (acc={acc})"
+    assert not np.array_equal(preds, untrained) or acc >= 0.9
+
+
+def test_classifier_checkpoint_suffix_normalized(tmp_path):
+    """save/load agree on the on-disk name even for non-.npz paths
+    (np.savez appends .npz; the loader used to miss it and retrain)."""
+    from multimodal_mtrssm_tpu.evaluation.classifier import (
+        classifier_init,
+        load_or_train_classifier,
+        save_classifier,
+    )
+
+    params = classifier_init(jax.random.PRNGKey(0))
+    target = tmp_path / "clf"  # no suffix
+    save_classifier(params, target)
+    loaded = load_or_train_classifier(target)  # must NOT raise / retrain
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mnist_resize_is_bilinear_upscale():
+    """28→32 uses bilinear interpolation like the reference's torchvision
+    Resize((32,32)) (mnist_classifier.py:89), not center padding."""
+    from multimodal_mtrssm_tpu.evaluation.classifier import _resize_28_to_32
+
+    img = np.zeros((1, 28, 28), dtype=np.float32)
+    img[0, 10:18, 10:18] = 1.0
+    out = _resize_28_to_32(img)
+    assert out.shape == (1, 32, 32)
+    # padding would keep corners of the block exactly 1.0 at shifted
+    # coordinates and leave rows 0-1 zero; bilinear spreads mass and
+    # scales coordinates by 32/28
+    assert out.max() == 1.0 and 0 < out[0, 12, 12] <= 1.0
+    assert abs(float(out.sum()) - 64.0 * (32 / 28) ** 2) / (64.0 * (32 / 28) ** 2) < 0.1
