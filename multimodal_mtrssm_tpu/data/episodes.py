@@ -118,9 +118,11 @@ def convert_reference_processed_dir(src_dir: Path | str, out_dir: Path | str) ->
     ``.pt``/``.npy`` triplets, reference ``mrssm/dataset.py:105-153``) into
     our episode store. Requires torch only for ``.pt`` inputs."""
     src = Path(src_dir)
-    acts = sorted(src.glob("act*"))
-    audios = sorted(src.glob("audio_obs*"))
-    visions = sorted(src.glob("vision_obs*"))
+    # Underscored patterns: a stray act-/audio-prefixed file (e.g. an
+    # aborted pack's action.npy) must not join — or misalign — the triplets.
+    acts = sorted(src.glob("act_*"))
+    audios = sorted(src.glob("audio_obs_*"))
+    visions = sorted(src.glob("vision_obs_*"))
     if not (len(acts) == len(audios) == len(visions)):
         raise ValueError(f"triplet mismatch: {len(acts)} act / {len(audios)} audio / {len(visions)} vision")
 
@@ -198,7 +200,9 @@ def generate_synthetic_labeled_audio_mnist(
     the true distribution p(w'|w) is non-uniform (MR evaluation has signal).
     """
     rng = np.random.default_rng(seed)
-    n_words = episode_length // frames_per_word
+    # Ceil so a non-divisible episode_length still labels every frame (the
+    # last word is truncated); label is trimmed to episode_length below.
+    n_words = -(-episode_length // frames_per_word)
     # Sparse digit-transition graph: from each word, 2 likely successors.
     successors = {d: ((d + 1) % 10, (d + 3) % 10) for d in range(10)}
     train_paths, eval_paths = [], []

@@ -133,9 +133,17 @@ class EpisodeDataModule:
                 # Reference-layout processed dir (act_*/audio_obs_*/vision_obs_*
                 # .pt/.npy triplets): convert once in place, like the
                 # reference's one-time prepare_data (``dataset.py:264-315``).
+                # A completion marker guards against accepting a partial
+                # earlier conversion (crash mid-convert) as the dataset.
                 converted = Path(data_dir) / "converted_episodes"
-                if not ep.list_episodes(converted):
+                marker = converted / "_converted_ok.json"
+                if not marker.exists():
+                    if ep.list_episodes(converted):
+                        print(f"incomplete earlier conversion in {converted}; reconverting")
                     n = ep.convert_reference_processed_dir(data_dir, converted)
+                    import json
+
+                    marker.write_text(json.dumps({"n_episodes": n}))
                     print(f"converted {n} reference-format episodes into {converted}")
                 paths = ep.list_episodes(converted)
             if not paths:
@@ -205,14 +213,23 @@ class EpisodeDataModule:
 
         cfg = self.cfg
         T = cfg.sequence_length
+        # Only assemble the streams the configured modality serves — a
+        # unimodal run must not pay the gather/normalize/noise cost (and,
+        # in pack mode, the disk pages) of the dropped stream.
+        streams = {
+            "audio": ("action", "audio"),
+            "vision": ("action", "vision"),
+        }.get(cfg.modality, ("action", "audio", "vision"))
+        stream_k = {"action": 0, "audio": 1, "vision": 2}
+        outs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if self._raw:
             # Pack mode: gather raw pages, then preprocess the small batch
             # (noise must follow normalization — reference transform order).
             # Known-affine normalizers take the fused native path.
             std = cfg.noise_std if rng is not None else 0.0
             seed = int(rng.integers(0, 2**62)) if rng is not None else 0
-            outs = {}
-            for k, stream in enumerate(("action", "audio", "vision")):
+            for stream in streams:
+                k = stream_k[stream]
                 pre = self._preprocess[stream]
                 affine = native.affine_of(pre)
                 if affine is not None:
@@ -230,29 +247,34 @@ class EpisodeDataModule:
                     else:
                         noised = clean
                     outs[stream] = (noised, clean)
-            a_in, a = outs["action"]
-            au_in, au = outs["audio"]
-            vi_in, vi = outs["vision"]
         else:
-            a = self._arrays["action"][idx, :T]
-            au = self._arrays["audio"][idx, :T]
-            vi = self._arrays["vision"][idx, :T]
-            if rng is not None and cfg.noise_std > 0:
-                # Fused parallel gather+noise (native/fastbatch.cc; numpy fallback).
-                seed = int(rng.integers(0, 2**62))
-                a_in = native.gather_noise(self._arrays["action"], idx, T, cfg.noise_std, seed ^ 1)
-                au_in = native.gather_noise(self._arrays["audio"], idx, T, cfg.noise_std, seed ^ 2)
-                vi_in = native.gather_noise(self._arrays["vision"], idx, T, cfg.noise_std, seed ^ 3)
-            else:
-                a_in, au_in, vi_in = a, au, vi
-        if cfg.drop_modality == "audio":
-            au_in = np.full_like(au_in, -1.0)
-        elif cfg.drop_modality == "vision":
-            vi_in = np.full_like(vi_in, -1.0)
+            noise = rng is not None and cfg.noise_std > 0
+            seed = int(rng.integers(0, 2**62)) if noise else 0
+            for stream in streams:
+                clean = self._arrays[stream][idx, :T]
+                if noise:
+                    # Fused parallel gather+noise (native/fastbatch.cc;
+                    # numpy fallback).
+                    noised = native.gather_noise(
+                        self._arrays[stream], idx, T, cfg.noise_std,
+                        seed ^ (stream_k[stream] + 1),
+                    )
+                else:
+                    noised = clean
+                outs[stream] = (noised, clean)
+        a_in, a = outs["action"]
+        if cfg.drop_modality == "audio" and "audio" in outs:
+            outs["audio"] = (np.full_like(outs["audio"][0], -1.0), outs["audio"][1])
+        elif cfg.drop_modality == "vision" and "vision" in outs:
+            outs["vision"] = (np.full_like(outs["vision"][0], -1.0), outs["vision"][1])
         if cfg.modality == "audio":
+            au_in, au = outs["audio"]
             return (a_in, au_in, a, au)
         if cfg.modality == "vision":
+            vi_in, vi = outs["vision"]
             return (a_in, vi_in, a, vi)
+        au_in, au = outs["audio"]
+        vi_in, vi = outs["vision"]
         return (a_in, au_in, vi_in, a, au, vi)
 
     def _batched_indices(self, idx: np.ndarray, bs: int) -> list[np.ndarray]:
@@ -428,6 +450,11 @@ def _prefetch_iter(items: Iterator, depth: int = 2) -> Iterator:
             for item in items:
                 if not _put(item):
                     return
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            # Propagate assembly/staging errors to the consumer: swallowing
+            # them would end the epoch early and train silently on a
+            # truncated batch set.
+            _put(_Raise(e))
         finally:
             _put(_SENTINEL)
 
@@ -438,6 +465,15 @@ def _prefetch_iter(items: Iterator, depth: int = 2) -> Iterator:
             item = q.get()
             if item is _SENTINEL:
                 return
+            if isinstance(item, _Raise):
+                raise item.exc
             yield item
     finally:
         stop.set()
+
+
+class _Raise:
+    """Envelope carrying a worker-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -93,8 +93,11 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
             jnp.swapaxes(vision_embed, 0, 1),
             step_keys,
         )
+        if cfg.remat:
+            step = jax.checkpoint(step)
         _, (deter, prior_logits, prior_stoch, mixed, post_stoch, weights) = jax.lax.scan(
-            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs
+            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs,
+            unroll=cfg.scan_unroll,
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))

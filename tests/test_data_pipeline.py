@@ -160,3 +160,36 @@ def test_reference_pt_dir_trains_directly(tmp_path):
     dm2 = EpisodeDataModule(DataModuleConfig(data_dir=tmp_path, batch_size=2, sequence_length=3))
     dm2.setup()
     assert dm2.n_train == 3
+
+
+def test_prefetch_propagates_worker_errors():
+    """Batch-assembly errors must surface to the training loop, not end the
+    epoch early as a silent truncation."""
+    import pytest
+
+    from multimodal_mtrssm_tpu.data.pipeline import _prefetch_iter
+
+    def gen():
+        yield 1
+        raise RuntimeError("corrupt episode")
+
+    it = _prefetch_iter(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="corrupt episode"):
+        next(it)
+
+
+def test_synthetic_labeled_generator_non_divisible_length(tmp_path):
+    """episode_length not divisible by frames_per_word labels every frame
+    (last word truncated) instead of crashing."""
+    from multimodal_mtrssm_tpu.data.episodes import generate_synthetic_labeled_audio_mnist
+
+    generate_synthetic_labeled_audio_mnist(
+        tmp_path / "ep", tmp_path / "ev", n_episodes=2, episode_length=25, frames_per_word=18
+    )
+    import numpy as np
+
+    npz = sorted((tmp_path / "ev").glob("sample_*.npz"))
+    assert npz
+    with np.load(npz[0]) as z:
+        assert z["label"].shape[0] == 25
