@@ -112,6 +112,15 @@ def _scheduler_spec(node: dict | None) -> dict | None:
     return None
 
 
+
+def _first_scalar(v):
+    """torch ReduceLROnPlateau accepts min_lr as a scalar or per-group list;
+    a single param group here, so take the first element of a list."""
+    if isinstance(v, (list, tuple)):
+        return v[0] if v else 0.0
+    return v
+
+
 def _find_callback(callbacks: list, name: str) -> dict:
     for cb in callbacks or []:
         if _class_name(cb).endswith(name):
@@ -184,14 +193,23 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
     viz_args = _find_callback(callbacks, "Output")  # LogMoPoE*Output
     logger_args = _init_args(trainer_node.get("logger"))
 
+    opt_args = _init_args(raw.get("optimizer"))
+    betas = opt_args.get("betas", (0.9, 0.999))
     trainer = TrainerConfig(
         max_epochs=int(trainer_node.get("max_epochs", 100)),
         seed=int(raw.get("seed_everything", 42)),
-        learning_rate=float(_init_args(raw.get("optimizer")).get("lr", 1e-3)),
+        learning_rate=float(opt_args.get("lr", 1e-3)),
         grad_clip=float(trainer_node.get("gradient_clip_val", 10.0)),
+        weight_decay=float(opt_args.get("weight_decay", 0.01)),
+        adam_b1=float(betas[0]),
+        adam_b2=float(betas[1]),
+        adam_eps=float(opt_args.get("eps", 1e-8)),
         plateau_factor=float(sched.get("factor", 0.5)),
         plateau_patience=int(sched.get("patience", 50)),
+        plateau_min_lr=float(_first_scalar(sched.get("min_lr", 0.0))),
+        plateau_threshold=float(sched.get("threshold", 1e-4)),
         early_stop_patience=int(early.get("patience", 200)),
+        early_stop_min_delta=float(early.get("min_delta", 0.0)),
         log_dir=str(raw.get("log_dir", f"runs/{logger_args.get('project', 'default')}")),
         use_wandb=bool(raw.get("use_wandb", False)),
         wandb_project=logger_args.get("project"),

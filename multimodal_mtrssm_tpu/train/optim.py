@@ -261,7 +261,7 @@ class ExponentialScheduler:
 
 
 _SCHEDULERS = {
-    "plateau": None,  # PlateauScheduler, resolved below (defined earlier)
+    "plateau": PlateauScheduler,
     "cosine": CosineAnnealingScheduler,
     "step": StepScheduler,
     "exponential": ExponentialScheduler,

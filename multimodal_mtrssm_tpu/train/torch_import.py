@@ -87,6 +87,12 @@ def _import_by_shape(component: Params, sd: dict, prefix: str, report: dict,
         bk = wk[: -len("weight")] + "bias"
         if bk in sd:
             ref_pairs.append((wk, _t(sd[wk]), _t(sd[bk])))
+        else:
+            # Bias-free layer (e.g. conv followed by a norm): this build's
+            # layers all carry biases, so the tensor cannot be placed —
+            # record it instead of dropping it silently (the report is the
+            # documented trust contract for zero-shot imports).
+            report["unmatched"].append(wk + " (no bias sibling; bias-free layer unsupported)")
     slots = list(_leaf_slots(component))
     used = set()
     matched_paths: set[tuple] = set()

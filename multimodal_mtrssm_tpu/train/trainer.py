@@ -28,6 +28,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multimodal_mtrssm_tpu.data.pipeline import EpisodeDataModule
 from multimodal_mtrssm_tpu.parallel.mesh import (
@@ -35,6 +36,7 @@ from multimodal_mtrssm_tpu.parallel.mesh import (
     ici_size,
     make_hybrid_mesh,
     replicate,
+    stacked_batch_sharding,
 )
 from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
 from multimodal_mtrssm_tpu.train.metrics import MetricLogger
@@ -89,9 +91,15 @@ class TrainerConfig:
     learning_rate: float = 1e-3
     grad_clip: float = 10.0
     weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
     plateau_factor: float = 0.5
     plateau_patience: int = 50
+    plateau_min_lr: float = 0.0
+    plateau_threshold: float = 1e-4  # torch rel-threshold default
     early_stop_patience: int = 200
+    early_stop_min_delta: float = 0.0
     log_dir: str = "runs/default"
     use_wandb: bool = False
     wandb_project: str | None = None
@@ -199,7 +207,8 @@ class Trainer:
         else:
             zero1_kw = {}
         self.optimizer = make_optimizer(
-            self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay, **zero1_kw
+            self.cfg.learning_rate, self.cfg.grad_clip, self.cfg.weight_decay,
+            b1=self.cfg.adam_b1, b2=self.cfg.adam_b2, eps=self.cfg.adam_eps, **zero1_kw
         )
         self.ckpt = CheckpointManager(Path(self.cfg.log_dir) / "checkpoints")
         self.logger = MetricLogger(self.cfg.log_dir, self.cfg.use_wandb, self.cfg.wandb_project)
@@ -321,10 +330,13 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         params = replicate(params, self.mesh)
         opt_state = self._place_opt_state(opt_state)
-        scheduler = make_scheduler(
-            cfg.lr_scheduler, cfg.learning_rate, cfg.plateau_factor, cfg.plateau_patience
-        )
-        early_stop = EarlyStopping(cfg.early_stop_patience)
+        sched_spec = cfg.lr_scheduler or {
+            "kind": "plateau", "factor": cfg.plateau_factor,
+            "patience": cfg.plateau_patience, "min_lr": cfg.plateau_min_lr,
+            "threshold": cfg.plateau_threshold,
+        }
+        scheduler = make_scheduler(sched_spec, cfg.learning_rate)
+        early_stop = EarlyStopping(cfg.early_stop_patience, min_delta=cfg.early_stop_min_delta)
         start_epoch = 0
         best_val = float("inf")
 
@@ -341,12 +353,17 @@ class Trainer:
                 # epoch right after the last APPLIED optimizer step (the data
                 # stream is deterministic per epoch; consumed items are
                 # regenerated and skipped, so no batch trains twice). The
-                # original run's key schedule is reconstructed from the seed,
-                # so with global_step restored the continued steps are
-                # BIT-IDENTICAL to an uninterrupted run.
+                # interrupted run's key BASIS is restored from the aux (it is
+                # NOT always derivable from the seed — an epoch-boundary
+                # resume reseeds, trainer line below), so with global_step
+                # restored the continued steps are BIT-IDENTICAL to the run
+                # that was interrupted.
                 start_epoch = aux["epoch"]
                 resume_mid = aux
-                key = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
+                if "key_base" in aux:
+                    key = jnp.asarray(aux["key_base"], dtype=jnp.uint32)
+                else:  # pre-key_base checkpoint: fresh-run reconstruction
+                    key = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
             else:
                 start_epoch = aux["epoch"] + 1
                 key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
@@ -354,6 +371,8 @@ class Trainer:
             global_step = int(aux.get("global_step", 0))
 
         history = []
+        bsh = batch_sharding(self.mesh)
+        ssh = stacked_batch_sharding(self.mesh)
         preempt = _PreemptionGuard()
         preempt.__enter__()
         try:
@@ -364,7 +383,6 @@ class Trainer:
                 # One device key per epoch; per-step keys fold in the step index
                 # inside the jitted step (single RNG transfer per epoch).
                 epoch_key = jax.random.fold_in(key, epoch)
-                bsh = batch_sharding(self.mesh)
                 # Epoch means are SAMPLE-weighted (Lightning's log_dict weights
                 # by batch size), so the ragged tail batch contributes
                 # proportionally, not equally.
@@ -385,9 +403,6 @@ class Trainer:
                     train_metrics = dict(resume_mid.get("partial_metrics", {}))
                     n_train_eps = int(resume_mid.get("n_train_eps", 0))
                     resume_mid = None
-                from multimodal_mtrssm_tpu.parallel.mesh import stacked_batch_sharding
-
-                ssh = stacked_batch_sharding(self.mesh)
                 if accum == 1:
                     # Fast path: chunked stream — ("scan", [K,B,...]) chunks when
                     # spd > 1, plain ("step", batch) items otherwise (the chunked
@@ -447,28 +462,36 @@ class Trainer:
                             _accumulate(train_metrics, m, weight=b)
                             n_train_eps += b
                         stream_pos += window
+                def _save_last(epoch_, global_step_, **extra):
+                    """One 'last' checkpoint shape for every save site (the
+                    resume path depends on these fields staying in sync)."""
+                    self.ckpt.save(
+                        "last",
+                        {"params": params, "opt_state": opt_state},
+                        {
+                            "epoch": epoch_,
+                            "global_step": global_step_,
+                            "best_val": best_val,
+                            "key_base": np.asarray(key).tolist(),
+                            "scheduler": scheduler.state_dict(),
+                            "early_stop": early_stop.state_dict(),
+                            **extra,
+                        },
+                    )
+
                 if preempt.flagged:
                     # Preemption (SIGTERM): save a step-granular exact-resume
                     # checkpoint — params/optimizer state after the last APPLIED
                     # step plus the stream position; resume=True continues this
                     # epoch from the next batch. (A preempted partial
                     # accumulation window is discarded and replayed.)
-                    partial = {k: float(v) for k, v in train_metrics.items()}
-                    self.ckpt.save(
-                        "last",
-                        {"params": params, "opt_state": opt_state},
-                        {
-                            "epoch": epoch,
-                            "mid_epoch": True,
-                            "items_done": stream_pos,
-                            "spd": spd,
-                            "global_step": global_step - window,
-                            "n_train_eps": n_train_eps,
-                            "partial_metrics": partial,
-                            "best_val": best_val,
-                            "scheduler": scheduler.state_dict(),
-                            "early_stop": early_stop.state_dict(),
-                        },
+                    _save_last(
+                        epoch, global_step - window,
+                        mid_epoch=True,
+                        items_done=stream_pos,
+                        spd=spd,
+                        n_train_eps=n_train_eps,
+                        partial_metrics={k: float(v) for k, v in train_metrics.items()},
                     )
                     print(
                         f"preemption: saved step-granular resume checkpoint "
@@ -531,33 +554,21 @@ class Trainer:
                     best_val = monitored
                     self.ckpt.save("best", {"params": params}, {"epoch": epoch, "val_loss": monitored})
                 if (epoch + 1) % cfg.checkpoint_every_n_epochs == 0 or epoch == cfg.max_epochs - 1:
-                    self.ckpt.save(
-                        "last",
-                        {"params": params, "opt_state": opt_state},
-                        {
-                            "epoch": epoch,
-                            "global_step": global_step,
-                            "best_val": best_val,
-                            "scheduler": scheduler.state_dict(),
-                            "early_stop": early_stop.state_dict(),
-                        },
-                    )
+                    _save_last(epoch, global_step)
                 for cb in self.callbacks:
                     cb(self, epoch, params, row)
                 if early_stop.step(monitored):
                     # Capture the true final state (the periodic save above may
                     # be up to checkpoint_every_n_epochs-1 epochs stale).
-                    self.ckpt.save(
-                        "last",
-                        {"params": params, "opt_state": opt_state},
-                        {
-                            "epoch": epoch,
-                            "global_step": global_step,
-                            "best_val": best_val,
-                            "scheduler": scheduler.state_dict(),
-                            "early_stop": early_stop.state_dict(),
-                        },
-                    )
+                    _save_last(epoch, global_step)
+                    break
+                if preempt.flagged:
+                    # SIGTERM landed during validation/bookkeeping: the epoch
+                    # is COMPLETE, so save an epoch-boundary resume checkpoint
+                    # now instead of training into the next epoch (the flag
+                    # would otherwise only be polled after its first chunk).
+                    _save_last(epoch, global_step)
+                    print(f"preemption: saved resume checkpoint after epoch {epoch}, stopping")
                     break
 
         finally:

@@ -226,3 +226,33 @@ def test_scheduler_spec_exact_class_matching():
             warnings.simplefilter("always")
             assert _scheduler_spec(node(lookalike)) is None
         assert any("unsupported lr_scheduler" in str(x.message) for x in w)
+
+
+def test_optimizer_and_scheduler_args_parse_from_yaml(tmp_path):
+    """weight_decay/betas/eps, plateau min_lr/threshold, and EarlyStopping
+    min_delta from the YAML reach TrainerConfig (they used to be silently
+    dropped in favor of hardcoded defaults)."""
+    import yaml
+
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    base = yaml.safe_load(open("configs/mopoe_mrssm.yaml"))
+    base["optimizer"] = {
+        "class_path": "torch.optim.AdamW",
+        "init_args": {"lr": 2e-3, "weight_decay": 0.0, "betas": [0.85, 0.95], "eps": 1e-6},
+    }
+    base["lr_scheduler"] = {
+        "class_path": "torch.optim.lr_scheduler.ReduceLROnPlateau",
+        "init_args": {"factor": 0.3, "patience": 7, "min_lr": [1e-5], "threshold": 1e-3},
+    }
+    for cb in base["trainer"]["callbacks"]:
+        if "EarlyStopping" in cb.get("class_path", ""):
+            cb["init_args"]["min_delta"] = 0.01
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(base))
+    t = load_experiment(p).trainer
+    assert t.learning_rate == 2e-3 and t.weight_decay == 0.0
+    assert t.adam_b1 == 0.85 and t.adam_b2 == 0.95 and t.adam_eps == 1e-6
+    assert t.plateau_factor == 0.3 and t.plateau_patience == 7
+    assert t.plateau_min_lr == 1e-5 and t.plateau_threshold == 1e-3
+    assert t.early_stop_min_delta == 0.01
