@@ -100,7 +100,10 @@ def main() -> None:
     train_scan = jax.jit(train_scan, donate_argnums=(0, 1))
 
     # Compiled cost analysis → analytic FLOPs/step for the MFU figure
-    # (VERDICT r1 item 2: quantify chip utilization, not just vs-torch ratio).
+    # (VERDICT r1 item 2: quantify chip utilization, not just vs-torch
+    # ratio). The AOT Compiled object is used ONLY for cost analysis; the
+    # timed path goes through the normal jit entry (the duplicate compile
+    # is served by the persistent compilation cache).
     try:
         ca = train_scan.lower(params, opt_state, stacked, ks[3], 0).compile().cost_analysis()
         if isinstance(ca, list):
@@ -115,17 +118,27 @@ def main() -> None:
     for _ in range(WARMUP):
         params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
         step_no += K
-    loss.block_until_ready()
-    best_dt = float("inf")
+    # Fence with a host transfer, NOT block_until_ready: on this backend
+    # block_until_ready can return before enqueued work completes (observed
+    # 2026-08-17: the first post-warmup window measured 0.03 ms/step with
+    # correct losses), which poisons a min-over-windows statistic. float()
+    # cannot complete until the value exists.
+    float(loss)
+    times = []
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
             step_no += K
-        loss.block_until_ready()
-        best_dt = min(best_dt, (time.perf_counter() - t0) / (ITERS * K))
+        float(loss)
+        times.append((time.perf_counter() - t0) / (ITERS * K))
         if w < WINDOWS - 1:
             time.sleep(WINDOW_GAP_S)
+    # Guard the min against any residual too-fast-to-be-real window.
+    import statistics
+
+    med = statistics.median(times)
+    best_dt = min(t for t in times if t > 0.25 * med)
     seq_per_s = B / best_dt
 
     result = {

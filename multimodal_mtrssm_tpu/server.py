@@ -113,8 +113,13 @@ class InferenceServer:
                 except KeyError as e:
                     # Missing request field — schema error, not a lookup miss.
                     self._send(400, {"error": f"missing field {e.args[0]!r}"})
-                except (ValueError, TypeError) as e:
+                except (ValueError, TypeError, IndexError, OverflowError) as e:
                     self._send(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                    # Device-side failures (e.g. XlaRuntimeError on an
+                    # oversized batch) must produce a JSON error, not a
+                    # dropped connection.
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -122,7 +127,9 @@ class InferenceServer:
 
     # ---- endpoints -----------------------------------------------------------
     def _health(self) -> dict:
-        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.wm.params))
+        from multimodal_mtrssm_tpu.utils import count_params
+
+        n_params = count_params(self.wm.params)
         return {
             "ok": True,
             "model": type(self.wm.model).__name__,
@@ -135,6 +142,7 @@ class InferenceServer:
         audio = np.asarray(req["audio"], np.float32)
         vision = np.asarray(req["vision"], np.float32)
         key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        decoded = None
         with self._device_lock:
             posterior, _ = self.wm.observe(actions, audio, vision, key)
             last = posterior[:, -1]
@@ -142,7 +150,11 @@ class InferenceServer:
             out = {"state_id": sid, "batch": int(actions.shape[0]),
                    "t": int(actions.shape[1])}
             if req.get("decode", False):
-                out["recon"] = _frames_to_json(self.wm.decode(posterior))
+                decoded = self.wm.decode(posterior)
+        if decoded is not None:
+            # Host-side JSON conversion happens OUTSIDE the device lock —
+            # it is pure CPU work and must not serialize other requests.
+            out["recon"] = _frames_to_json(decoded)
         return out
 
     def _imagine(self, req: dict) -> dict:
@@ -151,12 +163,15 @@ class InferenceServer:
             raise UnknownStateError(str(req["state_id"]))
         actions = np.asarray(req["actions"], np.float32)
         key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        decoded = None
         with self._device_lock:
             imagined = self.wm.imagine(actions, state, key)
             sid = self.states.put(imagined[:, -1])
             out = {"state_id": sid, "t": int(actions.shape[1])}
             if req.get("decode", True):
-                out["frames"] = _frames_to_json(self.wm.decode(imagined))
+                decoded = self.wm.decode(imagined)
+        if decoded is not None:
+            out["frames"] = _frames_to_json(decoded)
         return out
 
     # ---- lifecycle -----------------------------------------------------------

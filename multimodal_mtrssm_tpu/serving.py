@@ -85,6 +85,11 @@ class WorldModel:
         template = exp.model.init(jax.random.PRNGKey(0))
         ckpt = CheckpointManager(checkpoint_dir)
         name = "best" if ckpt.exists("best") else "last"
+        if not ckpt.exists(name):
+            raise FileNotFoundError(
+                f"no 'best' or 'last' checkpoint under {checkpoint_dir} — "
+                "point --checkpoint at a run's checkpoints directory"
+            )
         state, _ = ckpt.restore(name, {"params": template})
         return cls(exp.model, state["params"], use_pallas=use_pallas, mesh=mesh)
 

@@ -64,7 +64,9 @@ def main() -> None:
 
     enable_compilation_cache()
     all_devices = jax.devices()
-    counts = args.devices or [n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)]
+    counts = args.devices or sorted(
+        {n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)} | {len(all_devices)}
+    )
     T = args.seq_len
     model = MoPoEMRSSM(MRSSMConfig())
     results = []

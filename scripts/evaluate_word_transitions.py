@@ -61,6 +61,11 @@ def main() -> None:
     template = model.init(jax.random.PRNGKey(0))
     ckpt = CheckpointManager(args.checkpoint)
     name = "best" if ckpt.exists("best") else "last"
+    if not ckpt.exists(name):
+        raise SystemExit(
+            f"no 'best' or 'last' checkpoint under {args.checkpoint} — "
+            "point --checkpoint at a run's checkpoints directory"
+        )
     state, _ = ckpt.restore(name, {"params": template})
     params = state["params"]
     print(f"loaded {name} checkpoint from {args.checkpoint}")
