@@ -103,11 +103,11 @@ def main() -> None:
         f = jax.jit(train_step, donate_argnums=(0, 1))
         for i in range(args.warmup):
             params, opt_state, loss = f(params, opt_state, batch, ks[3], i)
-        loss.block_until_ready()
+        float(loss)  # host-transfer fence (block_until_ready can return early; CLAUDE.md)
         t0 = time.perf_counter()
         for i in range(args.iters):
             params, opt_state, loss = f(params, opt_state, batch, ks[3], i)
-        loss.block_until_ready()
+        float(loss)
         dt = (time.perf_counter() - t0) / args.iters
         row = {
             "n_devices": n,
