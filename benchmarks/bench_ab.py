@@ -78,7 +78,7 @@ def main() -> None:
         f, p, s = build(cfg)
         for i in range(20):  # warmup + donation settle
             p, s, loss = f(p, s, batch, key, i)
-        loss.block_until_ready()
+        jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
         states[name] = [f, p, s]
 
     best = {name: float("inf") for name in variants}
@@ -90,7 +90,7 @@ def main() -> None:
             for _ in range(args.iters):
                 p, s, loss = f(p, s, batch, key, step_no)
                 step_no += 1
-            loss.block_until_ready()
+            jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
             dt = (time.perf_counter() - t0) / args.iters
             states[name][1], states[name][2] = p, s
             best[name] = min(best[name], dt)

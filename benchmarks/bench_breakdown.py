@@ -40,13 +40,13 @@ WARMUP, ITERS, WINDOWS = 30, 20, 4
 def timeit(fn, *args):
     for _ in range(WARMUP):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0])  # host-transfer fence
     best = float("inf")
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = fn(*args)
-        jax.block_until_ready(out)
+        jax.device_get(jax.tree.leaves(out)[0])  # host-transfer fence
         best = min(best, (time.perf_counter() - t0) / ITERS)
     return best, out
 

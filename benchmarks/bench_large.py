@@ -73,10 +73,10 @@ def main() -> None:
 
     f = jax.jit(step, donate_argnums=(0, 1))
     params, opt_state, loss = f(params, opt_state, ks[3], 0)
-    loss.block_until_ready()
+    jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
     for i in range(10):
         params, opt_state, loss = f(params, opt_state, ks[3], i)
-    loss.block_until_ready()
+    jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
     best = float("inf")
     sn = 100
     for _ in range(3):
@@ -84,7 +84,7 @@ def main() -> None:
         for _ in range(15):
             params, opt_state, loss = f(params, opt_state, ks[3], sn)
             sn += 1
-        loss.block_until_ready()
+        jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
         best = min(best, (time.perf_counter() - t0) / 15)
     print(json.dumps({
         "metric": "mopoe_mrssm_large_train_seq_per_s",

@@ -55,11 +55,11 @@ def _bench_mrssm() -> None:
 
         def timeit(fn, *args, n=50):
             r = fn(*args)
-            jax.block_until_ready(r)
+            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
             t0 = time.perf_counter()
             for _ in range(n):
                 r = fn(*args)
-            jax.block_until_ready(r)
+            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
             return (time.perf_counter() - t0) / n
 
         t_xla = timeit(xla_fn, actions, init_deter, init_stoch, jax.random.PRNGKey(2))
@@ -104,11 +104,11 @@ def _bench_mmtrssm() -> None:
 
         def timeit(fn, *args, n=50):
             r = fn(*args)
-            jax.block_until_ready(r)
+            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
             t0 = time.perf_counter()
             for _ in range(n):
                 r = fn(*args)
-            jax.block_until_ready(r)
+            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
             return (time.perf_counter() - t0) / n
 
         t_xla = timeit(xla_fn, a, st, ks[5])

@@ -196,7 +196,7 @@ def main() -> None:
         p, s = model.init(jax.random.PRNGKey(1)), opt.init(model.init(jax.random.PRNGKey(1)))
         for i in range(25):
             p, s, loss = f(p, s, batch, key, i)
-        loss.block_until_ready()
+        jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
         states[name] = [f, p, s]
     best = {n: 1e9 for n in fns}
     for _ in range(6):
@@ -205,7 +205,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for i in range(30):
                 p, s, loss = f(p, s, batch, key, i)
-            loss.block_until_ready()
+            jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
             best[name] = min(best[name], (time.perf_counter() - t0) / 30)
             states[name][1], states[name][2] = p, s
     for name, dt in best.items():
