@@ -30,9 +30,9 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 
 # Torch reference train-step throughput measured in this image (seq/s).
 # Refreshed by benchmarks/torch_reference_bench.py; see BASELINE.md.
-# 2026-08-16: {"metric": "torch_reference_train_seq_per_s", "value": 15.65,
+# 2026-08-17: {"metric": "torch_reference_train_seq_per_s", "value": 15.99,
 #              "unit": "seq/s", "device": "cpu"}
-TORCH_REFERENCE_SEQ_PER_S = 15.65
+TORCH_REFERENCE_SEQ_PER_S = 15.99
 
 # TPU v5e peak: 197 TFLOP/s bf16 (f32 runs below this; we report MFU against
 # the bf16 peak as the conservative denominator).
