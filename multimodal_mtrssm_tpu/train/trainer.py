@@ -63,6 +63,11 @@ class _PreemptionGuard:
     def __init__(self):
         self.flagged = False
         self._prev = None
+        # Separate installed flag: self._prev is None BOTH when install
+        # failed and when the previous disposition was a non-Python handler
+        # (signal.signal returns None for those) — restoring must happen in
+        # the latter case or our no-op handler leaks past fit().
+        self._installed = False
 
     def __enter__(self):
         import signal
@@ -72,15 +77,16 @@ class _PreemptionGuard:
 
         try:
             self._prev = signal.signal(signal.SIGTERM, _handler)
+            self._installed = True
         except ValueError:  # not the main thread
-            self._prev = None
+            self._installed = False
         return self
 
     def __exit__(self, *exc):
-        if self._prev is not None:
+        if self._installed:
             import signal
 
-            signal.signal(signal.SIGTERM, self._prev)
+            signal.signal(signal.SIGTERM, self._prev if self._prev is not None else signal.SIG_DFL)
         return False
 
 
@@ -192,7 +198,24 @@ class Trainer:
                 f"batch size divisible by the device count to use every chip.",
                 stacklevel=2,
             )
-        self.mesh = make_hybrid_mesh(devices[:n], dcn_size=dcn)
+        try:
+            self.mesh = make_hybrid_mesh(devices[:n], dcn_size=dcn)
+        except ValueError:
+            # Auto-detect mode on a multi-slice pod: the batch-divisibility
+            # trim above can split a slice unevenly, which make_hybrid_mesh
+            # rejects. Fall back to a flat data mesh (gradients then psum
+            # over DCN without the ICI/DCN split) rather than failing.
+            import warnings
+
+            from multimodal_mtrssm_tpu.parallel.mesh import make_mesh
+
+            warnings.warn(
+                f"device trim ({n}/{len(devices)}) is incompatible with the "
+                "detected slice layout; using a flat data mesh instead of a "
+                "hybrid (dcn, data) mesh.",
+                stacklevel=2,
+            )
+            self.mesh = make_mesh(devices[:n])
         print(
             f"trainer mesh: {n}/{len(devices)} device(s), "
             + " × ".join(f"{self.mesh.shape[a]} {a}" for a in self.mesh.axis_names)
@@ -322,7 +345,15 @@ class Trainer:
         return replicate(opt_state, self.mesh)
 
     # ---- fit -----------------------------------------------------------------
-    def fit(self, resume: bool = False) -> dict[str, Any]:
+    def fit(self, resume: bool = False, resume_from: str | Path | None = None) -> dict[str, Any]:
+        """Train. ``resume=True`` continues from this run's ``last``
+        checkpoint. ``resume_from`` (Lightning's ``fit(ckpt_path=…)``)
+        accepts ANY checkpoint directory — a run's ``checkpoints`` dir
+        (prefers ``last``, falls back to ``best``) or a specific
+        ``checkpoints/<name>`` path. A full-state checkpoint (params +
+        optimizer + scheduler counters) resumes exactly; a params-only
+        checkpoint (e.g. ``best``) warm-starts the weights with a fresh
+        optimizer/scheduler from epoch 0."""
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         key, k_init = jax.random.split(key)
@@ -342,33 +373,60 @@ class Trainer:
 
         resume_mid = None
         global_step = 0
-        if resume and self.ckpt.exists("last"):
-            state, aux = self.ckpt.restore("last", {"params": params, "opt_state": opt_state})
-            params = replicate(state["params"], self.mesh)
-            opt_state = self._place_opt_state(state["opt_state"])
-            scheduler = scheduler_from_state_dict(aux["scheduler"])
-            early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
-            if aux.get("mid_epoch"):
-                # Step-granular preemption resume: continue the interrupted
-                # epoch right after the last APPLIED optimizer step (the data
-                # stream is deterministic per epoch; consumed items are
-                # regenerated and skipped, so no batch trains twice). The
-                # interrupted run's key BASIS is restored from the aux (it is
-                # NOT always derivable from the seed — an epoch-boundary
-                # resume reseeds, trainer line below), so with global_step
-                # restored the continued steps are BIT-IDENTICAL to the run
-                # that was interrupted.
-                start_epoch = aux["epoch"]
-                resume_mid = aux
-                if "key_base" in aux:
-                    key = jnp.asarray(aux["key_base"], dtype=jnp.uint32)
-                else:  # pre-key_base checkpoint: fresh-run reconstruction
-                    key = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
+        src = None  # (manager, name) to restore from
+        if resume_from is not None:
+            p = Path(resume_from)
+            if not p.exists():
+                raise FileNotFoundError(f"resume_from checkpoint not found: {p}")
+            if (p / "last").exists() or (p / "best").exists():
+                mgr = CheckpointManager(p)
+                src = (mgr, "last" if mgr.exists("last") else "best")
             else:
-                start_epoch = aux["epoch"] + 1
-                key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
-            best_val = aux.get("best_val", float("inf"))
-            global_step = int(aux.get("global_step", 0))
+                src = (CheckpointManager(p.parent), p.name)
+        elif resume and self.ckpt.exists("last"):
+            src = (self.ckpt, "last")
+        if src is not None:
+            mgr, name = src
+            try:
+                state, aux = mgr.restore(name, {"params": params, "opt_state": opt_state})
+                has_full = "scheduler" in aux
+            except Exception:
+                if resume_from is None:
+                    raise
+                # No optimizer state in the checkpoint (or an incompatible
+                # optimizer config): params-only restore.
+                state, aux = mgr.restore(name, {"params": params})
+                has_full = False
+            params = replicate(state["params"], self.mesh)
+            if not has_full:
+                # Params-only warm start (e.g. another run's "best"): fresh
+                # optimizer/scheduler, epochs from 0 in THIS run's log dir.
+                print(f"warm start: params from {mgr.dir / name}")
+            else:
+                opt_state = self._place_opt_state(state["opt_state"])
+                scheduler = scheduler_from_state_dict(aux["scheduler"])
+                early_stop = EarlyStopping.from_state_dict(aux["early_stop"])
+                if aux.get("mid_epoch"):
+                    # Step-granular preemption resume: continue the interrupted
+                    # epoch right after the last APPLIED optimizer step (the data
+                    # stream is deterministic per epoch; consumed items are
+                    # regenerated and skipped, so no batch trains twice). The
+                    # interrupted run's key BASIS is restored from the aux (it is
+                    # NOT always derivable from the seed — an epoch-boundary
+                    # resume reseeds, trainer line below), so with global_step
+                    # restored the continued steps are BIT-IDENTICAL to the run
+                    # that was interrupted.
+                    start_epoch = aux["epoch"]
+                    resume_mid = aux
+                    if "key_base" in aux:
+                        key = jnp.asarray(aux["key_base"], dtype=jnp.uint32)
+                    else:  # pre-key_base checkpoint: fresh-run reconstruction
+                        key = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
+                else:
+                    start_epoch = aux["epoch"] + 1
+                    key = jax.random.PRNGKey(cfg.seed + start_epoch * 9973)
+                best_val = aux.get("best_val", float("inf"))
+                global_step = int(aux.get("global_step", 0))
 
         history = []
         bsh = batch_sharding(self.mesh)
@@ -398,6 +456,18 @@ class Trainer:
                     # stream position is measured in chunk items, so the
                     # interrupted run's K governs this epoch's chunking even
                     # if steps_per_dispatch changed in between.
+                    # items_done counts chunk items on the fast path but raw
+                    # batches on the accumulation path — the two skip
+                    # semantics are incompatible, so a changed
+                    # accumulate_grad_batches must refuse, not mis-skip.
+                    saved_accum = int(resume_mid.get("accum", 1))
+                    if saved_accum != accum:
+                        raise ValueError(
+                            f"mid-epoch resume checkpoint was saved with "
+                            f"accumulate_grad_batches={saved_accum} but the trainer is "
+                            f"configured with {accum}; resume with the original value "
+                            f"(the stream skip offset is only valid under it)"
+                        )
                     skip = stream_pos = int(resume_mid["items_done"])
                     spd = int(resume_mid.get("spd", spd))
                     train_metrics = dict(resume_mid.get("partial_metrics", {}))
@@ -490,6 +560,7 @@ class Trainer:
                         mid_epoch=True,
                         items_done=stream_pos,
                         spd=spd,
+                        accum=accum,
                         n_train_eps=n_train_eps,
                         partial_metrics={k: float(v) for k, v in train_metrics.items()},
                     )
@@ -498,7 +569,12 @@ class Trainer:
                         f"(epoch {epoch}, {stream_pos} stream items applied), stopping"
                     )
                     break
-                jax.block_until_ready(train_metrics)  # dispatch is async; time real compute
+                # Fence with a host transfer, not block_until_ready: on this
+                # backend block_until_ready can return before enqueued work
+                # completes (BASELINE.md timing note), making seq_per_sec
+                # optimistic. One accumulated scalar depends on every step.
+                if train_metrics:
+                    float(next(iter(train_metrics.values())))
                 epoch_time = time.time() - t0
 
                 val_key = jax.random.fold_in(epoch_key, 0x5EED)

@@ -117,12 +117,20 @@ def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch
 
     calls = []
 
+    defined = []
+
     stub = types.ModuleType("wandb")
     stub.init = lambda **kw: None
     stub.log = lambda payload, step=None: calls.append(payload)
     stub.Video = lambda path, fps=10, format="gif": ("video", str(path))
     stub.Image = lambda path: ("image", str(path))
     stub.finish = lambda: None
+    stub.run = types.SimpleNamespace(
+        define_metric=lambda name, **kw: defined.append((name, kw))
+    )
+    stub.plot = types.SimpleNamespace(
+        line_series=lambda xs, ys, keys, title, xname: ("line_series", keys, title, xs, ys)
+    )
     monkeypatch.setitem(sys.modules, "wandb", stub)
 
     from multimodal_mtrssm_tpu.viz.callback import LogRSSMOutput
@@ -150,6 +158,15 @@ def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch
     image_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "image"
                                            for v in c.values())]
     assert image_calls  # combined charts mirrored
+    # Native wandb.plot.line_series parity (reference callback.py:66-123):
+    # combined train-vs-val panels for loss/recon/kl, on the epoch axis,
+    # and define_metric grouping declared at init.
+    ls_calls = {k: v for c in calls for k, v in c.items()
+                if isinstance(v, tuple) and v[0] == "line_series"}
+    assert {"loss_combined", "recon_combined", "kl_combined"} <= set(ls_calls)
+    assert ls_calls["loss_combined"][1] == ["train", "val"]
+    assert ("train/loss", {"step_metric": "epoch", "summary": "min"}) in defined
+    assert ("val/kl", {"step_metric": "epoch", "summary": "min"}) in defined
 
 
 def test_fit_zero1_hybrid_mesh_matches_replicated(tmp_path):
@@ -452,3 +469,41 @@ def test_mid_epoch_preemption_resume_bit_exact(tmp_path):
     # weighted metrics restored across the preemption boundary)
     np.testing.assert_allclose(out_res["history"][0]["train/loss"],
                                out_ref["history"][0]["train/loss"], rtol=1e-6)
+
+
+def test_fit_resume_from_warm_start(tmp_path):
+    """fit(resume_from=…) mirrors Lightning fit(ckpt_path=…): run B can
+    warm-start from run A's best (params-only) checkpoint, and a full
+    'last' checkpoint from another run resumes exactly (VERDICT r2 item 9)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+
+    def dm():
+        return EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+
+    cfg_a = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / "runA"), learning_rate=3e-4)
+    out_a = Trainer(small_model(), dm(), cfg_a).fit()
+    ckpts_a = tmp_path / "runA" / "checkpoints"
+
+    # Warm start from run A's best (params-only): epochs restart at 0 and the
+    # first epoch starts from A's trained weights, not a fresh init.
+    cfg_b = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "runB"), learning_rate=3e-4)
+    out_b = Trainer(small_model(), dm(), cfg_b).fit(resume_from=ckpts_a / "best")
+    assert out_b["history"][0]["epoch"] == 0
+    # A fresh-init run's first train loss for comparison:
+    cfg_c = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "runC"), learning_rate=3e-4)
+    out_c = Trainer(small_model(), dm(), cfg_c).fit()
+    assert out_b["history"][0]["train/loss"] < out_c["history"][0]["train/loss"]
+
+    # Full-state resume from another run's checkpoints dir: continues epochs.
+    cfg_d = TrainerConfig(max_epochs=4, log_dir=str(tmp_path / "runD"), learning_rate=3e-4)
+    out_d = Trainer(small_model(), dm(), cfg_d).fit(resume_from=ckpts_a)
+    assert out_d["history"][0]["epoch"] == 2  # run A finished epoch 1
+
+    # Missing path is loud.
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        Trainer(small_model(), dm(), TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "runE"))).fit(
+            resume_from=tmp_path / "nope"
+        )
