@@ -15,6 +15,12 @@ import time
 from pathlib import Path
 
 
+# Metric groups that get combined train-vs-val wandb.plot.line_series panels
+# (reference WandBMetricOrganizer, callback.py:38-123, which does loss/recon/
+# kl; kl_h added for the MMTRSSM family's second KL).
+LINE_SERIES_GROUPS = ("loss", "recon", "kl", "kl_h")
+
+
 class MetricLogger:
     def __init__(self, log_dir: str | Path, use_wandb: bool = False, project: str | None = None):
         self.log_dir = Path(log_dir)
@@ -22,14 +28,31 @@ class MetricLogger:
         self.path = self.log_dir / "metrics.jsonl"
         self._fh = open(self.path, "a")
         self._wandb = None
+        # Accumulated (epoch, value) series per group × train/val for the
+        # interactive line_series panels (reference callback.py:66-123).
+        self._series: dict[str, list[tuple[int, float]]] = {}
         if use_wandb:
             try:
                 import wandb  # type: ignore
 
                 self._wandb = wandb
                 wandb.init(project=project or "multimodal_mtrssm_tpu", dir=str(self.log_dir))
+                self._define_metrics()
             except Exception:
                 self._wandb = None
+
+    def _define_metrics(self) -> None:
+        """W&B chart grouping: train/val of each group share the epoch axis
+        (reference ``WandBMetricOrganizer.on_train_start``,
+        ``callback.py:38-64``)."""
+        run = getattr(self._wandb, "run", None)
+        if run is None or not hasattr(run, "define_metric"):
+            return
+        for group in LINE_SERIES_GROUPS:
+            for prefix in ("train", "val"):
+                run.define_metric(f"{prefix}/{group}", step_metric="epoch", summary="min")
+        run.define_metric("epoch", summary="max")
+        run.define_metric("lr", summary="max")
 
     def log(self, metrics: dict[str, float], step: int) -> None:
         record = {"step": step, "time": time.time(), **{k: float(v) for k, v in metrics.items()}}
@@ -37,6 +60,34 @@ class MetricLogger:
         self._fh.flush()
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+            self._log_line_series(metrics, step)
+
+    def _log_line_series(self, metrics: dict[str, float], step: int) -> None:
+        """Emit combined train-vs-val ``wandb.plot.line_series`` panels
+        (native parity with reference ``callback.py:95-123``; the PNG charts
+        in ``viz/charts.py`` remain the offline artifact)."""
+        epoch = int(metrics.get("epoch", step))
+        for group in LINE_SERIES_GROUPS:
+            for prefix in ("train", "val"):
+                key = f"{prefix}/{group}"
+                if key in metrics:
+                    self._series.setdefault(key, []).append((epoch, float(metrics[key])))
+        try:
+            for group in LINE_SERIES_GROUPS:
+                tr = self._series.get(f"train/{group}")
+                va = self._series.get(f"val/{group}")
+                if not tr or not va:
+                    continue
+                chart = self._wandb.plot.line_series(
+                    xs=[[x for x, _ in tr], [x for x, _ in va]],
+                    ys=[[y for _, y in tr], [y for _, y in va]],
+                    keys=["train", "val"],
+                    title=f"{group} (train vs val)",
+                    xname="epoch",
+                )
+                self._wandb.log({f"{group}_combined": chart})
+        except Exception:  # combined charts are optional, never fail a run
+            pass
 
     def log_video(self, key: str, gif_path, fps: float = 10.0, step: int | None = None) -> None:
         """Mirror a rendered rollout GIF to W&B (reference
