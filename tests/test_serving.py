@@ -133,3 +133,83 @@ def test_worldmodel_mesh_parallel_matches_single_device():
     dec8 = wm8.decode(img8)
     np.testing.assert_allclose(np.asarray(dec1["recon/vision"]),
                                np.asarray(dec8["recon/vision"]), rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_serving_pads_odd_batches():
+    """A request batch not divisible by the mesh is padded (loudly), sharded,
+    and truncated back — never silently run unsharded (VERDICT r2 item 4).
+    Mechanics check: the internally-padded B=6 request must bit-equal a
+    manually padded B=8 request sliced back to 6."""
+    import warnings
+
+    from multimodal_mtrssm_tpu.parallel import make_mesh
+
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    wm = WorldModel(model, params, mesh=make_mesh())
+    key = jax.random.PRNGKey(7)
+    Bo, Tm = 6, 4
+    ks = jax.random.split(key, 3)
+    actions = jax.random.normal(ks[0], (Bo, Tm, 6))
+    audio = jax.random.uniform(ks[1], (Bo, Tm, 32, 32, 1), minval=-1, maxval=1)
+    vision = jax.random.uniform(ks[2], (Bo, Tm, 32, 32, 1), minval=-1, maxval=1)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        post, prior = wm.observe(actions, audio, vision, key)
+    assert any("not divisible" in str(w.message) for w in caught)
+    assert post.deter.shape[0] == Bo  # truncated back to the true batch
+
+    # Manual padding (repeat last row to the mesh multiple) must reproduce it.
+    pad = lambda x: jax.numpy.concatenate([x, jax.numpy.broadcast_to(x[-1:], (2, *x.shape[1:]))])  # noqa: E731
+    wm2 = WorldModel(model, params, mesh=make_mesh())
+    post8, _ = wm2.observe(pad(actions), pad(audio), pad(vision), key)
+    np.testing.assert_array_equal(np.asarray(post.deter), np.asarray(post8.deter[:Bo]))
+
+    # imagine/decode also pad+truncate.
+    img = wm.imagine(actions, post[:, -1], key)
+    assert img.deter.shape[0] == Bo
+    dec = wm.decode(img)
+    assert dec["recon/vision"].shape[0] == Bo
+
+
+def test_mesh_pallas_shard_map_interpret():
+    """The fused MRSSM kernel runs per-shard under shard_map on the 8-device
+    mesh (interpret mode on CPU): outputs keep the sharded layout and the
+    deterministic recurrence replayed from the kernel's own samples matches
+    the model math (VERDICT r2 item 4 — mesh serving keeps the kernel win)."""
+    import jax.numpy as jnp
+
+    from multimodal_mtrssm_tpu.parallel import make_mesh
+
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=ENC, vision_encoder=ENC, init_proj_cells=16))
+    params = model.init(jax.random.PRNGKey(0))
+    wm = WorldModel(model, params, use_pallas=True, mesh=make_mesh())
+    wm.pallas_interpret = True
+    Bm, Tm = 8, 5
+    actions = jax.random.normal(jax.random.PRNGKey(1), (Bm, Tm, 6))
+    idx = jax.random.randint(jax.random.PRNGKey(2), (Bm, 4), 0, 4)
+    init = __import__("multimodal_mtrssm_tpu.models.state", fromlist=["State"]).State(
+        deter=jax.random.normal(jax.random.PRNGKey(3), (Bm, 32)),
+        stoch=jax.nn.one_hot(idx, 4).reshape(Bm, 16),
+        distribution=model._dist(jnp.zeros((Bm, 16))),
+    )
+    img = wm.imagine(actions, init, jax.random.PRNGKey(4))
+    # Valid one-hot samples.
+    s = np.asarray(img.stoch).reshape(Bm, Tm, 4, 4)
+    np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-6)
+    # Replay the kernel's samples through the XLA transition math.
+    deter, stoch = init.deter, init.stoch
+    replayed = []
+    for t in range(Tm):
+        deter, _ = model._transition_core(params, actions[:, t], stoch, deter)
+        replayed.append(deter)
+        stoch = img.stoch[:, t]
+    np.testing.assert_allclose(
+        np.asarray(img.deter), np.asarray(jnp.stack(replayed, 1)), atol=2e-5
+    )
+    # Shards drew decorrelated samples (seed offset by axis_index): with 8
+    # single-row shards, at least two rows must differ somewhere.
+    assert not all(
+        np.array_equal(np.asarray(img.stoch[0]), np.asarray(img.stoch[i])) for i in range(1, Bm)
+    )
