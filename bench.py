@@ -105,11 +105,19 @@ def main() -> None:
     # timed path goes through the normal jit entry (the duplicate compile
     # is served by the persistent compilation cache).
     try:
-        ca = train_scan.lower(params, opt_state, stacked, ks[3], 0).compile().cost_analysis()
+        # Lower a SINGLE optimizer step (K=1) for the flops figure instead of
+        # relying on XLA counting the K-step while-loop body once — if a
+        # future XLA multiplied by the trip count, MFU would silently inflate
+        # K×. The extra compile is served by the persistent cache.
+        batch1 = tuple(x[0] for x in stacked)
+        ca = (
+            jax.jit(one_step)
+            .lower(params, opt_state, batch1, ks[3])
+            .compile()
+            .cost_analysis()
+        )
         if isinstance(ca, list):
             ca = ca[0]
-        # XLA cost_analysis counts a while-loop body ONCE (not × trip count),
-        # so the scan's flops figure already ≈ one optimizer step.
         flops_per_step = float(ca.get("flops", 0.0))
     except Exception:
         flops_per_step = 0.0

@@ -8,9 +8,7 @@ serve. Remaining argv is passed through to the underlying script.
 
 from __future__ import annotations
 
-import runpy
 import sys
-from pathlib import Path
 
 from multimodal_mtrssm_tpu import cli
 
@@ -28,8 +26,10 @@ def main() -> None:
         raise SystemExit(0 if len(sys.argv) >= 2 else 2)
     command, sys.argv = sys.argv[1], [sys.argv[0], *sys.argv[2:]]
     if command == "serve":
-        script = Path(__file__).resolve().parent.parent / "scripts" / "serve.py"
-        runpy.run_path(str(script), run_name="__main__")
+        # In-package entry (works from an installed distribution too).
+        from multimodal_mtrssm_tpu.server import main as serve_main
+
+        serve_main(sys.argv[1:])
         return
     fn = _COMMANDS.get(command)
     if fn is None:

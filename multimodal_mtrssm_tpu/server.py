@@ -192,3 +192,40 @@ class InferenceServer:
 
 def _frames_to_json(decoded: dict) -> dict:
     return {k: np.asarray(v, np.float32).tolist() for k, v in decoded.items()}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry: stand a trained world model behind the HTTP server.
+
+    Lives in the package (not scripts/) so ``python -m multimodal_mtrssm_tpu
+    serve`` works from an installed distribution, not only a repo checkout.
+    """
+    import argparse
+
+    from multimodal_mtrssm_tpu.serving import WorldModel
+
+    ap = argparse.ArgumentParser(prog="serve")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True, help="checkpoints dir of a run")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"])
+    ap.add_argument("--mesh", action="store_true",
+                    help="batch-parallel serving over all devices (data mesh)")
+    args = ap.parse_args(argv)
+
+    use_pallas = {"auto": "auto", "true": True, "false": False}[args.use_pallas]
+    mesh = None
+    if args.mesh:
+        from multimodal_mtrssm_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    wm = WorldModel.from_checkpoint(args.config, args.checkpoint,
+                                    use_pallas=use_pallas, mesh=mesh)
+    server = InferenceServer(wm, host=args.host, port=args.port)
+    print(f"serving {type(wm.model).__name__} on http://{args.host}:{server.port} "
+          "(/healthz /observe /imagine)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
