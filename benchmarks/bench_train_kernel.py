@@ -1,0 +1,115 @@
+"""A/B: fused Pallas training recurrence vs XLA scan, full train step on TPU.
+
+Measures the SURVEY §7.7 kernel (ops/pallas/train_step.py) inside the same
+multi-step-scan harness bench.py uses (K optimizer steps per dispatch,
+donated buffers) at the reference config B=8 T=30, plus optional extra
+shapes. Reports ms/step for both paths; BASELINE.md records the outcome and
+ops/pallas/train_step.AUTO_TRAIN_KERNEL encodes the dispatch decision.
+
+Run (TPU): python benchmarks/bench_train_kernel.py [--shapes 8x30,32x30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig  # noqa: E402
+from multimodal_mtrssm_tpu.train.optim import make_optimizer  # noqa: E402
+
+K = 32
+WARMUP = 3
+WINDOWS = 8
+GAP_S = 4.0
+
+
+def measure(model: MoPoEMRSSM, B: int, T: int) -> float:
+    """Steady-state ms per optimizer step for the K-step scan train path."""
+    print(f"# measuring B={B} T={T} use_pallas_train={model.cfg.use_pallas_train} "
+          f"-> mode={model._train_kernel_mode(B, T)}", flush=True)
+    optimizer = make_optimizer()
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    stacked = (
+        jax.random.normal(ks[0], (K, B, T, 6)),
+        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.normal(ks[0], (K, B, T, 6)),
+        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
+        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    opt_state = optimizer.init(params)
+
+    def train_scan(params, opt_state, stacked, key, step0):
+        def body(carry, xs):
+            p, s = carry
+            batch, step = xs
+
+            def loss_fn(pp):
+                return model.shared_step(pp, batch, jax.random.fold_in(key, step))["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = jax.tree.map(lambda a, u: a + u, p, updates)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (stacked, step0 + jnp.arange(K))
+        )
+        return params, opt_state, losses[-1]
+
+    train_scan = jax.jit(train_scan, donate_argnums=(0, 1))
+    step_no = 0
+    for _ in range(WARMUP):
+        params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
+        step_no += K
+    float(loss)  # host-transfer fence (block_until_ready can return early)
+    times = []
+    for w in range(WINDOWS):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
+        step_no += K
+        float(loss)
+        times.append((time.perf_counter() - t0) / K)
+        if w < WINDOWS - 1:
+            time.sleep(GAP_S)
+    med = statistics.median(times)
+    return min(t for t in times if t > 0.25 * med) * 1e3
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="8x30", help="comma list of BxT")
+    args = ap.parse_args()
+    from multimodal_mtrssm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = []
+    for shape in args.shapes.split(","):
+        B, T = (int(v) for v in shape.split("x"))
+        ms_xla = measure(MoPoEMRSSM(MRSSMConfig(use_pallas_train=False)), B, T)
+        ms_kernel = measure(MoPoEMRSSM(MRSSMConfig(use_pallas_train=True)), B, T)
+        row = {
+            "B": B, "T": T,
+            "ms_per_step_xla": round(ms_xla, 3),
+            "ms_per_step_kernel": round(ms_kernel, 3),
+            "speedup": round(ms_xla / ms_kernel, 3),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"metric": "train_kernel_ab", "results": results}))
+
+
+if __name__ == "__main__":
+    main()

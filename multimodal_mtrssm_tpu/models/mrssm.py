@@ -76,6 +76,22 @@ class MRSSMConfig:
     # lax.scan unroll factor for the recurrence (hardware-dependent tuning
     # knob; 1 = compiler default loop).
     scan_unroll: int = 1
+    # Fused Pallas TRAINING recurrence (SURVEY §7.7): run the whole T-step
+    # representation recurrence (transition + posterior heads + MoPoE fusion
+    # + ST sampling) as one Pallas program with a hand-derived backward
+    # kernel (ops/pallas/train_step.py). Values:
+    #   "auto"      — kernel on TPU when eligible and measured-faster
+    #                 (ops.pallas.train_step.AUTO_TRAIN_KERNEL policy);
+    #   True        — kernel whenever eligible (ELU, f32, VMEM fits);
+    #   False       — always the XLA lax.scan path;
+    #   "interpret" — kernel in interpreter mode (CPU tests);
+    #   "reference" — the kernel's pure-JAX twin (same pre-generated-Gumbel
+    #                 RNG layout, XLA execution; equivalence testing).
+    # RNG NOTE: the kernel path draws its per-step Gumbel noise from two
+    # bulk jax.random.gumbel calls instead of per-step key splits — the
+    # sampling DISTRIBUTION is identical but the stream differs, so
+    # trajectories are not bit-comparable across the two paths.
+    use_pallas_train: bool | str = "auto"
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     audio_decoder: DecoderConfig | None = None
@@ -201,6 +217,11 @@ class MoPoEMRSSM:
         cfg = self.cfg
         audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
         vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
+        if mode is not None:
+            return self._rollout_representation_fused(
+                params, actions, audio_embed, vision_embed, prev_state, key, mode
+            )
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 
@@ -239,6 +260,86 @@ class MoPoEMRSSM:
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
         posterior = State(deter=tm(deter), stoch=tm(post_stoch), distribution=self._dist(tm(mixed_logits)))
+        return posterior, prior
+
+    def _train_kernel_mode(self, batch: int, horizon: int) -> str | None:
+        """Resolve ``use_pallas_train`` to a concrete mode (None = XLA scan).
+
+        Eligibility: ELU activation (the kernel hard-codes it), f32 compute
+        (the kernel is an f32 program; bf16 configs keep the XLA path), and
+        the single-program VMEM budget (``fits_vmem``)."""
+        v = self.cfg.use_pallas_train
+        if v in (False, None):
+            return None
+        from multimodal_mtrssm_tpu.ops.pallas import fits_vmem
+
+        eligible = (
+            self.cfg.activation_name == "ELU"
+            and self.cfg.compute_dtype == jnp.float32
+            and fits_vmem(horizon, batch)
+        )
+        if v in ("interpret", "reference"):
+            return v if eligible else None
+        if v == "auto":
+            from multimodal_mtrssm_tpu.ops.pallas.train_step import AUTO_TRAIN_KERNEL
+
+            # Single-chip only for auto: GSPMD cannot partition a bare
+            # pallas_call over a batch-sharded mesh (multi-chip training
+            # keeps the XLA scan, which partitions automatically).
+            if (eligible and AUTO_TRAIN_KERNEL and jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1):
+                return "kernel"
+            return None
+        # v is True
+        if not eligible:
+            import warnings
+
+            warnings.warn(
+                "use_pallas_train=True ignored: the fused training kernel "
+                "requires ELU + float32 and a VMEM-sized [T, B]; taking the "
+                "XLA scan path",
+                stacklevel=3,
+            )
+            return None
+        return "kernel"
+
+    def _rollout_representation_fused(
+        self, params, actions, audio_embed, vision_embed, prev_state, key, mode: str
+    ) -> tuple[State, State]:
+        """Representation rollout through the fused Pallas training kernel
+        (or its pure-JAX twin) — same outputs as the scan path, RNG drawn as
+        bulk Gumbel noise (see ``use_pallas_train`` docstring)."""
+        from multimodal_mtrssm_tpu.ops.pallas import (
+            fused_train_recurrence,
+            pack_train_params,
+            reference_train_recurrence,
+        )
+
+        cfg = self.cfg
+        B, T = actions.shape[:2]
+        S = cfg.stoch_size
+        k1, k2 = jax.random.split(key)
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+        args = (
+            pack_train_params(params),
+            f32(tm(actions)), f32(tm(audio_embed)), f32(tm(vision_embed)),
+            f32(prev_state.deter), f32(prev_state.stoch),
+            jax.random.gumbel(k1, (T, B, S), jnp.float32),
+            jax.random.gumbel(k2, (T, B, S), jnp.float32),
+        )
+        if mode == "reference":
+            outs = reference_train_recurrence(
+                *args, class_size=cfg.class_size, category_size=cfg.category_size
+            )
+        else:
+            outs = fused_train_recurrence(
+                *args, class_size=cfg.class_size, category_size=cfg.category_size,
+                interpret=(mode == "interpret"),
+            )
+        deter, prior_logits, prior_stoch, mixed, post_stoch = (tm(o) for o in outs)
+        prior = State(deter=deter, stoch=prior_stoch, distribution=self._dist(prior_logits))
+        posterior = State(deter=deter, stoch=post_stoch, distribution=self._dist(mixed))
         return posterior, prior
 
     def rollout_transition(

@@ -7,6 +7,12 @@ from multimodal_mtrssm_tpu.ops.pallas.rollout_mt import (
     fused_mt_rollout_transition,
     pack_mt_params,
 )
+from multimodal_mtrssm_tpu.ops.pallas.train_step import (
+    fits_vmem,
+    fused_train_recurrence,
+    pack_train_params,
+    reference_train_recurrence,
+)
 
 
 def default_use_pallas(kind: str, batch: int, horizon: int) -> bool:
@@ -52,9 +58,13 @@ def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: i
 
 __all__ = [
     "default_use_pallas",
+    "fits_vmem",
     "fused_mt_rollout_transition",
     "fused_rollout_transition",
+    "fused_train_recurrence",
     "pack_mt_params",
     "pack_params",
+    "pack_train_params",
+    "reference_train_recurrence",
     "resolve_use_pallas",
 ]
