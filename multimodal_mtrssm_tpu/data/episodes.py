@@ -185,6 +185,7 @@ def generate_synthetic_labeled_audio_mnist(
     hw: int = 32,
     n_speakers: int = 6,
     seed: int = 0,
+    n_successors: int = 2,
 ) -> tuple[list[Path], list[Path]]:
     """Synthetic *labeled* Audio-MNIST: digit-stripe frames + word labels.
 
@@ -203,8 +204,10 @@ def generate_synthetic_labeled_audio_mnist(
     # Ceil so a non-divisible episode_length still labels every frame (the
     # last word is truncated); label is trimmed to episode_length below.
     n_words = -(-episode_length // frames_per_word)
-    # Sparse digit-transition graph: from each word, 2 likely successors.
-    successors = {d: ((d + 1) % 10, (d + 3) % 10) for d in range(10)}
+    # Sparse digit-transition graph: from each word, ``n_successors`` equally
+    # likely successors (1 = deterministic chain — the low-entropy setting
+    # that makes the Matching-Rate evaluation maximally separable).
+    successors = {d: (((d + 1) % 10, (d + 3) % 10)[:n_successors]) for d in range(10)}
     train_paths, eval_paths = [], []
     eval_dir = Path(eval_dir)
     eval_dir.mkdir(parents=True, exist_ok=True)
@@ -213,7 +216,7 @@ def generate_synthetic_labeled_audio_mnist(
         words = [int(rng.integers(0, 10))]
         for _ in range(n_words - 1):
             nxt = successors[words[-1]]
-            words.append(int(nxt[rng.integers(0, 2)]))
+            words.append(int(nxt[rng.integers(0, len(nxt))]))
         label = np.repeat(np.asarray(words, np.int64), frames_per_word)[:episode_length]
         speaker = np.zeros((episode_length, n_speakers), np.float32)
         speaker[:, speaker_idx] = 1.0
