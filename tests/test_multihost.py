@@ -1,0 +1,76 @@
+"""REAL 2-process multi-host test (VERDICT r2 item 6).
+
+Two ``jax.distributed``-initialized CPU subprocesses (Gloo collectives,
+coordinator on localhost, 4 virtual devices each → 8 global) drive
+``put_sharded``'s ``make_array_from_callback`` branch under an actual
+``jax.process_count() == 2`` plus one sharded DP train step, and the
+result is asserted equal to this process's own single-controller 8-device
+run — the classic multi-host input bug (wrong addressable shards) would
+change the loss.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    repo = Path(__file__).resolve().parent.parent
+    worker = repo / "tests" / "_multihost_worker.py"
+    out = tmp_path / "p0.json"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), str(out)],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    got = json.loads(out.read_text())
+
+    # Single-controller 8-device run of the identical problem in THIS
+    # process (conftest gives us the 8-device CPU mesh).
+    from multimodal_mtrssm_tpu.parallel.mesh import batch_sharding, make_mesh, put_sharded
+    from tests._multihost_common import build_problem
+
+    model, params, opt, batch_np, key = build_problem()
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    batch = tuple(put_sharded(x, bsh) for x in batch_np)
+    opt_state = opt.init(params)
+
+    def train_step(p, s, b, k):
+        def loss_fn(pp):
+            return model.shared_step(pp, b, k)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return jax.tree.map(lambda a, u: a + u, p, updates), s, loss
+
+    params, opt_state, loss = jax.jit(train_step)(params, opt_state, batch, key)
+    checksum = float(sum(float(jax.numpy.sum(jax.numpy.abs(x))) for x in jax.tree.leaves(params)))
+    np.testing.assert_allclose(got["loss"], float(loss), rtol=2e-5)
+    np.testing.assert_allclose(got["param_checksum"], checksum, rtol=2e-5)
