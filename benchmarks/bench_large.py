@@ -72,6 +72,17 @@ def main() -> None:
         return jax.tree.map(lambda a, b: a + b, p, u), st, loss
 
     f = jax.jit(step, donate_argnums=(0, 1))
+    # Analytic FLOPs from the compiled step (no donation: a second AOT
+    # lowering, served by the compile cache) → MFU/roofline context
+    # (VERDICT r2 item 7). v5e peak: 197 TFLOP/s bf16, 819 GB/s HBM.
+    try:
+        ca = jax.jit(step).lower(params, opt_state, ks[3], 0).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+        bytes_per_step = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        flops_per_step = bytes_per_step = 0.0
     params, opt_state, loss = f(params, opt_state, ks[3], 0)
     jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
     for i in range(10):
@@ -86,6 +97,8 @@ def main() -> None:
             sn += 1
         jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
         best = min(best, (time.perf_counter() - t0) / 15)
+    V5E_PEAK_FLOPS = 197e12
+    V5E_HBM_BPS = 819e9
     print(json.dumps({
         "metric": "mopoe_mrssm_large_train_seq_per_s",
         "value": round(B / best, 1),
@@ -93,6 +106,9 @@ def main() -> None:
         "params_m": round(n_params / 1e6, 1),
         "ms_per_step": round(best * 1e3, 2),
         "batch": B,
+        "gflop_per_step": round(flops_per_step / 1e9, 1),
+        "mfu_pct": round(100.0 * flops_per_step / best / V5E_PEAK_FLOPS, 2),
+        "nominal_bw_pct": round(100.0 * bytes_per_step / best / V5E_HBM_BPS, 1),
     }))
 
 
