@@ -231,6 +231,7 @@ def generate_predictions_with_classifier(
     n_frames: int = 10,
     audio_transform: NormalizeAudioMelSpectrogram | None = None,
     vision_transform: NormalizeVisionImage | None = None,
+    classify_frame: int = 0,
 ) -> list[int]:
     """Predicted digits for one interval: n_predictions batched rollouts."""
     audio_transform = audio_transform or NormalizeAudioMelSpectrogram(-80.0, 0.0)
@@ -245,12 +246,12 @@ def generate_predictions_with_classifier(
     actions = jnp.broadcast_to(jnp.asarray(last_action), (n, n_frames, last_action.shape[-1]))
 
     digits = _predict_digits_jit(model, params, classifier_params, audio0_b, vision0_b,
-                                 actions, key, n)
+                                 actions, key, n, classify_frame)
     return [int(d) for d in np.asarray(digits)]
 
 
 def _predict_digits(model, params, classifier_params, audio0, vision0, actions, key,
-                    n_predictions):
+                    n_predictions, classify_frame=0):
     """``audio0``/``vision0`` are per-interval [I, H, W, C]; ``actions`` is
     [I * n_predictions, n_frames, A]. The initial state is sampled ONCE per
     interval and reused across all its prediction rollouts, matching the
@@ -260,20 +261,22 @@ def _predict_digits(model, params, classifier_params, audio0, vision0, actions, 
     init = model.initial_state(params, audio0, vision0, k1)  # [I, ...]
     init = jax.tree.map(lambda x: jnp.repeat(x, n_predictions, axis=0), init)
     states = model.rollout_transition(params, actions, init, k2)
-    # Only the FIRST predicted frame is classified (reference :336-370):
-    # slice the state to frame 0 before decoding — decoding all n_frames
-    # and keeping [:, 0] would run the conv-transpose stack at n_frames×
-    # the needed cost.
-    recon = model.decode_state(params, states[:, :1])["recon/vision"]  # [I*P, 1, H, W, C]
+    # Only ONE predicted frame is classified (frame 0 in the reference
+    # protocol, :336-370; ``classify_frame`` generalizes — see
+    # ``evaluate_word_transitions``): slice the state before decoding —
+    # decoding all n_frames and keeping one would run the conv-transpose
+    # stack at n_frames× the needed cost.
+    states = states[:, classify_frame : classify_frame + 1]
+    recon = model.decode_state(params, states)["recon/vision"]  # [I*P, 1, H, W, C]
     first = jnp.clip((recon[:, 0] + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 
 
-_predict_digits_jit = jax.jit(_predict_digits, static_argnums=(0, 7))
+_predict_digits_jit = jax.jit(_predict_digits, static_argnums=(0, 7, 8))
 
 
 def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, actions, key,
-                           n_predictions):
+                           n_predictions, classify_frame=0):
     """Fused-Pallas fast path for both model families (wins at the
     batched-interval sizes, benchmarks/bench_pallas.py). Initial state is
     sampled once per interval, like ``_predict_digits``."""
@@ -298,8 +301,9 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
             ls_class=cfg.ls_class, ls_category=cfg.ls_category,
             hs_class=cfg.hs_class, hs_category=cfg.hs_category,
         )
+        cf = classify_frame
         feature0 = jnp.concatenate(
-            [h_deter[:, 0], h_stoch[:, 0], l_deter[:, 0], l_stoch[:, 0]], axis=-1
+            [h_deter[:, cf], h_stoch[:, cf], l_deter[:, cf], l_stoch[:, cf]], axis=-1
         )
         dec_cfg = cfg.decoder_cfg("vision")
     else:
@@ -309,14 +313,14 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
             pack_params(params), actions, init.deter, init.stoch, seed,
             class_size=cfg.class_size, category_size=cfg.category_size,
         )
-        feature0 = jnp.concatenate([deters[:, 0], stochs[:, 0]], axis=-1)
+        feature0 = jnp.concatenate([deters[:, classify_frame], stochs[:, classify_frame]], axis=-1)
         dec_cfg = model.decoder_cfg("vision")
     recon = decoder_apply(params["vision_decoder"], dec_cfg, feature0)
     first = jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 
 
-_predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=(0, 7))
+_predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=(0, 7, 8))
 
 
 def generate_predictions_batched(
@@ -330,6 +334,7 @@ def generate_predictions_batched(
     audio_transform: NormalizeAudioMelSpectrogram | None = None,
     vision_transform: NormalizeVisionImage | None = None,
     use_pallas: bool | str = "auto",
+    classify_frame: int = 0,
 ) -> list[int]:
     """All intervals × samples of one word as ONE batched rollout.
 
@@ -355,7 +360,7 @@ def generate_predictions_batched(
                                 activation=getattr(model.cfg, "activation_name", "ELU"))
     fn = _predict_digits_pallas_jit if pallas else _predict_digits_jit
     digits = fn(model, params, classifier_params, jnp.asarray(a0), jnp.asarray(v0),
-                actions, key, P)
+                actions, key, P, classify_frame)
     return [int(d) for d in np.asarray(digits)]
 
 
@@ -445,6 +450,7 @@ def evaluate_word_transitions(
     word_set=WORD_SET,
     batched: bool = True,
     use_pallas: bool | str = "auto",
+    classify_frame: int = 0,
 ) -> dict:
     """Run the full MR evaluation; returns the results dict (JSON-ready).
 
@@ -452,6 +458,17 @@ def evaluate_word_transitions(
     ``use_pallas`` routes the rollout through the fused kernel — True,
     False, or "auto" (shape-based dispatch from the measured crossovers,
     ``ops.pallas.default_use_pallas``; XLA everywhere off-TPU).
+
+    ``classify_frame`` selects WHICH imagined frame is classified.
+    0 (default) = exact reference parity (reference ``:336-370`` classifies
+    the first imagined frame). NOTE the measured caveat
+    (scripts/probe_transitions.py, BASELINE.md): under the reference's
+    same-frame training alignment, one transition step from an
+    ``initial_state`` RE-PREDICTS the conditioning frame (probe: 68% self,
+    11% successors), while the SECOND imagined frame carries the word
+    transition (probe: 14% self, 52% successors). ``classify_frame=1``
+    therefore scores the one-word-ahead prediction that the Matching-Rate
+    metric's p(w|wa) actually describes.
     """
     audio_t = NormalizeAudioMelSpectrogram(audio_min, audio_max)
     vision_t = NormalizeVisionImage()
@@ -467,6 +484,7 @@ def evaluate_word_transitions(
             predicted = generate_predictions_batched(
                 model, params, classifier_params, intervals, sub,
                 n_predictions, n_frames, audio_t, vision_t, use_pallas=use_pallas,
+                classify_frame=classify_frame,
             )
         else:
             for interval in intervals:
@@ -475,6 +493,7 @@ def evaluate_word_transitions(
                     generate_predictions_with_classifier(
                         model, params, classifier_params, interval, sub,
                         n_predictions, n_frames, audio_t, vision_t,
+                        classify_frame=classify_frame,
                     )
                 )
         q_dist = compute_prediction_distribution(predicted, word_set)

@@ -273,6 +273,9 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
+        # TPU knob beyond the reference schema: fused training kernel
+        # dispatch ("auto" default; False forces the XLA scan).
+        use_pallas_train=margs.get("use_pallas_train", "auto"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),

@@ -74,6 +74,14 @@ def main() -> None:
     exp.trainer.max_epochs = args.epochs
     exp.trainer.log_dir = str(work / "run")
     exp.data.data_dir = train_dir
+    # Short diagnostic runs: the fused training kernel saves ~0.2 ms/step
+    # but costs minutes of Mosaic compile — net loss here, keep XLA.
+    import dataclasses
+
+    if hasattr(exp.model.cfg, "use_pallas_train"):
+        exp.model = type(exp.model)(
+            dataclasses.replace(exp.model.cfg, use_pallas_train=False)
+        )
     dm = EpisodeDataModule(exp.data)
     trainer = Trainer(exp.model, dm, exp.trainer)
     out = trainer.fit()

@@ -12,8 +12,6 @@ tests pin the numerics that claim rests on:
 - a short bf16 training run reduces the loss comparably to f32.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,6 @@ from multimodal_mtrssm_tpu.models import (
     MoPoEMRSSM,
     MRSSMConfig,
 )
-from multimodal_mtrssm_tpu.models.state import State
 from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
 from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot, kl_balanced
 from multimodal_mtrssm_tpu.ops.fusion import mopoe_mix_log_probs, poe_fuse_log_probs

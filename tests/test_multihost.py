@@ -17,7 +17,6 @@ from pathlib import Path
 
 import jax
 import numpy as np
-import pytest
 
 
 def _free_port() -> int:
