@@ -25,7 +25,12 @@ if str(REPO_ROOT) not in sys.path:
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig  # noqa: E402
+from multimodal_mtrssm_tpu.models import (  # noqa: E402
+    MMTRSSMConfig,
+    MoPoEMMTRSSM,
+    MoPoEMRSSM,
+    MRSSMConfig,
+)
 from multimodal_mtrssm_tpu.train.optim import make_optimizer  # noqa: E402
 
 K = 32
@@ -34,7 +39,7 @@ WINDOWS = 8
 GAP_S = 4.0
 
 
-def measure(model: MoPoEMRSSM, B: int, T: int) -> float:
+def measure(model, B: int, T: int) -> float:
     """Steady-state ms per optimizer step for the K-step scan train path."""
     print(f"# measuring B={B} T={T} use_pallas_train={model.cfg.use_pallas_train} "
           f"-> mode={model._train_kernel_mode(B, T)}", flush=True)
@@ -91,17 +96,21 @@ def measure(model: MoPoEMRSSM, B: int, T: int) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="8x30", help="comma list of BxT")
+    ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
     args = ap.parse_args()
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     results = []
+    make = (lambda up: MoPoEMRSSM(MRSSMConfig(use_pallas_train=up))) \
+        if args.model == "mrssm" else \
+        (lambda up: MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train=up)))
     for shape in args.shapes.split(","):
         B, T = (int(v) for v in shape.split("x"))
-        ms_xla = measure(MoPoEMRSSM(MRSSMConfig(use_pallas_train=False)), B, T)
-        ms_kernel = measure(MoPoEMRSSM(MRSSMConfig(use_pallas_train=True)), B, T)
+        ms_xla = measure(make(False), B, T)
+        ms_kernel = measure(make(True), B, T)
         row = {
-            "B": B, "T": T,
+            "model": args.model, "B": B, "T": T,
             "ms_per_step_xla": round(ms_xla, 3),
             "ms_per_step_kernel": round(ms_kernel, 3),
             "speedup": round(ms_xla / ms_kernel, 3),

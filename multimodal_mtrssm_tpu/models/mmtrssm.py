@@ -73,6 +73,12 @@ class MMTRSSMConfig:
     input_noise_std: float | tuple[float, float, float] = 0.0
     remat: bool = False  # rematerialize scan step in backward (see MRSSMConfig)
     scan_unroll: int = 1  # lax.scan unroll factor (see MRSSMConfig)
+    # Fused Pallas hierarchical TRAINING recurrence (see MRSSMConfig
+    # .use_pallas_train for values/semantics; kernel in
+    # ops/pallas/train_step_mt.py). Same RNG caveat: the kernel path draws
+    # bulk Gumbel noise, so trajectories are not bit-comparable to the
+    # per-step-key XLA path.
+    use_pallas_train: bool | str = "auto"
     w_kl_h: float = 1.0
     audio_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
     vision_encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
@@ -238,6 +244,11 @@ class MoPoEMMTRSSM:
         cfg = self.cfg
         audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
         vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
+        if mode is not None:
+            return self._rollout_representation_fused(
+                params, actions, audio_embed, vision_embed, prev_state, key, mode
+            )
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 
@@ -303,6 +314,97 @@ class MoPoEMMTRSSM:
             distribution_h=self._h_dist(tm(h_post_logits)),
             distribution_l=self._l_dist(tm(mixed_logits)),
             hidden_h=tm(hid_h), hidden_l=tm(hid_l),
+        )
+        return posterior, prior
+
+    def _train_kernel_mode(self, batch: int, horizon: int) -> str | None:
+        """Resolve ``use_pallas_train`` (see MRSSM counterpart): ELU + f32 +
+        VMEM-sized shapes only; "auto" additionally requires single-chip TPU
+        and the measured-win policy flag."""
+        v = self.cfg.use_pallas_train
+        if v in (False, None):
+            return None
+        from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import fits_vmem_mt
+
+        eligible = (
+            self.cfg.activation_name == "ELU"
+            and self.cfg.compute_dtype == jnp.float32
+            and fits_vmem_mt(horizon, batch)
+        )
+        if v in ("interpret", "reference"):
+            return v if eligible else None
+        if v == "auto":
+            from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import AUTO_MT_TRAIN_KERNEL
+
+            if (eligible and AUTO_MT_TRAIN_KERNEL and jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1):
+                return "kernel"
+            return None
+        if not eligible:
+            import warnings
+
+            warnings.warn(
+                "use_pallas_train=True ignored: the fused hierarchical training "
+                "kernel requires ELU + float32 and a VMEM-sized [T, B]; taking "
+                "the XLA scan path",
+                stacklevel=3,
+            )
+            return None
+        return "kernel"
+
+    def _rollout_representation_fused(
+        self, params, actions, audio_embed, vision_embed, prev_state, key, mode: str
+    ) -> tuple[MTState, MTState]:
+        """Representation rollout through the fused hierarchical training
+        kernel (or its pure-JAX twin) — same outputs as the scan path, RNG
+        drawn as bulk Gumbel noise (4 streams)."""
+        from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import (
+            fused_mt_train_recurrence,
+            pack_mt_train_params,
+            reference_mt_train_recurrence,
+        )
+
+        cfg = self.cfg
+        B, T = actions.shape[:2]
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+        ks = jax.random.split(key, 4)
+        gumbels = (
+            jax.random.gumbel(ks[0], (T, B, cfg.ls_dim), jnp.float32),
+            jax.random.gumbel(ks[1], (T, B, cfg.ls_dim), jnp.float32),
+            jax.random.gumbel(ks[2], (T, B, cfg.hs_dim), jnp.float32),
+            jax.random.gumbel(ks[3], (T, B, cfg.hs_dim), jnp.float32),
+        )
+        init6 = (
+            f32(prev_state.deter_h), f32(prev_state.deter_l),
+            f32(prev_state.stoch_h), f32(prev_state.stoch_l),
+            f32(prev_state.hidden_h), f32(prev_state.hidden_l),
+        )
+        args = (pack_mt_train_params(params), f32(tm(actions)),
+                f32(tm(audio_embed)), f32(tm(vision_embed)), init6, gumbels)
+        kw = dict(l_tau=cfg.l_tau, h_tau=cfg.h_tau, ls_class=cfg.ls_class,
+                  ls_category=cfg.ls_category, hs_class=cfg.hs_class,
+                  hs_category=cfg.hs_category)
+        if mode == "reference":
+            ys = reference_mt_train_recurrence(*args, **kw)
+        else:
+            ys = fused_mt_train_recurrence(*args, **kw, interpret=(mode == "interpret"))
+        (h_deter, l_deter, hid_h, hid_l,
+         l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
+         h_prior_logits, h_prior_stoch, h_post_logits, h_stoch) = (tm(o) for o in ys)
+        prior = MTState(
+            deter_h=h_deter, deter_l=l_deter,
+            stoch_h=h_prior_stoch, stoch_l=l_prior_stoch,
+            distribution_h=self._h_dist(h_prior_logits),
+            distribution_l=self._l_dist(l_prior_logits),
+            hidden_h=hid_h, hidden_l=hid_l,
+        )
+        posterior = MTState(
+            deter_h=h_deter, deter_l=l_deter,
+            stoch_h=h_stoch, stoch_l=l_stoch,
+            distribution_h=self._h_dist(h_post_logits),
+            distribution_l=self._l_dist(mixed_logits),
+            hidden_h=hid_h, hidden_l=hid_l,
         )
         return posterior, prior
 

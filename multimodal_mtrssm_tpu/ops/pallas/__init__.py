@@ -13,6 +13,12 @@ from multimodal_mtrssm_tpu.ops.pallas.train_step import (
     pack_train_params,
     reference_train_recurrence,
 )
+from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import (
+    fits_vmem_mt,
+    fused_mt_train_recurrence,
+    pack_mt_train_params,
+    reference_mt_train_recurrence,
+)
 
 
 def default_use_pallas(kind: str, batch: int, horizon: int) -> bool:
@@ -59,12 +65,16 @@ def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: i
 __all__ = [
     "default_use_pallas",
     "fits_vmem",
+    "fits_vmem_mt",
     "fused_mt_rollout_transition",
+    "fused_mt_train_recurrence",
     "fused_rollout_transition",
     "fused_train_recurrence",
     "pack_mt_params",
+    "pack_mt_train_params",
     "pack_params",
     "pack_train_params",
+    "reference_mt_train_recurrence",
     "reference_train_recurrence",
     "resolve_use_pallas",
 ]

@@ -1,0 +1,446 @@
+"""Pallas TPU kernels: fused MoPoE-MMTRSSM TRAINING recurrence (fwd + VJP).
+
+The hierarchical training hot loop (reference
+``mopoe_mmtrssm/core.py:364-494``: per step lower MTRNN → lower prior head →
+two posterior heads + MoPoE fusion → lower ST sample → higher MTRNN →
+higher prior/posterior heads → two more ST samples) has even more tiny ops
+per step than the MRSSM one — the natural second target of the SURVEY §7.7
+plan ("MTRNN variant shared between l/h"). Same design as
+``train_step.py``: one Pallas program for the whole T-step forward, a
+second for the hand-derived backward (BPTT with per-step recompute from the
+stored carries), behind ``jax.custom_vjp``; randomness is pre-generated
+Gumbel noise (4 streams: lower prior, lower posterior, higher prior,
+higher posterior).
+
+Shapes (defaults): A=6 action, E=64 embed, LD=HD=32 deter, LS=16 (4×4),
+HS=16 (2×8), C=32 head width. All math f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_mtrssm_tpu.nn.core import Params
+from multimodal_mtrssm_tpu.ops.pallas.train_step import (
+    _block_softmax_vjp,
+    _d_elu,
+    _elu,
+    _mopoe_backward,
+    _mopoe_forward,
+    _rdot,
+    _st_sample,
+)
+
+# Packed weight order (all f32):
+#  0 wld [LD, LD],       1 bld [LD]     l_rnn.d2h
+#  2 wli [A+LS+HS, LD],  3 bli [LD]     l_rnn.input2h
+#  4 whd [HD, HD],       5 bhd [HD]     h_rnn.d2h
+#  6 whi [HS, HD],       7 bhi [HD]     h_rnn.input2h
+#  8 lp1 [LD, C],        9 blp1 [C]     l_prior layer 0
+# 10 lp2 [C, LS],       11 blp2 [LS]    l_prior layer 1
+# 12 hp1 [HD, C],       13 bhp1 [C]     h_prior layer 0
+# 14 hp2 [C, HS],       15 bhp2 [HS]    h_prior layer 1
+# 16 hq1 [LD+HD, C],    17 bhq1 [C]     h_posterior layer 0
+# 18 hq2 [C, HS],       19 bhq2 [HS]    h_posterior layer 1
+# 20 wa1 [LD+E, R],     21 ba1 [R]      audio_representation layer 0
+# 22 wa2 [R, LS],       23 ba2 [LS]     audio_representation layer 1
+# 24 wv1 [LD+E, R],     25 bv1 [R]      vision_representation layer 0
+# 26 wv2 [R, LS],       27 bv2 [LS]     vision_representation layer 1
+N_W = 28
+
+
+def pack_mt_train_params(params: Params) -> tuple[jax.Array, ...]:
+    """Extract the recurrence weights from a MoPoEMMTRSSM param tree."""
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    out = []
+    for cell in ("l_rnn", "h_rnn"):
+        out += [f32(params[cell]["d2h"]["w"]), f32(params[cell]["d2h"]["b"]),
+                f32(params[cell]["input2h"]["w"]), f32(params[cell]["input2h"]["b"])]
+    for head in ("l_prior", "h_prior", "h_posterior",
+                 "audio_representation", "vision_representation"):
+        layers = params[head]["layers"]
+        out += [f32(layers[0]["w"]), f32(layers[0]["b"]),
+                f32(layers[1]["w"]), f32(layers[1]["b"])]
+    return tuple(out)
+
+
+def _mt_forward_step(weights, action, a_emb, v_emb,
+                     hd0, ld0, hs0, ls0, hidh0, hidl0,
+                     g_lp, g_l, g_hp, g_h,
+                     l_tau, h_tau, ls_class, ls_category, hs_class, hs_category):
+    """One hierarchical step (reference ``core.py:405-490``); full record."""
+    (wld, bld, wli, bli, whd, bhd, whi, bhi,
+     lp1, blp1, lp2, blp2, hp1, bhp1, hp2, bhp2,
+     hq1, bhq1, hq2, bhq2, wa1, ba1, wa2, ba2, wv1, bv1, wv2, bv2) = weights
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    inv_lt, inv_ht = 1.0 / l_tau, 1.0 / h_tau
+    # Lower MTRNN.
+    xl = jnp.concatenate([action, ls0, hs0], axis=-1)
+    ul = (dot(ld0, wld) + bld) + (dot(xl, wli) + bli)
+    hidl1 = (1.0 - inv_lt) * hidl0 + ul * inv_lt
+    l_deter = jnp.tanh(hidl1)
+    # Lower prior head + ST sample.
+    lp_pre = dot(l_deter, lp1) + blp1
+    lp_h = _elu(lp_pre)
+    l_prior_logits = dot(lp_h, lp2) + blp2
+    l_prior_stoch, l_prior_probs = _st_sample(l_prior_logits, g_lp, ls_class, ls_category)
+    # Modality heads conditioned on l_deter → MoPoE → lower posterior sample.
+    xa = jnp.concatenate([l_deter, a_emb], axis=-1)
+    ha_pre = dot(xa, wa1) + ba1
+    ha = _elu(ha_pre)
+    a_logits = dot(ha, wa2) + ba2
+    xv = jnp.concatenate([l_deter, v_emb], axis=-1)
+    hv_pre = dot(xv, wv1) + bv1
+    hv = _elu(hv_pre)
+    v_logits = dot(hv, wv2) + bv2
+    mixed, la, lv = _mopoe_forward(a_logits, v_logits)
+    l_stoch, l_post_probs = _st_sample(mixed, g_l, ls_class, ls_category)
+    # Higher MTRNN (input = prev higher stoch).
+    uh = (dot(hd0, whd) + bhd) + (dot(hs0, whi) + bhi)
+    hidh1 = (1.0 - inv_ht) * hidh0 + uh * inv_ht
+    h_deter = jnp.tanh(hidh1)
+    # Higher prior / posterior heads + ST samples.
+    hp_pre = dot(h_deter, hp1) + bhp1
+    hp_h = _elu(hp_pre)
+    h_prior_logits = dot(hp_h, hp2) + bhp2
+    h_prior_stoch, h_prior_probs = _st_sample(h_prior_logits, g_hp, hs_class, hs_category)
+    xq = jnp.concatenate([l_deter, h_deter], axis=-1)
+    hq_pre = dot(xq, hq1) + bhq1
+    hq_h = _elu(hq_pre)
+    h_post_logits = dot(hq_h, hq2) + bhq2
+    h_stoch, h_post_probs = _st_sample(h_post_logits, g_h, hs_class, hs_category)
+    return dict(
+        xl=xl, hidl1=hidl1, l_deter=l_deter, lp_pre=lp_pre, lp_h=lp_h,
+        l_prior_logits=l_prior_logits, l_prior_stoch=l_prior_stoch,
+        l_prior_probs=l_prior_probs, xa=xa, ha_pre=ha_pre, ha=ha,
+        a_logits=a_logits, xv=xv, hv_pre=hv_pre, hv=hv, v_logits=v_logits,
+        mixed=mixed, la=la, lv=lv, l_stoch=l_stoch, l_post_probs=l_post_probs,
+        hidh1=hidh1, h_deter=h_deter, hp_pre=hp_pre, hp_h=hp_h,
+        h_prior_logits=h_prior_logits, h_prior_stoch=h_prior_stoch,
+        h_prior_probs=h_prior_probs, xq=xq, hq_pre=hq_pre, hq_h=hq_h,
+        h_post_logits=h_post_logits, h_stoch=h_stoch, h_post_probs=h_post_probs,
+    )
+
+
+# Output order (12), matching the model's scan ys
+# (models/mmtrssm.py::rollout_representation):
+# h_deter, l_deter, hid_h, hid_l,
+# l_prior_logits, l_prior_stoch, mixed_logits, l_stoch,
+# h_prior_logits, h_prior_stoch, h_post_logits, h_stoch
+N_OUT = 12
+
+
+def _fwd_kernel(
+    actions_ref, a_emb_ref, v_emb_ref,
+    hd_ref, ld_ref, hs_ref, ls_ref, hidh_ref, hidl_ref,
+    glp_ref, gl_ref, ghp_ref, gh_ref,
+    *rest,
+    T, l_tau, h_tau, ls_class, ls_category, hs_class, hs_category,
+):
+    w_refs, outs = rest[:N_W], rest[N_W:]
+    weights = tuple(r[:] for r in w_refs)
+
+    def body(t, carry):
+        hd0, ld0, hs0, ls0, hidh0, hidl0 = carry
+        rec = _mt_forward_step(
+            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t],
+            hd0, ld0, hs0, ls0, hidh0, hidl0,
+            glp_ref[t], gl_ref[t], ghp_ref[t], gh_ref[t],
+            l_tau, h_tau, ls_class, ls_category, hs_class, hs_category,
+        )
+        for ref, name in zip(outs, ("h_deter", "l_deter", "hidh1", "hidl1",
+                                    "l_prior_logits", "l_prior_stoch", "mixed", "l_stoch",
+                                    "h_prior_logits", "h_prior_stoch", "h_post_logits", "h_stoch")):
+            ref[t] = rec[name]
+        return (rec["h_deter"], rec["l_deter"], rec["h_stoch"], rec["l_stoch"],
+                rec["hidh1"], rec["hidl1"])
+
+    jax.lax.fori_loop(0, T, body, (hd_ref[:], ld_ref[:], hs_ref[:], ls_ref[:],
+                                   hidh_ref[:], hidl_ref[:]))
+
+
+def _bwd_kernel(
+    # residuals: inputs + init + gumbels + stored sequences
+    actions_ref, a_emb_ref, v_emb_ref,
+    hd_ref, ld_ref, hs_ref, ls_ref, hidh_ref, hidl_ref,
+    glp_ref, gl_ref, ghp_ref, gh_ref,
+    hds_ref, lds_ref, hss_ref, lss_ref, hidhs_ref, hidls_ref,
+    *rest,
+    T, l_tau, h_tau, ls_class, ls_category, hs_class, hs_category,
+):
+    w_refs = rest[:N_W]
+    gouts = rest[N_W : N_W + N_OUT]
+    out_w = rest[N_W + N_OUT : 2 * N_W + N_OUT]
+    (d_actions_ref, d_a_emb_ref, d_v_emb_ref,
+     d_hd_ref, d_ld_ref, d_hs_ref, d_ls_ref, d_hidh_ref, d_hidl_ref) = rest[2 * N_W + N_OUT :]
+    weights = tuple(r[:] for r in w_refs)
+    (wld, bld, wli, bli, whd, bhd, whi, bhi,
+     lp1, blp1, lp2, blp2, hp1, bhp1, hp2, bhp2,
+     hq1, bhq1, hq2, bhq2, wa1, ba1, wa2, ba2, wv1, bv1, wv2, bv2) = weights
+    (gHD, gLD, gHIDH, gHIDL, gLPL, gLPS, gMX, gLS, gHPL, gHPS, gHQL, gHS) = gouts
+    A = actions_ref.shape[-1]
+    LD = wld.shape[0]
+    LS = lp2.shape[1]
+    tdot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inv_lt, inv_ht = 1.0 / l_tau, 1.0 / h_tau
+
+    for r in out_w:
+        r[:] = jnp.zeros_like(r)
+
+    init = (hd_ref[:], ld_ref[:], hs_ref[:], ls_ref[:], hidh_ref[:], hidl_ref[:])
+
+    def body(i, carry):
+        d_hd_c, d_ld_c, d_hs_c, d_ls_c, d_hidh_c, d_hidl_c = carry
+        t = T - 1 - i
+        prev = jnp.maximum(t - 1, 0)
+        first = t == 0
+        hd0 = jnp.where(first, init[0], hds_ref[prev])
+        ld0 = jnp.where(first, init[1], lds_ref[prev])
+        hs0 = jnp.where(first, init[2], hss_ref[prev])
+        ls0 = jnp.where(first, init[3], lss_ref[prev])
+        hidh0 = jnp.where(first, init[4], hidhs_ref[prev])
+        hidl0 = jnp.where(first, init[5], hidls_ref[prev])
+        rec = _mt_forward_step(
+            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t],
+            hd0, ld0, hs0, ls0, hidh0, hidl0,
+            glp_ref[t], gl_ref[t], ghp_ref[t], gh_ref[t],
+            l_tau, h_tau, ls_class, ls_category, hs_class, hs_category,
+        )
+
+        # --- higher posterior (h_stoch output + next-step hs carry) -------
+        g_hs_tot = gHS[t] + d_hs_c
+        d_hql = gHQL[t] + _block_softmax_vjp(rec["h_post_probs"], g_hs_tot, hs_class, hs_category)
+        out_w[18][:] += tdot(rec["hq_h"], d_hql)
+        out_w[19][:] += jnp.sum(d_hql, axis=0)
+        d_hq = _rdot(d_hql, hq2) * _d_elu(rec["hq_pre"])
+        out_w[16][:] += tdot(rec["xq"], d_hq)
+        out_w[17][:] += jnp.sum(d_hq, axis=0)
+        d_xq = _rdot(d_hq, hq1)
+        d_l_deter = d_xq[:, :LD]
+        d_h_deter = d_xq[:, LD:]
+
+        # --- higher prior head ------------------------------------------
+        d_hpl = gHPL[t] + _block_softmax_vjp(rec["h_prior_probs"], gHPS[t], hs_class, hs_category)
+        out_w[14][:] += tdot(rec["hp_h"], d_hpl)
+        out_w[15][:] += jnp.sum(d_hpl, axis=0)
+        d_hp = _rdot(d_hpl, hp2) * _d_elu(rec["hp_pre"])
+        out_w[12][:] += tdot(rec["h_deter"], d_hp)
+        out_w[13][:] += jnp.sum(d_hp, axis=0)
+        d_h_deter += _rdot(d_hp, hp1)
+
+        # --- higher MTRNN backward --------------------------------------
+        g_h_deter = gHD[t] + d_hd_c + d_h_deter
+        g_hidh1 = gHIDH[t] + d_hidh_c + g_h_deter * (1.0 - rec["h_deter"] * rec["h_deter"])
+        d_hidh_prev = g_hidh1 * (1.0 - inv_ht)
+        sh = g_hidh1 * inv_ht
+        out_w[4][:] += tdot(hd0, sh)
+        out_w[5][:] += jnp.sum(sh, axis=0)
+        out_w[6][:] += tdot(hs0, sh)
+        out_w[7][:] += jnp.sum(sh, axis=0)
+        d_hd0 = _rdot(sh, whd)
+        d_hs0 = _rdot(sh, whi)
+
+        # --- lower posterior (l_stoch output + next-step ls carry) -------
+        g_ls_tot = gLS[t] + d_ls_c
+        d_mixed = gMX[t] + _block_softmax_vjp(rec["l_post_probs"], g_ls_tot, ls_class, ls_category)
+        d_a_logits, d_v_logits = _mopoe_backward(
+            d_mixed, rec["mixed"], rec["la"], rec["lv"], rec["a_logits"], rec["v_logits"]
+        )
+        for d_logits, h, pre, xcat, w_hid, w_out, iw1, ib1, iw2, ib2, demb_ref in (
+            (d_a_logits, rec["ha"], rec["ha_pre"], rec["xa"], wa1, wa2, 20, 21, 22, 23, d_a_emb_ref),
+            (d_v_logits, rec["hv"], rec["hv_pre"], rec["xv"], wv1, wv2, 24, 25, 26, 27, d_v_emb_ref),
+        ):
+            out_w[iw2][:] += tdot(h, d_logits)
+            out_w[ib2][:] += jnp.sum(d_logits, axis=0)
+            d_h = _rdot(d_logits, w_out) * _d_elu(pre)
+            out_w[iw1][:] += tdot(xcat, d_h)
+            out_w[ib1][:] += jnp.sum(d_h, axis=0)
+            d_xcat = _rdot(d_h, w_hid)
+            d_l_deter += d_xcat[:, :LD]
+            demb_ref[t] = d_xcat[:, LD:]
+
+        # --- lower prior head -------------------------------------------
+        d_lpl = gLPL[t] + _block_softmax_vjp(rec["l_prior_probs"], gLPS[t], ls_class, ls_category)
+        out_w[10][:] += tdot(rec["lp_h"], d_lpl)
+        out_w[11][:] += jnp.sum(d_lpl, axis=0)
+        d_lp = _rdot(d_lpl, lp2) * _d_elu(rec["lp_pre"])
+        out_w[8][:] += tdot(rec["l_deter"], d_lp)
+        out_w[9][:] += jnp.sum(d_lp, axis=0)
+        d_l_deter += _rdot(d_lp, lp1)
+
+        # --- lower MTRNN backward ---------------------------------------
+        g_l_deter = gLD[t] + d_ld_c + d_l_deter
+        g_hidl1 = gHIDL[t] + d_hidl_c + g_l_deter * (1.0 - rec["l_deter"] * rec["l_deter"])
+        d_hidl_prev = g_hidl1 * (1.0 - inv_lt)
+        sl = g_hidl1 * inv_lt
+        out_w[0][:] += tdot(ld0, sl)
+        out_w[1][:] += jnp.sum(sl, axis=0)
+        out_w[2][:] += tdot(rec["xl"], sl)
+        out_w[3][:] += jnp.sum(sl, axis=0)
+        d_ld0 = _rdot(sl, wld)
+        d_xl = _rdot(sl, wli)
+        d_actions_ref[t] = d_xl[:, :A]
+        d_ls0 = d_xl[:, A : A + LS]
+        d_hs0 = d_hs0 + d_xl[:, A + LS :]
+        return d_hd0, d_ld0, d_hs0, d_ls0, d_hidh_prev, d_hidl_prev
+
+    zeros = tuple(jnp.zeros_like(x) for x in init)
+    d_hd, d_ld, d_hs, d_ls, d_hidh, d_hidl = jax.lax.fori_loop(0, T, body, zeros)
+    d_hd_ref[:] = d_hd
+    d_ld_ref[:] = d_ld
+    d_hs_ref[:] = d_hs
+    d_ls_ref[:] = d_ls
+    d_hidh_ref[:] = d_hidh
+    d_hidl_ref[:] = d_hidl
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _vmem():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _fwd_call(packed, actions, a_emb, v_emb, init6, gumbels, hp, interpret):
+    T, B, _ = actions.shape
+    HD, LD = init6[0].shape[-1], init6[1].shape[-1]
+    HS, LS = init6[2].shape[-1], init6[3].shape[-1]
+    kernel = functools.partial(_fwd_kernel, T=T, **hp)
+    dims = (HD, LD, HD, LD, LS, LS, LS, LS, HS, HS, HS, HS)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((T, B, d), jnp.float32) for d in dims),
+        in_specs=[_vmem()] * (3 + 6 + 4 + N_W),
+        out_specs=tuple(_vmem() for _ in range(N_OUT)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(actions, a_emb, v_emb, *init6, *gumbels, *packed)
+
+
+def _bwd_call(packed, actions, a_emb, v_emb, init6, gumbels, seqs6, gouts, hp, interpret):
+    T, B, A = actions.shape
+    E = a_emb.shape[-1]
+    kernel = functools.partial(_bwd_kernel, T=T, **hp)
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed)
+        + (jax.ShapeDtypeStruct((T, B, A), jnp.float32),
+           jax.ShapeDtypeStruct((T, B, E), jnp.float32),
+           jax.ShapeDtypeStruct((T, B, E), jnp.float32))
+        + tuple(jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in init6)
+    )
+    n_in = 3 + 6 + 4 + 6 + N_W + N_OUT
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[_vmem()] * n_in,
+        out_specs=tuple(_vmem() for _ in range(N_W + 3 + 6)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(actions, a_emb, v_emb, *init6, *gumbels, *seqs6, *packed, *gouts)
+    d_packed = tuple(outs[:N_W])
+    d_actions, d_a_emb, d_v_emb = outs[N_W : N_W + 3]
+    d_init6 = tuple(outs[N_W + 3 :])
+    return d_packed, d_actions, d_a_emb, d_v_emb, d_init6
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(l_tau, h_tau, ls_class, ls_category, hs_class, hs_category, interpret):
+    hp = dict(l_tau=l_tau, h_tau=h_tau, ls_class=ls_class, ls_category=ls_category,
+              hs_class=hs_class, hs_category=hs_category)
+
+    @jax.custom_vjp
+    def fused(packed, actions, a_emb, v_emb, init6, gumbels):
+        return _fwd_call(packed, actions, a_emb, v_emb, init6, gumbels, hp, interpret)
+
+    def fwd(packed, actions, a_emb, v_emb, init6, gumbels):
+        outs = fused(packed, actions, a_emb, v_emb, init6, gumbels)
+        # Stored sequences for the backward recompute: the six carries
+        # (h_deter, l_deter, h_stoch, l_stoch, hid_h, hid_l).
+        seqs6 = (outs[0], outs[1], outs[11], outs[7], outs[2], outs[3])
+        return outs, (packed, actions, a_emb, v_emb, init6, gumbels, seqs6)
+
+    def bwd(res, gouts):
+        packed, actions, a_emb, v_emb, init6, gumbels, seqs6 = res
+        d_packed, d_actions, d_a_emb, d_v_emb, d_init6 = _bwd_call(
+            packed, actions, a_emb, v_emb, init6, gumbels, seqs6, tuple(gouts),
+            hp, interpret,
+        )
+        return (d_packed, d_actions, d_a_emb, d_v_emb, d_init6,
+                tuple(jnp.zeros_like(g) for g in gumbels))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_mt_train_recurrence(
+    packed: tuple[jax.Array, ...],
+    actions: jax.Array,  # [T, B, A] time-major f32
+    a_emb: jax.Array,    # [T, B, E]
+    v_emb: jax.Array,    # [T, B, E]
+    init6: tuple[jax.Array, ...],   # (hd, ld, hs, ls, hid_h, hid_l), each [B, ·]
+    gumbels: tuple[jax.Array, ...],  # (g_lprior, g_lpost, g_hprior, g_hpost), [T, B, ·]
+    l_tau: float = 2.0,
+    h_tau: float = 4.0,
+    ls_class: int = 4,
+    ls_category: int = 4,
+    hs_class: int = 2,
+    hs_category: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, ...]:
+    """Fused, differentiable hierarchical training recurrence.
+
+    Returns the 12 time-major sequences of the model's scan
+    (``models/mmtrssm.py::rollout_representation`` ys order).
+    """
+    fn = _make_fused(l_tau, h_tau, ls_class, ls_category, hs_class, hs_category, interpret)
+    return fn(packed, actions, a_emb, v_emb, tuple(init6), tuple(gumbels))
+
+
+def reference_mt_train_recurrence(
+    packed, actions, a_emb, v_emb, init6, gumbels,
+    l_tau=2.0, h_tau=4.0, ls_class=4, ls_category=4, hs_class=2, hs_category=8,
+):
+    """Pure-JAX twin (same math via ``lax.scan``): the equivalence/grad
+    oracle, with the ST estimator re-injected for autodiff."""
+    g_lp, g_l, g_hp, g_h = gumbels
+
+    def st(sample, probs):
+        return jax.lax.stop_gradient(sample - probs) + probs
+
+    def step(carry, xs):
+        hd0, ld0, hs0, ls0, hidh0, hidl0 = carry
+        action, ae, ve, glp, gl, ghp, gh = xs
+        rec = _mt_forward_step(packed, action, ae, ve, hd0, ld0, hs0, ls0,
+                               hidh0, hidl0, glp, gl, ghp, gh,
+                               l_tau, h_tau, ls_class, ls_category, hs_class, hs_category)
+        l_prior_st = st(rec["l_prior_stoch"], rec["l_prior_probs"])
+        l_st = st(rec["l_stoch"], rec["l_post_probs"])
+        h_prior_st = st(rec["h_prior_stoch"], rec["h_prior_probs"])
+        h_st = st(rec["h_stoch"], rec["h_post_probs"])
+        ys = (rec["h_deter"], rec["l_deter"], rec["hidh1"], rec["hidl1"],
+              rec["l_prior_logits"], l_prior_st, rec["mixed"], l_st,
+              rec["h_prior_logits"], h_prior_st, rec["h_post_logits"], h_st)
+        carry = (rec["h_deter"], rec["l_deter"], h_st, l_st, rec["hidh1"], rec["hidl1"])
+        return carry, ys
+
+    _, ys = jax.lax.scan(step, tuple(init6), (actions, a_emb, v_emb, g_lp, g_l, g_hp, g_h))
+    return ys
+
+
+def fits_vmem_mt(T: int, B: int, budget_bytes: int = 10 << 20) -> bool:
+    """VMEM guard: ~34 [T,B,·] lane-padded f32 arrays live in the backward."""
+    return 34 * T * B * 128 * 4 <= budget_bytes
+
+
+# "auto" dispatch policy (set from benchmarks/bench_train_kernel.py --model
+# mmtrssm measurements; BASELINE.md records them).
+AUTO_MT_TRAIN_KERNEL = False
