@@ -20,6 +20,7 @@ _COMMANDS = {
 
 
 def main() -> None:
+    """Dispatch `python -m multimodal_mtrssm_tpu <command>` to the CLI entry points."""
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
         names = ", ".join([*_COMMANDS, "serve"])
         print(f"usage: python -m multimodal_mtrssm_tpu <command> [args]\ncommands: {names}")

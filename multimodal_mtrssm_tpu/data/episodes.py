@@ -27,6 +27,8 @@ EPISODE_KEYS = ("action", "audio", "vision")
 
 @dataclasses.dataclass
 class Episode:
+    """One Audio-MNIST episode: aligned action/audio/vision streams of equal length T."""
+
     action: np.ndarray  # [T, A]
     audio: np.ndarray  # [T, H, W, C]
     vision: np.ndarray  # [T, H, W, C]
@@ -35,7 +37,8 @@ class Episode:
         t = self.action.shape[0]
         if self.audio.shape[0] != t or self.vision.shape[0] != t:
             raise ValueError(
-                f"stream lengths differ: action {t}, audio {self.audio.shape[0]}, vision {self.vision.shape[0]}"
+                f"stream lengths differ: action {t}, audio {self.audio.shape[0]}, "
+                f"vision {self.vision.shape[0]}"
             )
 
 
@@ -56,6 +59,7 @@ def _to_nhwc(obs: np.ndarray) -> np.ndarray:
 
 
 def save_episode(directory: Path | str, index: int, episode: Episode) -> Path:
+    """Write one episode as `episode_<index>.npz` under `directory` and return its path."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / f"episode_{index:04d}.npz"
@@ -64,6 +68,7 @@ def save_episode(directory: Path | str, index: int, episode: Episode) -> Path:
 
 
 def load_episode(path: Path | str) -> Episode:
+    """Load an `.npz` episode, normalizing observation layouts to [T, H, W, C] float32."""
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as z:
@@ -76,6 +81,7 @@ def load_episode(path: Path | str) -> Episode:
 
 
 def list_episodes(directory: Path | str) -> list[Path]:
+    """Sorted `episode_*.npz` paths in `directory` (the sorted order defines the 0.8 split)."""
     return sorted(Path(directory).glob("episode_*.npz"))
 
 

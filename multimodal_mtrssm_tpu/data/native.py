@@ -57,6 +57,7 @@ def _load() -> ctypes.CDLL | None:
 
 
 def available() -> bool:
+    """Whether the native fastbatch shared library compiled and loaded in this image."""
     return _load() is not None
 
 

@@ -34,6 +34,8 @@ def _wants_rng(t) -> bool:
 
 
 class Identity:
+    """No-op transform (the default when a stream has no transform configured)."""
+
     def __call__(self, data: np.ndarray) -> np.ndarray:
         return data
 

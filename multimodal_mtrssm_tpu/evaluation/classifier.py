@@ -28,6 +28,7 @@ from multimodal_mtrssm_tpu.nn.core import Params, dense_apply, dense_init
 
 
 def classifier_init(key: jax.Array) -> Params:
+    """Init the 2-conv MNIST classifier params (reference mnist_classifier.py:9-38)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "conv1": conv_init(k1, 1, 32, 3),
@@ -146,11 +147,13 @@ def _npz_path(path: str | Path) -> Path:
 
 
 def save_classifier(params: Params, path: str | Path) -> None:
+    """Save classifier params as a flat `.npz` (slash-joined key paths)."""
     flat = {"/".join(map(str, k)): np.asarray(v) for k, v in _flatten(params)}
     np.savez(_npz_path(path), **flat)
 
 
 def load_classifier(path: str | Path) -> Params:
+    """Load params saved by `save_classifier`, rebuilding the nested dict tree."""
     with np.load(path) as z:
         out: Params = {}
         for key, arr in z.items():

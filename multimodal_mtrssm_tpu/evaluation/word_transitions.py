@@ -370,6 +370,7 @@ def generate_predictions_batched(
 
 
 def compute_prediction_distribution(predicted_words: list[int], word_set=WORD_SET) -> dict:
+    """q(w|wa) over classified samples, failure mass in "wf" (reference :375-401)."""
     total = len(predicted_words)
     if total == 0:
         return {w: 0.0 for w in word_set} | {"wf": 0.0}
@@ -383,6 +384,7 @@ def compute_prediction_distribution(predicted_words: list[int], word_set=WORD_SE
 
 
 def compute_true_distribution(word: int, test_data: list[dict], word_set=WORD_SET) -> dict:
+    """p(w|wa) from deduped label sequences, skipping -1 silence (reference :404-458)."""
     next_counts: dict[int, int] = defaultdict(int)
     total = 0
     for data in test_data:
@@ -407,11 +409,13 @@ def compute_true_distribution(word: int, test_data: list[dict], word_set=WORD_SE
 
 
 def compute_matching_rate(q_dist: dict, p_dist: dict, word_set=WORD_SET) -> float:
+    """MR = sum_w min(q, p) + min(q_wf, p_wf) (reference :461-489)."""
     mr = sum(min(q_dist.get(w, 0.0), p_dist.get(w, 0.0)) for w in word_set)
     return mr + min(q_dist.get("wf", 0.0), p_dist.get("wf", 0.0))
 
 
 def compute_baselines(p_dist: dict, word_set=WORD_SET, n_random_trials: int = 100, seed: int = 0) -> dict:
+    """Uniform / peak-one-hot / random-one-hot MR baselines (reference :492-538)."""
     n = len(word_set)
     uniform = {w: 1.0 / n for w in word_set} | {"wf": 0.0}
     peak_word = max(word_set, key=lambda w: p_dist.get(w, 0.0))
@@ -509,11 +513,14 @@ def evaluate_word_transitions(
             "baselines": baselines,
         }
     valid = [r["matching_rate"] for r in results.values()]
+    def _mean_baseline(name: str) -> float:
+        return float(np.mean([r["baselines"][name] for r in results.values()])) if valid else 0.0
+
     summary = {
         "mean_matching_rate": float(np.mean(valid)) if valid else 0.0,
-        "mean_uniform": float(np.mean([r["baselines"]["uniform"] for r in results.values()])) if valid else 0.0,
-        "mean_peak_onehot": float(np.mean([r["baselines"]["peak_onehot"] for r in results.values()])) if valid else 0.0,
-        "mean_random_onehot": float(np.mean([r["baselines"]["random_onehot"] for r in results.values()])) if valid else 0.0,
+        "mean_uniform": _mean_baseline("uniform"),
+        "mean_peak_onehot": _mean_baseline("peak_onehot"),
+        "mean_random_onehot": _mean_baseline("random_onehot"),
     }
     return {"per_word": results, "summary": summary}
 

@@ -197,7 +197,9 @@ class MoPoEMMTRSSM:
         )
         return h_deter, prior_logits, post_logits, hidden_h
 
-    def _posterior_logits(self, params: Params, which: str, l_deter: jax.Array, obs_embed: jax.Array) -> jax.Array:
+    def _posterior_logits(
+        self, params: Params, which: str, l_deter: jax.Array, obs_embed: jax.Array
+    ) -> jax.Array:
         x = jnp.concatenate([l_deter, obs_embed], axis=-1)
         return mlp_apply(params[f"{which}_representation"], x, self.cfg.activation_name)
 
@@ -408,7 +410,9 @@ class MoPoEMMTRSSM:
         )
         return posterior, prior
 
-    def rollout_transition(self, params: Params, actions: jax.Array, prev_state: MTState, key: jax.Array) -> MTState:
+    def rollout_transition(
+        self, params: Params, actions: jax.Array, prev_state: MTState, key: jax.Array
+    ) -> MTState:
         """Prior-only imagination rollout (reference ``core.py:496-544``)."""
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
@@ -461,7 +465,9 @@ class MoPoEMMTRSSM:
         vision = gaussian_nll(reconstructions["recon/vision"], targets["recon/vision"], event_ndims=3)
         return {"recon": audio + vision, "recon/audio": audio, "recon/vision": vision}
 
-    def shared_step(self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array) -> dict[str, jax.Array]:
+    def shared_step(
+        self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array
+    ) -> dict[str, jax.Array]:
         """Dual-KL ELBO step (reference ``core.py:563-606``)."""
         cfg = self.cfg
         action_input, audio_in, vision_in = batch[0], batch[1], batch[2]

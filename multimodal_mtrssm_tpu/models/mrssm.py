@@ -156,7 +156,9 @@ class MoPoEMRSSM:
 
     # ---- building blocks ---------------------------------------------------
     def _dist(self, logits: jax.Array) -> MultiOneHot:
-        return MultiOneHot(logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size)
+        return MultiOneHot(
+            logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size
+        )
 
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
         """Mean-fused embedding (reference ``mopoe_mrssm/core.py:165-182``)."""
@@ -181,7 +183,9 @@ class MoPoEMRSSM:
         logits = mlp_apply(t["rnn_to_prior_projector"], deter, act)
         return deter, logits
 
-    def _posterior_logits(self, params: Params, which: str, deter: jax.Array, obs_embed: jax.Array) -> jax.Array:
+    def _posterior_logits(
+        self, params: Params, which: str, deter: jax.Array, obs_embed: jax.Array
+    ) -> jax.Array:
         """Posterior head logits (reference ``mopoe_mrssm/core.py:62-84``:
         input = cat(deter, obs_embed))."""
         x = jnp.concatenate([deter, obs_embed], axis=-1)
@@ -383,7 +387,9 @@ class MoPoEMRSSM:
         vision = gaussian_nll(reconstructions["recon/vision"], targets["recon/vision"], event_ndims=3)
         return {"recon": audio + vision, "recon/audio": audio, "recon/vision": vision}
 
-    def shared_step(self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array) -> dict[str, jax.Array]:
+    def shared_step(
+        self, params: Params, batch: tuple[jax.Array, ...], key: jax.Array
+    ) -> dict[str, jax.Array]:
         """Full ELBO step (reference ``core.py:187-221``).
 
         ``batch`` order matches the reference's 6-way StackDataset

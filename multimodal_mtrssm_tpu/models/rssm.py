@@ -38,6 +38,8 @@ from multimodal_mtrssm_tpu.ops.likelihood import gaussian_nll
 
 @dataclasses.dataclass(frozen=True)
 class RSSMConfig:
+    """Shared RSSM hyperparameters (reference mopoe_mrssm/configs/default.yaml:7-30)."""
+
     deterministic_size: int = 32
     hidden_size: int = 32
     obs_embed_size: int = 64
@@ -101,7 +103,9 @@ class RSSM:
         }
 
     def _dist(self, logits: jax.Array) -> MultiOneHot:
-        return MultiOneHot(logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size)
+        return MultiOneHot(
+            logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size
+        )
 
     def encode_observation(self, params: Params, obs: jax.Array) -> jax.Array:
         return encoder_apply(params["encoder"], self.cfg.encoder, obs)

@@ -26,6 +26,8 @@ from multimodal_mtrssm_tpu.nn.core import Params, mlp_apply, mlp_init
 
 @dataclasses.dataclass(frozen=True)
 class WeightedMRSSMConfig(MRSSMConfig):
+    """MRSSM config plus the learned-subset-weight head size."""
+
     weight_head_cells: int = 32  # MLP deter → 3 subset logits
 
 

@@ -108,6 +108,7 @@ def coord_channels(batch: int, h: int, w: int, dtype) -> jax.Array:
 
 
 def residual_block_init(key: jax.Array, channels: int, intermediate: int) -> Params:
+    """Init a 2-conv residual block (channels -> intermediate -> channels, 3x3)."""
     k1, k2 = jax.random.split(key)
     return {
         "conv1": conv_init(k1, channels, intermediate, 3),
@@ -116,6 +117,7 @@ def residual_block_init(key: jax.Array, channels: int, intermediate: int) -> Par
 
 
 def residual_block_apply(params: Params, x: jax.Array, act) -> jax.Array:
+    """Apply a residual block: act(x + conv(act(conv(x))))."""
     y = conv_apply(params["conv1"], x, stride=1, padding=1)
     y = act(y)
     y = conv_apply(params["conv2"], y, stride=1, padding=1)
@@ -167,7 +169,10 @@ class EncoderConfig:
 
 
 def encoder_init(key: jax.Array, cfg: EncoderConfig) -> Params:
-    keys = iter(jax.random.split(key, len(cfg.channels) + cfg.num_residual_blocks + len(cfg.linear_sizes) + 2))
+    """Init encoder params: strided convs + residual blocks + linear head."""
+    keys = iter(
+        jax.random.split(key, len(cfg.channels) + cfg.num_residual_blocks + len(cfg.linear_sizes) + 2)
+    )
     in_ch = cfg.in_channels + (2 if cfg.coord_conv else 0)
     convs = []
     for ch, k in zip(cfg.channels, cfg.kernel_sizes):
@@ -254,14 +259,20 @@ class DecoderConfig:
     def from_dict(cls, d: dict[str, Any]) -> "DecoderConfig":
         d = dict(d)
         d.pop("residual_output_size", None)
-        for k in ("linear_sizes", "conv_in_shape", "channels", "kernel_sizes", "strides", "paddings", "output_paddings"):
+        for k in (
+            "linear_sizes", "conv_in_shape", "channels", "kernel_sizes",
+            "strides", "paddings", "output_paddings",
+        ):
             if k in d:
                 d[k] = tuple(d[k])
         return cls(**d)
 
 
 def decoder_init(key: jax.Array, cfg: DecoderConfig) -> Params:
-    keys = iter(jax.random.split(key, len(cfg.linear_sizes) + cfg.num_residual_blocks + len(cfg.channels) + 2))
+    """Init decoder params: linear stack + residual blocks + transposed convs."""
+    keys = iter(
+        jax.random.split(key, len(cfg.linear_sizes) + cfg.num_residual_blocks + len(cfg.channels) + 2)
+    )
     linears = []
     flat = cfg.in_features
     for size in cfg.linear_sizes:

@@ -75,6 +75,7 @@ def dense_init(key: jax.Array, in_dim: int, out_dim: int) -> Params:
 
 
 def dense_apply(params: Params, x: jax.Array) -> jax.Array:
+    """x @ w + b with weights cast to the activation dtype (bf16-safe)."""
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
     return x @ w + b

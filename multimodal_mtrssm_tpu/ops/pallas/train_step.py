@@ -77,7 +77,8 @@ def unpack_train_grads(model_params: Params, grads: tuple[jax.Array, ...]) -> Pa
      t["action_state_projector"]["layers"][1]["w"], t["action_state_projector"]["layers"][1]["b"],
      t["gru"]["w_ih"], t["gru"]["b_ih"], t["gru"]["w_hh"], t["gru"]["b_hh"],
      t["rnn_to_prior_projector"]["layers"][0]["w"], t["rnn_to_prior_projector"]["layers"][0]["b"],
-     t["rnn_to_prior_projector"]["layers"][1]["w"], t["rnn_to_prior_projector"]["layers"][1]["b"]) = grads[:12]
+     t["rnn_to_prior_projector"]["layers"][1]["w"],
+     t["rnn_to_prior_projector"]["layers"][1]["b"]) = grads[:12]
     a = tree["audio_representation"]["layers"]
     a[0]["w"], a[0]["b"], a[1]["w"], a[1]["b"] = grads[12:16]
     v = tree["vision_representation"]["layers"]
@@ -342,8 +343,10 @@ def _bwd_kernel(
             d_xcat = _rdot(d_h, w_hid)
             return d_xcat[:, :D], d_xcat[:, D:]
 
-        d_deter_a, d_a_emb = head_bwd(d_a_logits, rec["ha"], rec["ha_pre"], rec["xa"], wa1, wa2, 12, 13, 14, 15)
-        d_deter_v, d_v_emb = head_bwd(d_v_logits, rec["hv"], rec["hv_pre"], rec["xv"], wv1, wv2, 16, 17, 18, 19)
+        d_deter_a, d_a_emb = head_bwd(
+            d_a_logits, rec["ha"], rec["ha_pre"], rec["xa"], wa1, wa2, 12, 13, 14, 15)
+        d_deter_v, d_v_emb = head_bwd(
+            d_v_logits, rec["hv"], rec["hv_pre"], rec["xv"], wv1, wv2, 16, 17, 18, 19)
         d_a_emb_ref[t] = d_a_emb
         d_v_emb_ref[t] = d_v_emb
 

@@ -20,6 +20,8 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Orbax-backed checkpoint store: full train state, params-only, and mid-epoch aux."""
+
     def __init__(self, directory: str | Path):
         self.dir = Path(directory).resolve()
         self.dir.mkdir(parents=True, exist_ok=True)

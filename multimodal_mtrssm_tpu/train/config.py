@@ -46,6 +46,8 @@ class VizConfig:
 
 @dataclasses.dataclass
 class Experiment:
+    """A fully instantiated experiment parsed from a YAML config."""
+
     model: Any  # MoPoEMRSSM | MoPoEMMTRSSM
     trainer: TrainerConfig
     data: DataModuleConfig
@@ -129,6 +131,7 @@ def _find_callback(callbacks: list, name: str) -> dict:
 
 
 def load_experiment(path: str | Path, overrides: dict | None = None) -> Experiment:
+    """Parse a YAML config (ours or the reference LightningCLI schema) into an Experiment."""
     raw = yaml.safe_load(Path(path).read_text())
     if overrides:
         raw = _deep_merge(raw, overrides)

@@ -22,6 +22,8 @@ LINE_SERIES_GROUPS = ("loss", "recon", "kl", "kl_h")
 
 
 class MetricLogger:
+    """JSONL metric sink with optional W&B mirroring (scalars, charts, videos)."""
+
     def __init__(self, log_dir: str | Path, use_wandb: bool = False, project: str | None = None):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)

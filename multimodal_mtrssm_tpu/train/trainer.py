@@ -92,6 +92,8 @@ class _PreemptionGuard:
 
 @dataclasses.dataclass
 class TrainerConfig:
+    """Trainer hyperparameters (reference trainer:/optimizer: YAML blocks)."""
+
     max_epochs: int = 100
     seed: int = 42
     learning_rate: float = 1e-3

@@ -21,6 +21,8 @@ EPISODES_PER_STAGE = 7
 
 
 class LogRSSMOutput:
+    """Every-N-epochs rollout-GIF callback (reference callback.py:126-210)."""
+
     def __init__(self, every_n_epochs: int = 10, indices=(0, 1, 2), query_length: int = 10,
                  fps: float = 10.0, episodes_per_stage: int = EPISODES_PER_STAGE):
         self.every_n_epochs = every_n_epochs

@@ -19,6 +19,7 @@ GROUPS = ("loss", "recon", "recon/audio", "recon/vision", "kl", "kl_h")
 
 
 def load_metrics(metrics_path: str | Path) -> list[dict]:
+    """Read a metrics.jsonl file into a list of row dicts."""
     rows = []
     with open(metrics_path) as fh:
         for line in fh:

@@ -158,7 +158,8 @@ def main() -> None:
         for f in range(F)
     }
     print("MEANS:", json.dumps(means))
-    (work / "probe.json").write_text(json.dumps({"means": means, "per_digit": {str(k): v for k, v in report.items()}}, default=str))
+    payload = {"means": means, "per_digit": {str(k): v for k, v in report.items()}}
+    (work / "probe.json").write_text(json.dumps(payload, default=str))
 
 
 if __name__ == "__main__":

@@ -161,7 +161,8 @@ def test_mesh_serving_pads_odd_batches():
     assert post.deter.shape[0] == Bo  # truncated back to the true batch
 
     # Manual padding (repeat last row to the mesh multiple) must reproduce it.
-    pad = lambda x: jax.numpy.concatenate([x, jax.numpy.broadcast_to(x[-1:], (2, *x.shape[1:]))])  # noqa: E731
+    def pad(x):
+        return jax.numpy.concatenate([x, jax.numpy.broadcast_to(x[-1:], (2, *x.shape[1:]))])
     wm2 = WorldModel(model, params, mesh=make_mesh())
     post8, _ = wm2.observe(pad(actions), pad(audio), pad(vision), key)
     np.testing.assert_array_equal(np.asarray(post.deter), np.asarray(post8.deter[:Bo]))

@@ -42,6 +42,32 @@ def test_ast_lint_detects_violations(tmp_path):
     assert any("E999" in f for f in check_paths([ugly]))
 
 
+def test_ast_lint_style_rules(tmp_path):
+    from multimodal_mtrssm_tpu.utils.lint import check_paths
+
+    style = tmp_path / "style.py"
+    style.write_text(
+        "x = 1\n"
+        "if x == None:\n    pass\n"
+        "if x == True:\n    pass\n"
+        "if x is 'lit':\n    pass\n"
+        "s = '\\d+'\n"
+        "y = " + "1 + " * 40 + "1\n"
+    )
+    findings = check_paths([style])
+    for code in ("E711", "E712", "F632", "W605", "E501"):
+        assert any(code in f for f in findings), (code, findings)
+
+    # Docstring rule only applies inside the package tree.
+    pkg = tmp_path / "multimodal_mtrssm_tpu" / "mod.py"
+    pkg.parent.mkdir()
+    pkg.write_text("def public():\n    return 1\n")
+    assert any("D103" in f for f in check_paths([pkg]))
+    outside = tmp_path / "mod2.py"
+    outside.write_text("def public():\n    return 1\n")
+    assert not any("D103" in f for f in check_paths([outside]))
+
+
 @pytest.mark.skipif(shutil.which("ruff") is None, reason="ruff not installed in image")
 def test_ruff_clean():
     proc = subprocess.run(["ruff", "check", "."], cwd=REPO_ROOT, capture_output=True, text=True)

@@ -89,7 +89,9 @@ def test_zero1_update_vector_exact():
     # Fixed deterministic gradient with per-position structure.
     sizes = np.cumsum([0] + [np.asarray(p).size for p in jax.tree.leaves(params)])
     leaves = [
-        jnp.sin(0.1 * (jnp.arange(np.asarray(p).size, dtype=jnp.float32) + off)).reshape(np.asarray(p).shape) * 0.01
+        jnp.sin(0.1 * (jnp.arange(np.asarray(p).size, dtype=jnp.float32) + off)).reshape(
+            np.asarray(p).shape
+        ) * 0.01
         for p, off in zip(jax.tree.leaves(params), sizes)
     ]
     grads = jax.tree.unflatten(jax.tree.structure(params), leaves)
