@@ -109,9 +109,23 @@ def main() -> None:
         # relying on XLA counting the K-step while-loop body once — if a
         # future XLA multiplied by the trip count, MFU would silently inflate
         # K×. The extra compile is served by the persistent cache.
+        # Count on the XLA-scan twin (use_pallas_train=False): cost_analysis
+        # cannot see inside a Pallas custom call, and the timed default path
+        # may dispatch the fused kernel. The recurrence is <0.001% of the
+        # 25.6 GFLOP step (convs dominate; measured 2026-08-17: 25.5924 vs
+        # 25.5923 GF between modes), so the twin's count stands in exactly.
+        flops_model = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False))
+
+        def one_step_flops(params, opt_state, batch, k):
+            loss, grads = jax.value_and_grad(
+                lambda p: flops_model.shared_step(p, batch, k)["loss"]
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
         batch1 = tuple(x[0] for x in stacked)
         ca = (
-            jax.jit(one_step)
+            jax.jit(one_step_flops)
             .lower(params, opt_state, batch1, ks[3])
             .compile()
             .cost_analysis()

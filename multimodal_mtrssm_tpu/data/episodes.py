@@ -212,8 +212,12 @@ def generate_synthetic_labeled_audio_mnist(
     n_words = -(-episode_length // frames_per_word)
     # Sparse digit-transition graph: from each word, ``n_successors`` equally
     # likely successors (1 = deterministic chain — the low-entropy setting
-    # that makes the Matching-Rate evaluation maximally separable).
-    successors = {d: (((d + 1) % 10, (d + 3) % 10)[:n_successors]) for d in range(10)}
+    # that makes the Matching-Rate evaluation maximally separable). Odd
+    # offsets keep successor sets distinct mod 10 for every branching factor.
+    _offsets = (1, 3, 5, 7, 9)
+    if not 1 <= n_successors <= len(_offsets):
+        raise ValueError(f"n_successors must be in [1, {len(_offsets)}], got {n_successors}")
+    successors = {d: tuple((d + off) % 10 for off in _offsets[:n_successors]) for d in range(10)}
     train_paths, eval_paths = [], []
     eval_dir = Path(eval_dir)
     eval_dir.mkdir(parents=True, exist_ok=True)

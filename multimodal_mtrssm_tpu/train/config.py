@@ -364,6 +364,8 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
         w_kl_h=float(margs.get("w_kl_h", 1.0)),
+        # Same TPU knob as the MRSSM family (fused hierarchical kernel).
+        use_pallas_train=margs.get("use_pallas_train", "auto"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),

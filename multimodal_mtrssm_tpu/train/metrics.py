@@ -75,19 +75,28 @@ class MetricLogger:
                 if key in metrics:
                     self._series.setdefault(key, []).append((epoch, float(metrics[key])))
         try:
+            # One batched log per epoch, pinned to the same step as the
+            # epoch's scalar row: an unstepped log would advance W&B's
+            # internal counter past the next epoch's explicit step, making
+            # it silently drop every later stepped scalar. Re-logging the
+            # full series each epoch mirrors the reference cadence
+            # (callback.py:95-123); at the reference's 100-epoch scale the
+            # cumulative payload stays small.
+            charts: dict[str, object] = {}
             for group in LINE_SERIES_GROUPS:
                 tr = self._series.get(f"train/{group}")
                 va = self._series.get(f"val/{group}")
                 if not tr or not va:
                     continue
-                chart = self._wandb.plot.line_series(
+                charts[f"{group}_combined"] = self._wandb.plot.line_series(
                     xs=[[x for x, _ in tr], [x for x, _ in va]],
                     ys=[[y for _, y in tr], [y for _, y in va]],
                     keys=["train", "val"],
                     title=f"{group} (train vs val)",
                     xname="epoch",
                 )
-                self._wandb.log({f"{group}_combined": chart})
+            if charts:
+                self._wandb.log(charts, step=step)
         except Exception:  # combined charts are optional, never fail a run
             pass
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import time
+import warnings
 from pathlib import Path
 from typing import Any
 
@@ -180,8 +181,6 @@ class Trainer:
         while tb % n != 0 or (vb and vb % n != 0) or (dcn and n >= dcn and n % dcn != 0):
             n -= 1
         if dcn and n < dcn:
-            import warnings
-
             warnings.warn(
                 f"batch sizes (train={tb}, val={vb}) admit no device count "
                 f"divisible by dcn_size={dcn}; falling back to a flat data mesh.",
@@ -192,8 +191,6 @@ class Trainer:
             while tb % n != 0 or (vb and vb % n != 0):
                 n -= 1
         if n < len(devices):
-            import warnings
-
             warnings.warn(
                 f"batch sizes (train={tb}, val={vb}) are not divisible by the "
                 f"{len(devices)}-device mesh; training on {n} device(s). Pick a "
@@ -207,8 +204,6 @@ class Trainer:
             # trim above can split a slice unevenly, which make_hybrid_mesh
             # rejects. Fall back to a flat data mesh (gradients then psum
             # over DCN without the ICI/DCN split) rather than failing.
-            import warnings
-
             from multimodal_mtrssm_tpu.parallel.mesh import make_mesh
 
             warnings.warn(
@@ -462,13 +457,23 @@ class Trainer:
                     # batches on the accumulation path — the two skip
                     # semantics are incompatible, so a changed
                     # accumulate_grad_batches must refuse, not mis-skip.
-                    saved_accum = int(resume_mid.get("accum", 1))
-                    if saved_accum != accum:
-                        raise ValueError(
-                            f"mid-epoch resume checkpoint was saved with "
-                            f"accumulate_grad_batches={saved_accum} but the trainer is "
-                            f"configured with {accum}; resume with the original value "
-                            f"(the stream skip offset is only valid under it)"
+                    if "accum" in resume_mid:
+                        saved_accum = int(resume_mid["accum"])
+                        if saved_accum != accum:
+                            raise ValueError(
+                                f"mid-epoch resume checkpoint was saved with "
+                                f"accumulate_grad_batches={saved_accum} but the trainer is "
+                                f"configured with {accum}; resume with the original value "
+                                f"(the stream skip offset is only valid under it)"
+                            )
+                    else:
+                        # Aux saved before the guard existed: the mode is
+                        # unrecorded, so trust the configured value rather
+                        # than hard-blocking a previously-resumable run.
+                        warnings.warn(
+                            "mid-epoch checkpoint predates the accumulate_grad_batches "
+                            f"guard; assuming it was saved with the configured value ({accum})",
+                            stacklevel=2,
                         )
                     skip = stream_pos = int(resume_mid["items_done"])
                     spd = int(resume_mid.get("spd", spd))

@@ -121,7 +121,7 @@ def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch
 
     stub = types.ModuleType("wandb")
     stub.init = lambda **kw: None
-    stub.log = lambda payload, step=None: calls.append(payload)
+    stub.log = lambda payload, step=None: calls.append((payload, step))
     stub.Video = lambda path, fps=10, format="gif": ("video", str(path))
     stub.Image = lambda path: ("image", str(path))
     stub.finish = lambda: None
@@ -152,19 +152,25 @@ def test_viz_callback_covers_both_stages_and_mirrors_wandb(tmp_path, monkeypatch
     # 12 episodes, 0.8 split → 9 train (capped at 7) and 3 val episodes
     assert len(train_gifs) == 7
     assert len(val_gifs) == 3
-    video_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "video"
-                                           for v in c.values())]
+    video_calls = [c for c, _ in calls if any(isinstance(v, tuple) and v[0] == "video"
+                                              for v in c.values())]
     assert len(video_calls) >= 10  # every rendered gif mirrored
-    image_calls = [c for c in calls if any(isinstance(v, tuple) and v[0] == "image"
-                                           for v in c.values())]
+    image_calls = [c for c, _ in calls if any(isinstance(v, tuple) and v[0] == "image"
+                                              for v in c.values())]
     assert image_calls  # combined charts mirrored
     # Native wandb.plot.line_series parity (reference callback.py:66-123):
     # combined train-vs-val panels for loss/recon/kl, on the epoch axis,
     # and define_metric grouping declared at init.
-    ls_calls = {k: v for c in calls for k, v in c.items()
+    ls_calls = {k: v for c, _ in calls for k, v in c.items()
                 if isinstance(v, tuple) and v[0] == "line_series"}
     assert {"loss_combined", "recon_combined", "kl_combined"} <= set(ls_calls)
     assert ls_calls["loss_combined"][1] == ["train", "val"]
+    # Chart logs must carry an explicit step: an unstepped log advances
+    # W&B's internal counter past the next epoch's step, silently dropping
+    # every later stepped scalar.
+    chart_steps = [s for c, s in calls
+                   if any(isinstance(v, tuple) and v[0] == "line_series" for v in c.values())]
+    assert chart_steps and all(s is not None for s in chart_steps)
     assert ("train/loss", {"step_metric": "epoch", "summary": "min"}) in defined
     assert ("val/kl", {"step_metric": "epoch", "summary": "min"}) in defined
 
