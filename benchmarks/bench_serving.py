@@ -171,6 +171,45 @@ def bench_http(results: dict) -> None:
         for _ in range(n):
             post("/imagine", img_payload)
         results["http/imagine_req_per_s"] = round(n / (time.perf_counter() - t0), 1)
+
+        # Binary npz framing: same requests without the JSON tax.
+        import io
+
+        def to_npz(arrays: dict) -> bytes:
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            return buf.getvalue()
+
+        def post_npz(route: str, data: bytes) -> dict:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{route}", data=data,
+                headers={"Content-Type": "application/x-npz"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                with np.load(io.BytesIO(r.read()), allow_pickle=False) as z:
+                    return {k: (v.item() if v.ndim == 0 else 0) for k, v in z.items()}
+
+        obs_npz = to_npz({
+            "actions": rng.normal(size=(B, T, 6)).astype(np.float32),
+            "audio": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32),
+            "vision": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32),
+            "seed": 1,
+        })
+        sid = post_npz("/observe", obs_npz)["state_id"]
+        img_npz = to_npz({
+            "state_id": sid, "actions": np.zeros((B, T, 6), np.float32),
+            "seed": 2, "decode": True,
+        })
+        results["http/observe_npz_B1_T10"] = _time_calls(
+            lambda: post_npz("/observe", obs_npz), warmup=10, calls=30
+        )
+        results["http/imagine_decode_npz_B1_T10"] = _time_calls(
+            lambda: post_npz("/imagine", img_npz), warmup=10, calls=30
+        )
+        n, t0 = 30, time.perf_counter()
+        for _ in range(n):
+            post_npz("/imagine", img_npz)
+        results["http/imagine_npz_req_per_s"] = round(n / (time.perf_counter() - t0), 1)
     finally:
         srv.stop()
 

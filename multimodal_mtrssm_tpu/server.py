@@ -12,11 +12,16 @@ non-JAX clients can drive observe → imagine → decode loops:
   under an action plan; returns decoded frames (``"decode": true``,
   default) and a new ``state_id`` for chained continuation.
 
-Arrays travel as JSON nested lists (the payloads are 32×32 frames — a few
-hundred KB; no binary framing needed at this scale). Latent states never
-leave the device: the server keeps them in a bounded LRU store and hands
-out opaque ids, so a continuation costs one handle instead of a
-host→device round trip of the whole latent.
+Arrays travel as JSON nested lists by default (simple, curl-able). For
+throughput, both POST routes also speak **binary npz framing**: send the
+request as ``np.savez`` bytes with ``Content-Type: application/x-npz``
+(same field names; scalars as 0-d arrays) and the response comes back as
+npz too — measured ~10× the JSON request rate (BASELINE.md), since JSON
+(de)serialization of frame payloads dominates the JSON path. Error
+responses are always JSON (read the body when status != 200). Latent
+states never leave the device: the server keeps them in a bounded LRU
+store and hands out opaque ids, so a continuation costs one handle
+instead of a host→device round trip of the whole latent.
 
 Run: ``python scripts/serve.py --config configs/mopoe_mrssm.yaml
 --checkpoint runs/x/checkpoints [--port 8000]``.
@@ -80,10 +85,15 @@ class InferenceServer:
             def log_message(self, *args):  # quiet; observability is JSONL/W&B
                 pass
 
-            def _send(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+            def _send(self, code: int, payload: dict, binary: bool = False) -> None:
+                if binary:
+                    body = _payload_to_npz(payload)
+                    ctype = "application/x-npz"
+                else:
+                    body = json.dumps(payload).encode()
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -95,17 +105,20 @@ class InferenceServer:
                     self._send(404, {"error": f"unknown route {self.path}"})
 
             def do_POST(self):
+                binary = "npz" in (self.headers.get("Content-Type") or "") or \
+                    "octet-stream" in (self.headers.get("Content-Type") or "")
                 try:
                     length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
-                except (ValueError, json.JSONDecodeError) as e:
+                    body = self.rfile.read(length)
+                    req = _npz_to_request(body) if binary else json.loads(body or b"{}")
+                except (ValueError, json.JSONDecodeError, OSError) as e:
                     self._send(400, {"error": f"bad request body: {e}"})
                     return
                 try:
                     if self.path == "/observe":
-                        self._send(200, server._observe(req))
+                        self._send(200, server._observe(req, raw=binary), binary)
                     elif self.path == "/imagine":
-                        self._send(200, server._imagine(req))
+                        self._send(200, server._imagine(req, raw=binary), binary)
                     else:
                         self._send(404, {"error": f"unknown route {self.path}"})
                 except UnknownStateError as e:
@@ -137,7 +150,7 @@ class InferenceServer:
             "platform": jax.devices()[0].platform,
         }
 
-    def _observe(self, req: dict) -> dict:
+    def _observe(self, req: dict, raw: bool = False) -> dict:
         actions = np.asarray(req["actions"], np.float32)
         audio = np.asarray(req["audio"], np.float32)
         vision = np.asarray(req["vision"], np.float32)
@@ -152,12 +165,12 @@ class InferenceServer:
             if req.get("decode", False):
                 decoded = self.wm.decode(posterior)
         if decoded is not None:
-            # Host-side JSON conversion happens OUTSIDE the device lock —
+            # Host-side serialization happens OUTSIDE the device lock —
             # it is pure CPU work and must not serialize other requests.
-            out["recon"] = _frames_to_json(decoded)
+            out["recon"] = _frames_out(decoded, raw)
         return out
 
-    def _imagine(self, req: dict) -> dict:
+    def _imagine(self, req: dict, raw: bool = False) -> dict:
         state = self.states.get(str(req["state_id"]))
         if state is None:
             raise UnknownStateError(str(req["state_id"]))
@@ -171,7 +184,7 @@ class InferenceServer:
             if req.get("decode", True):
                 decoded = self.wm.decode(imagined)
         if decoded is not None:
-            out["frames"] = _frames_to_json(decoded)
+            out["frames"] = _frames_out(decoded, raw)
         return out
 
     # ---- lifecycle -----------------------------------------------------------
@@ -190,8 +203,38 @@ class InferenceServer:
             self._thread.join(timeout=5)
 
 
-def _frames_to_json(decoded: dict) -> dict:
-    return {k: np.asarray(v, np.float32).tolist() for k, v in decoded.items()}
+def _frames_out(decoded: dict, raw: bool) -> dict:
+    """Decoded frames → response payload: numpy (npz framing) or lists."""
+    arrays = {k: np.asarray(v, np.float32) for k, v in decoded.items()}
+    return arrays if raw else {k: v.tolist() for k, v in arrays.items()}
+
+
+def _npz_to_request(body: bytes) -> dict:
+    """npz request bytes → the same dict shape the JSON path produces.
+
+    0-d arrays unwrap to python scalars (``seed``, ``decode``, ``state_id``);
+    array fields stay numpy (the endpoints ``np.asarray`` them anyway).
+    """
+    import io
+
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: (v.item() if v.ndim == 0 else v) for k, v in z.items()}
+
+
+def _payload_to_npz(payload: dict) -> bytes:
+    """Response dict → npz bytes; one nesting level flattens with ``/``."""
+    import io
+
+    flat: dict[str, np.ndarray] = {}
+    for k, v in payload.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                flat[f"{k}/{k2}"] = np.asarray(v2)
+        else:
+            flat[k] = np.asarray(v)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    return buf.getvalue()
 
 
 def main(argv: list[str] | None = None) -> None:

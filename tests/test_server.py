@@ -91,3 +91,69 @@ def test_missing_fields_are_400_not_404(server):
         assert e.value.code == 400
         body = json.loads(e.value.read())
         assert "missing field" in body["error"]
+
+
+def _post_npz(server, route, arrays: dict) -> dict:
+    """POST np.savez-framed request; parse the npz response."""
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{route}",
+        data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npz"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"] == "application/x-npz"
+        with np.load(io.BytesIO(r.read()), allow_pickle=False) as z:
+            return {k: (v.item() if v.ndim == 0 else np.asarray(v)) for k, v in z.items()}
+
+
+def test_npz_binary_framing_matches_json(server):
+    """npz-framed observe→imagine round trip; frames bit-equal to the JSON
+    path for the same stored state and seed."""
+    B, T = 2, 3
+    rng = np.random.default_rng(7)
+    actions = rng.normal(size=(B, T, 6)).astype(np.float32)
+    audio = rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32)
+    vision = rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32)
+
+    out = _post_npz(server, "/observe", {
+        "actions": actions, "audio": audio, "vision": vision, "seed": 3,
+    })
+    assert out["batch"] == B and out["t"] == T and isinstance(out["state_id"], str)
+
+    plan = rng.normal(size=(B, 4, 6)).astype(np.float32)
+    im_bin = _post_npz(server, "/imagine", {
+        "state_id": out["state_id"], "actions": plan, "seed": 5,
+    })
+    frames_bin = im_bin["frames/recon/vision"]
+    assert frames_bin.shape == (B, 4, 32, 32, 1)
+
+    # Same state, same seed through the JSON path → identical frames.
+    im_json = _post(server, "/imagine", {
+        "state_id": out["state_id"], "actions": plan.tolist(), "seed": 5,
+    })
+    np.testing.assert_array_equal(
+        frames_bin, np.asarray(im_json["frames"]["recon/vision"], np.float32)
+    )
+
+
+def test_npz_bad_body_and_unknown_state(server):
+    """Binary framing keeps the JSON error contract: errors arrive as JSON."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/observe",
+        data=b"not an npz archive",
+        headers={"Content-Type": "application/x-npz"},
+    )
+    with pytest.raises(HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert "bad request body" in json.loads(e.value.read())["error"]
+
+    with pytest.raises(HTTPError) as e:
+        _post_npz(server, "/imagine", {
+            "state_id": "nope", "actions": np.zeros((1, 1, 6), np.float32),
+        })
+    assert e.value.code == 404
