@@ -16,7 +16,7 @@ Arrays travel as JSON nested lists by default (simple, curl-able). For
 throughput, both POST routes also speak **binary npz framing**: send the
 request as ``np.savez`` bytes with ``Content-Type: application/x-npz``
 (same field names; scalars as 0-d arrays) and the response comes back as
-npz too — measured ~10× the JSON request rate (BASELINE.md), since JSON
+npz too — measured ~6.5× the JSON request rate (BASELINE.md), since JSON
 (de)serialization of frame payloads dominates the JSON path. Error
 responses are always JSON (read the body when status != 200). Latent
 states never leave the device: the server keeps them in a bounded LRU
@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import threading
 import uuid
+import zipfile
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -111,7 +112,11 @@ class InferenceServer:
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
                     req = _npz_to_request(body) if binary else json.loads(body or b"{}")
-                except (ValueError, json.JSONDecodeError, OSError) as e:
+                except (ValueError, json.JSONDecodeError, OSError, EOFError,
+                        zipfile.BadZipFile) as e:
+                    # Malformed npz bodies surface as BadZipFile (zip-magic
+                    # prefix + garbage, e.g. truncated upload) or EOFError
+                    # (empty body) — neither subclasses OSError/ValueError.
                     self._send(400, {"error": f"bad request body: {e}"})
                     return
                 try:

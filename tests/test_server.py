@@ -141,16 +141,21 @@ def test_npz_binary_framing_matches_json(server):
 
 
 def test_npz_bad_body_and_unknown_state(server):
-    """Binary framing keeps the JSON error contract: errors arrive as JSON."""
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{server.port}/observe",
-        data=b"not an npz archive",
-        headers={"Content-Type": "application/x-npz"},
-    )
-    with pytest.raises(HTTPError) as e:
-        urllib.request.urlopen(req, timeout=30)
-    assert e.value.code == 400
-    assert "bad request body" in json.loads(e.value.read())["error"]
+    """Binary framing keeps the JSON error contract: errors arrive as JSON.
+
+    Covers all three malformed-body classes: pickle-fallback ValueError,
+    zip-magic-prefixed garbage (BadZipFile — a truncated upload), and an
+    empty body (EOFError)."""
+    for bad in (b"not an npz archive", b"PK\x03\x04garbage-after-zip-magic", b""):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/observe",
+            data=bad,
+            headers={"Content-Type": "application/x-npz"},
+        )
+        with pytest.raises(HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400, bad
+        assert "bad request body" in json.loads(e.value.read())["error"]
 
     with pytest.raises(HTTPError) as e:
         _post_npz(server, "/imagine", {
