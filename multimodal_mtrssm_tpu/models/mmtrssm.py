@@ -85,6 +85,10 @@ class MMTRSSMConfig:
     audio_decoder: DecoderConfig | None = None
     vision_decoder: DecoderConfig | None = None
     compute_dtype: Any = jnp.float32
+    # Conv-stack compute dtype (None = compute_dtype) — same mixed-precision
+    # knob as ``MRSSMConfig.conv_dtype``: bf16 convs, f32 recurrence (keeps
+    # the fused hierarchical training kernel eligible).
+    conv_dtype: Any = None
 
     @property
     def hs_dim(self) -> int:
@@ -150,12 +154,22 @@ class MoPoEMMTRSSM:
         return MultiOneHot(logits=logits, class_size=self.cfg.hs_class, category_size=self.cfg.hs_category)
 
     # ---- encoding -----------------------------------------------------------
+    def _conv_in(self, x: jax.Array) -> jax.Array:
+        """Cast a conv-stack input to ``conv_dtype`` (params follow the
+        input dtype inside ``nn/conv.py``)."""
+        cd = self.cfg.conv_dtype
+        return x if cd is None else x.astype(cd)
+
+    def _conv_out(self, x: jax.Array) -> jax.Array:
+        """Cast a conv-stack output back to the model compute dtype."""
+        return x if self.cfg.conv_dtype is None else x.astype(self.cfg.compute_dtype)
+
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
         """Mean-fused embedding (inherited contract, reference
         ``mopoe_mrssm/core.py:165-182``)."""
-        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, audio_obs)
-        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, vision_obs)
-        return (a + v) / 2.0
+        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
+        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        return self._conv_out((a + v) / 2.0)
 
     # ---- per-step cores ------------------------------------------------------
     def _lower_prior(
@@ -244,8 +258,12 @@ class MoPoEMMTRSSM:
         """Posterior/prior rollout over [B, T] (reference ``core.py:364-494``)
         as one ``lax.scan``. Returns ``(mixed posterior, prior)``, time axis 1."""
         cfg = self.cfg
-        audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
-        vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        audio_embed = self._conv_out(
+            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
+        )
+        vision_embed = self._conv_out(
+            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
+        )
         mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
         if mode is not None:
             return self._rollout_representation_fused(
@@ -452,10 +470,14 @@ class MoPoEMMTRSSM:
 
     def decode_state(self, params: Params, state: MTState) -> dict[str, jax.Array]:
         """Decode both modalities from 96-dim features (reference ``core.py:546-561``)."""
-        feature = state.feature
+        feature = self._conv_in(state.feature)
         return {
-            "recon/audio": decoder_apply(params["audio_decoder"], self.cfg.decoder_cfg("audio"), feature),
-            "recon/vision": decoder_apply(params["vision_decoder"], self.cfg.decoder_cfg("vision"), feature),
+            "recon/audio": self._conv_out(
+                decoder_apply(params["audio_decoder"], self.cfg.decoder_cfg("audio"), feature)
+            ),
+            "recon/vision": self._conv_out(
+                decoder_apply(params["vision_decoder"], self.cfg.decoder_cfg("vision"), feature)
+            ),
         }
 
     def compute_reconstruction_loss(

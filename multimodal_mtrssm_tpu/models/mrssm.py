@@ -97,6 +97,13 @@ class MRSSMConfig:
     audio_decoder: DecoderConfig | None = None
     vision_decoder: DecoderConfig | None = None
     compute_dtype: Any = jnp.float32
+    # Conv-stack compute dtype (None = compute_dtype). bf16 convs halve the
+    # conv HBM traffic and double MXU rate while the recurrence (and the
+    # fused Pallas training kernel, which requires f32 compute) stays f32 —
+    # a mixed setup full-model bf16 cannot express because it disables the
+    # kernel. Embeddings/reconstructions are cast back to compute_dtype at
+    # the conv boundary; the ELBO ops upcast to f32 internally regardless.
+    conv_dtype: Any = None
 
     @property
     def stoch_size(self) -> int:
@@ -160,11 +167,21 @@ class MoPoEMRSSM:
             logits=logits, class_size=self.cfg.class_size, category_size=self.cfg.category_size
         )
 
+    def _conv_in(self, x: jax.Array) -> jax.Array:
+        """Cast a conv-stack input to ``conv_dtype`` (params follow the
+        input dtype inside ``nn/conv.py``)."""
+        cd = self.cfg.conv_dtype
+        return x if cd is None else x.astype(cd)
+
+    def _conv_out(self, x: jax.Array) -> jax.Array:
+        """Cast a conv-stack output back to the model compute dtype."""
+        return x if self.cfg.conv_dtype is None else x.astype(self.cfg.compute_dtype)
+
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
         """Mean-fused embedding (reference ``mopoe_mrssm/core.py:165-182``)."""
-        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, audio_obs)
-        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, vision_obs)
-        return (a + v) / 2.0
+        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
+        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        return self._conv_out((a + v) / 2.0)
 
     def transition(self, params: Params, action: jax.Array, prev_state: State, key: jax.Array) -> State:
         """Prior step (reference ``networks.py:151-173``)."""
@@ -219,8 +236,12 @@ class MoPoEMRSSM:
         Returns ``(posterior, prior)`` with time on axis 1.
         """
         cfg = self.cfg
-        audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
-        vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        audio_embed = self._conv_out(
+            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
+        )
+        vision_embed = self._conv_out(
+            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
+        )
         mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
         if mode is not None:
             return self._rollout_representation_fused(
@@ -372,10 +393,14 @@ class MoPoEMRSSM:
     def decode_state(self, params: Params, state: State) -> dict[str, jax.Array]:
         """Decode both modalities from features (reference
         ``mopoe_mrssm/core.py:262-277``)."""
-        feature = state.feature
+        feature = self._conv_in(state.feature)
         return {
-            "recon/audio": decoder_apply(params["audio_decoder"], self.decoder_cfg("audio"), feature),
-            "recon/vision": decoder_apply(params["vision_decoder"], self.decoder_cfg("vision"), feature),
+            "recon/audio": self._conv_out(
+                decoder_apply(params["audio_decoder"], self.decoder_cfg("audio"), feature)
+            ),
+            "recon/vision": self._conv_out(
+                decoder_apply(params["vision_decoder"], self.decoder_cfg("vision"), feature)
+            ),
         }
 
     def compute_reconstruction_loss(

@@ -189,6 +189,17 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         raise ValueError(f"unknown model class_path: {model_node.get('class_path')}")
 
     trainer_node = raw.get("trainer", {})
+    # Lightning ``trainer.precision: 16-mixed`` (the reference default.yaml
+    # trains under AMP) maps to the TPU-native mixed path: conv stacks in
+    # bf16, recurrence/ELBO in f32 — the AMP contract (half matmuls/convs,
+    # f32 master math), and it keeps the fused training kernels eligible,
+    # which full-model bf16 would not.
+    precision = str(trainer_node.get("precision", "32")).lower()
+    if ("16" in precision and hasattr(model.cfg, "conv_dtype")
+            and model.cfg.conv_dtype is None):
+        import jax.numpy as jnp
+
+        model = type(model)(dataclasses.replace(model.cfg, conv_dtype=jnp.bfloat16))
     callbacks = trainer_node.get("callbacks", [])
     sched = _init_args(raw.get("lr_scheduler"))
     sched_spec = _scheduler_spec(raw.get("lr_scheduler"))

@@ -148,3 +148,58 @@ def test_bf16_training_loss_decreases_comparably(family):
     drop16 = l16[0] - min(l16)
     assert drop16 > 0, "bf16 training did not reduce the loss"
     assert drop16 >= 0.8 * drop32, (drop16, drop32)
+
+
+@pytest.mark.parametrize("family", ["mrssm", "mmtrssm"])
+def test_conv_dtype_bf16_matches_f32(family):
+    """``conv_dtype=bfloat16`` (mixed AMP-style path: half convs, f32
+    recurrence/ELBO) is finite and close to full f32, grads land in f32
+    master precision, and reconstructions come back in the compute dtype."""
+    enc = _small_enc()
+    mk = {"mrssm": (MRSSMConfig, MoPoEMRSSM), "mmtrssm": (MMTRSSMConfig, MoPoEMMTRSSM)}[family]
+    cfg_cls, model_cls = mk
+    m32 = model_cls(cfg_cls(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32))
+    mmx = model_cls(cfg_cls(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32,
+                            conv_dtype=jnp.bfloat16))
+    params = m32.init(jax.random.PRNGKey(0))
+    batch = _batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    d32 = jax.jit(m32.shared_step)(params, batch, key)
+    dmx = jax.jit(mmx.shared_step)(params, batch, key)
+    for k in ("loss", "recon", "kl"):
+        v32, vmx = float(d32[k]), float(dmx[k])
+        assert np.isfinite(vmx), f"{family} conv-bf16 {k} non-finite"
+        assert abs(vmx - v32) <= 0.01 * abs(v32) + 0.5, (k, v32, vmx)
+    g = jax.grad(lambda p: mmx.shared_step(p, batch, key)["loss"])(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    assert all(x.dtype == jnp.float32 for x in leaves)  # f32 master grads
+    # The recurrence stays f32, so the fused training kernel stays eligible
+    # (unlike compute_dtype=bfloat16, which gates it off).
+    interp = model_cls(cfg_cls(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32,
+                               conv_dtype=jnp.bfloat16, use_pallas_train="interpret"))
+    assert interp._train_kernel_mode(2, 4) == "interpret"
+    # Decoded frames return in the compute dtype (f32) at the conv boundary.
+    init = mmx.initial_state(params, batch[1][:, 0], batch[2][:, 0], key)
+    post, _ = mmx.rollout_representation(params, batch[0], batch[1], batch[2], init, key)
+    recons = mmx.decode_state(params, post)
+    assert all(v.dtype == jnp.float32 for v in recons.values())
+
+
+def test_reference_yaml_precision_maps_to_conv_bf16():
+    """The reference trains under ``trainer.precision: 16-mixed`` (reference
+    ``configs/default.yaml:121``); parsing that YAML maps it to the
+    TPU-native mixed path (bf16 convs), while configs without a precision
+    key stay full f32."""
+    from pathlib import Path
+
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    ref = Path("/root/reference/src/multimodal_rssm/models/mrssm/mopoe_mrssm/configs/default.yaml")
+    if not ref.exists():
+        pytest.skip("reference YAML not available")
+    exp = load_experiment(ref)
+    assert exp.model.cfg.conv_dtype == jnp.bfloat16
+    ours = Path(__file__).resolve().parent.parent / "configs" / "mopoe_mrssm.yaml"
+    exp2 = load_experiment(ours)
+    assert exp2.model.cfg.conv_dtype is None
