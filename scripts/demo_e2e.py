@@ -136,7 +136,11 @@ def main() -> None:
                     help="branching factor of the synthetic word graph")
     ap.add_argument("--n-predictions", type=int, default=10)
     ap.add_argument("--seeds", type=int, default=1,
-                    help="run N seeds (0..N-1) and report mean±std of mean MR")
+                    help="run N seeds (seed-start..seed-start+N-1) and report "
+                    "mean±std of mean MR")
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed; the pipeline is deterministic per seed, so "
+                    "extending an earlier sweep only needs the new seeds")
     ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
     args = ap.parse_args()
 
@@ -144,7 +148,7 @@ def main() -> None:
 
     work = Path(args.workdir)
     mrs, unis = [], []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seed_start + args.seeds):
         results = run_once(args, work / (f"seed{seed}" if args.seeds > 1 else "."), seed)
         mrs.append(results["summary"]["mean_matching_rate"])
         unis.append(results["summary"]["mean_uniform"])
