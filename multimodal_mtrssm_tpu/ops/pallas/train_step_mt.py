@@ -442,5 +442,7 @@ def fits_vmem_mt(T: int, B: int, budget_bytes: int = 10 << 20) -> bool:
 
 
 # "auto" dispatch policy (set from benchmarks/bench_train_kernel.py --model
-# mmtrssm measurements; BASELINE.md records them).
-AUTO_MT_TRAIN_KERNEL = False
+# mmtrssm measurements; BASELINE.md records them): B=8 2.687→1.986 ms/step
+# (1.35×), B=16 1.32×, and the VMEM guard above already excludes the
+# neutral B=32 shape — so auto dispatches wherever the kernel is eligible.
+AUTO_MT_TRAIN_KERNEL = True
