@@ -155,14 +155,16 @@ class MoPoEMMTRSSM:
 
     # ---- encoding -----------------------------------------------------------
     def _conv_in(self, x: jax.Array) -> jax.Array:
-        """Cast a conv-stack input to ``conv_dtype`` (params follow the
-        input dtype inside ``nn/conv.py``)."""
-        cd = self.cfg.conv_dtype
-        return x if cd is None else x.astype(cd)
+        """Cast a conv-stack input per the shared mixed-precision policy."""
+        from multimodal_mtrssm_tpu.nn.conv import cast_conv_in
+
+        return cast_conv_in(self.cfg, x)
 
     def _conv_out(self, x: jax.Array) -> jax.Array:
         """Cast a conv-stack output back to the model compute dtype."""
-        return x if self.cfg.conv_dtype is None else x.astype(self.cfg.compute_dtype)
+        from multimodal_mtrssm_tpu.nn.conv import cast_conv_out
+
+        return cast_conv_out(self.cfg, x)
 
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
         """Mean-fused embedding (inherited contract, reference

@@ -71,8 +71,12 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         from multimodal_mtrssm_tpu.nn.conv import encoder_apply
 
         cfg = self.cfg
-        audio_embed = encoder_apply(params["audio_encoder"], cfg.audio_encoder, audio_obs)
-        vision_embed = encoder_apply(params["vision_encoder"], cfg.vision_encoder, vision_obs)
+        audio_embed = self._conv_out(
+            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
+        )
+        vision_embed = self._conv_out(
+            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
+        )
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 

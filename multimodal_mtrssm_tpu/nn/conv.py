@@ -41,6 +41,24 @@ from multimodal_mtrssm_tpu.nn.core import (
 # ---------------------------------------------------------------------------
 
 
+def cast_conv_in(model_cfg, x: jax.Array) -> jax.Array:
+    """Cast a conv-stack input to the model's ``conv_dtype`` (weights follow
+    the input dtype inside this module). The single home of the
+    mixed-precision cast policy — every encoder/decoder call site in every
+    model family must route through this pair so the AMP mapping
+    (``trainer.precision: 16-mixed`` → bf16 convs) cannot be partially
+    applied."""
+    cd = getattr(model_cfg, "conv_dtype", None)
+    return x if cd is None else x.astype(cd)
+
+
+def cast_conv_out(model_cfg, x: jax.Array) -> jax.Array:
+    """Cast a conv-stack output back to the model compute dtype (see
+    ``cast_conv_in``)."""
+    cd = getattr(model_cfg, "conv_dtype", None)
+    return x if cd is None else x.astype(model_cfg.compute_dtype)
+
+
 def conv_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int) -> Params:
     """Conv2d params (HWIO), torch-style fan-in uniform init."""
     kw, kb = jax.random.split(key)

@@ -16,8 +16,10 @@ Arrays travel as JSON nested lists by default (simple, curl-able). For
 throughput, both POST routes also speak **binary npz framing**: send the
 request as ``np.savez`` bytes with ``Content-Type: application/x-npz``
 (same field names; scalars as 0-d arrays) and the response comes back as
-npz too — measured ~6.5× the JSON request rate (BASELINE.md), since JSON
-(de)serialization of frame payloads dominates the JSON path. Error
+npz too — measured ~6.5× the JSON request rate on a CPU-local backend
+and 2.4× on the tunneled chip, where the ~35 ms/device-call RTT dominates
+instead (BASELINE.md); JSON (de)serialization of frame payloads is what
+the framing removes. Error
 responses are always JSON (read the body when status != 200). Latent
 states never leave the device: the server keeps them in a bounded LRU
 store and hands out opaque ids, so a continuation costs one handle

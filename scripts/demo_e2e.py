@@ -148,14 +148,19 @@ def main() -> None:
 
     work = Path(args.workdir)
     mrs, unis = [], []
+    # Per-seed subdirs for any multi-seed sweep AND any extension run
+    # (seed_start != 0) — an extension writing into the sweep root would
+    # clobber the earlier seeds' datasets/checkpoints/results.
+    per_seed_dirs = args.seeds > 1 or args.seed_start != 0
     for seed in range(args.seed_start, args.seed_start + args.seeds):
-        results = run_once(args, work / (f"seed{seed}" if args.seeds > 1 else "."), seed)
+        results = run_once(args, work / (f"seed{seed}" if per_seed_dirs else "."), seed)
         mrs.append(results["summary"]["mean_matching_rate"])
         unis.append(results["summary"]["mean_uniform"])
     if args.seeds > 1:
         summary = {
             "model": args.model,
             "seeds": args.seeds,
+            "seed_start": args.seed_start,
             "mean_mr": float(np.mean(mrs)),
             "std_mr": float(np.std(mrs)),
             "per_seed_mr": mrs,
@@ -164,7 +169,11 @@ def main() -> None:
                        ("epochs", "episodes", "frames_per_word", "query_length",
                         "classify_frame", "n_successors", "n_predictions")},
         }
-        (work / "summary.json").write_text(json.dumps(summary, indent=2))
+        # An extension run aggregates only ITS seeds — write a range-named
+        # file so the original full-sweep summary.json survives.
+        name = ("summary.json" if args.seed_start == 0 else
+                f"summary_seeds{args.seed_start}-{args.seed_start + args.seeds - 1}.json")
+        (work / name).write_text(json.dumps(summary, indent=2))
         print(
             f"ACROSS {args.seeds} SEEDS: mean MR = {summary['mean_mr']:.3f} "
             f"± {summary['std_mr']:.3f} (uniform {summary['mean_uniform']:.3f}); "
