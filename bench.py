@@ -1,14 +1,16 @@
 """Benchmark: MoPoE-MRSSM training throughput (sequences/sec) on one chip.
 
 Measures the steady-state training fast path — the multi-step-scan train
-step (``Trainer(steps_per_dispatch=K)``): K=32 DISTINCT batches stacked
+step (``Trainer(steps_per_dispatch=K)``): K=256 DISTINCT batches stacked
 [K, B, ...], one jitted ``lax.scan`` of K full optimizer steps (loss + grad
 + fused AdamW, donated buffers) per host dispatch — at the reference's
 headline config: batch 8, T=30, 32×32×1 audio+vision frames, default model
 dims (reference ``mopoe_mrssm/configs/default.yaml``). Per-step math/RNG is
 identical to the per-dispatch loop (tests/test_trainer.py equivalence
-test); removing the per-step host→device dispatch is worth ~2.2× at this
-latency-bound config. Prints ONE JSON line.
+test); the ~29 ms tunnel dispatch RTT amortizes as RTT/K — measured
+1.918 → 1.081 ms/step from K=32 → 256, knee at 256 (BASELINE.md K-sweep).
+K=256 is exactly the Trainer's "auto" cap, so this measures the shipped
+default, not a bench-only tune. Prints ONE JSON line.
 
 ``vs_baseline`` compares against the PyTorch reference's measured train-step
 throughput. The reference publishes no numbers (BASELINE.md), so the
@@ -39,13 +41,13 @@ TORCH_REFERENCE_SEQ_PER_S = 15.99
 V5E_PEAK_FLOPS = 197e12
 
 B, T = 8, 30
-K = 32  # optimizer steps per dispatch (Trainer steps_per_dispatch auto cap)
+K = 256  # optimizer steps per dispatch (Trainer steps_per_dispatch auto cap)
 # The axon backend does background work for ~1-2s after first execution,
 # and the chip tunnel's throughput fluctuates across MINUTES (slow phases
 # of 2-3x have been observed) — so: long warmup, many timing windows spread
 # over ~90 s, report the best window (the machine's steady-state capability
 # rather than transient tunnel congestion).
-WARMUP = 3  # scan calls (96 steps)
+WARMUP = 3  # scan calls (768 steps)
 WINDOWS = 12
 ITERS = 1  # scan calls per window (K steps each)
 WINDOW_GAP_S = 6.0

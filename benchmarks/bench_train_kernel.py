@@ -97,7 +97,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="8x30", help="comma list of BxT")
     ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
+    ap.add_argument("--k", type=int, default=None,
+                    help="steps per dispatch (default: module K=32; the "
+                         "BASELINE.md K-sweep was run by overriding this)")
     args = ap.parse_args()
+    if args.k:
+        global K
+        K = args.k
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()

@@ -139,10 +139,11 @@ class TrainerConfig:
     # lax.scan-ning the train step over a [K, B, ...] stack of batches.
     # Numerically IDENTICAL to the per-step loop (same batch order, same
     # per-step RNG fold), but removes K-1 of every K host→device dispatches;
-    # measured 2.2× train throughput at the reference config B=8 T=30 on
-    # one v5e (see BASELINE.md). Leftover/ragged batches run per-step.
+    # measured 2.2× train throughput at K=32 and a further 1.8× by K=256
+    # at the reference config B=8 T=30 on one v5e (see BASELINE.md
+    # K-sweep). Leftover/ragged batches run per-step.
     # Only active when accumulate_grad_batches == 1. "auto" sizes K from
-    # the batch bytes (≤256 MB per chunk, K ≤ 32, K ≤ full batches per
+    # the batch bytes (≤1 GB per chunk, K ≤ 256, K ≤ full batches per
     # epoch) — see Trainer._resolve_spd.
     steps_per_dispatch: int | str = "auto"
     # Failure detection (SURVEY §5.3 — the reference has none at runtime):
@@ -321,17 +322,18 @@ class Trainer:
 
     def _resolve_spd(self) -> int:
         """Steps per dispatch. "auto" sizes K so the stacked [K, B, ...]
-        chunk stays ≤256 MB (K up to 32 — measured monotone gains to K=32 at
-        B=8, BASELINE.md) and never exceeds the number of full train batches
-        per epoch (a chunk that can't fill would silently disable the scan
-        path)."""
+        chunk stays ≤1 GB (K up to 256 — the ~29 ms tunnel dispatch RTT
+        amortizes as RTT/K, measured 1.918→1.081 ms/step from K=32→256 at
+        B=8 with the knee at 256; BASELINE.md K-sweep table) and never
+        exceeds the number of full train batches per epoch (a chunk that
+        can't fill would silently disable the scan path)."""
         cfg = self.cfg
         if cfg.steps_per_dispatch != "auto":
             return max(1, int(cfg.steps_per_dispatch))
         bs = self.dm.train_batch_size
         n_full = self.dm.n_train // max(bs, 1)
-        by_mem = (256 << 20) // max(1, self.dm.batch_nbytes(bs))
-        return max(1, min(32, by_mem, n_full))
+        by_mem = (1 << 30) // max(1, self.dm.batch_nbytes(bs))
+        return max(1, min(256, by_mem, n_full))
 
     def _place_opt_state(self, opt_state):
         """Replicate, or shard the moment vectors over ICI when ZeRO-1 is on."""
