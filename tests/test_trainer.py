@@ -426,6 +426,24 @@ def test_auto_steps_per_dispatch_resolution(tmp_path):
     tr.cfg = dataclasses.replace(tr.cfg, steps_per_dispatch=7)
     assert tr._resolve_spd() == 7
 
+    # The other two bounds, via a stub datamodule (the real one would need
+    # thousands of episodes): the K=256 cap and the 1 GB chunk budget.
+    class _StubDM:
+        train_batch_size = 8
+
+        def __init__(self, n_train, nbytes):
+            self.n_train = n_train
+            self._nbytes = nbytes
+
+        def batch_nbytes(self, bs):
+            return self._nbytes
+
+    tr.cfg = dataclasses.replace(tr.cfg, steps_per_dispatch="auto")
+    tr.dm = _StubDM(n_train=8 * 10_000, nbytes=4 << 20)  # plenty of batches
+    assert tr._resolve_spd() == 256  # capped at 256 (BASELINE.md K-sweep knee)
+    tr.dm = _StubDM(n_train=8 * 10_000, nbytes=64 << 20)  # 64 MB batches
+    assert tr._resolve_spd() == 16  # 1 GB budget / 64 MB = 16 < 256
+
 
 def test_mid_epoch_preemption_resume_bit_exact(tmp_path):
     """SIGTERM mid-epoch → resume continues from the next batch with the
