@@ -99,28 +99,50 @@ def main() -> None:
     ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
     ap.add_argument("--k", type=int, default=None,
                     help="steps per dispatch (default: module K=32; the "
-                         "BASELINE.md K-sweep was run by overriding this)")
+                         "BASELINE.md K-sweep was run by overriding this). "
+                         "With --default-only and no --k, K follows the "
+                         "Trainer auto formula (1 GB chunk budget, cap 256).")
+    ap.add_argument("--conv-dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="conv stack dtype (bfloat16 = the shipped "
+                         "'16-mixed' analogue bench.py measures)")
+    ap.add_argument("--default-only", action="store_true",
+                    help="measure only the shipped default dispatch "
+                         "(use_pallas_train='auto') instead of the "
+                         "XLA-vs-kernel A/B — for batch-scaling sweeps")
     args = ap.parse_args()
+    global K
     if args.k:
-        global K
         K = args.k
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     results = []
-    make = (lambda up: MoPoEMRSSM(MRSSMConfig(use_pallas_train=up))) \
+    conv_dtype = jnp.bfloat16 if args.conv_dtype == "bfloat16" else None
+    make = (lambda up: MoPoEMRSSM(MRSSMConfig(use_pallas_train=up, conv_dtype=conv_dtype))) \
         if args.model == "mrssm" else \
-        (lambda up: MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train=up)))
+        (lambda up: MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train=up, conv_dtype=conv_dtype)))
     for shape in args.shapes.split(","):
         B, T = (int(v) for v in shape.split("x"))
-        ms_xla = measure(make(False), B, T)
-        ms_kernel = measure(make(True), B, T)
-        row = {
-            "model": args.model, "B": B, "T": T,
-            "ms_per_step_xla": round(ms_xla, 3),
-            "ms_per_step_kernel": round(ms_kernel, 3),
-            "speedup": round(ms_xla / ms_kernel, 3),
-        }
+        if args.default_only:
+            if args.k is None:
+                # Trainer._resolve_spd auto formula on this shape's batch bytes.
+                nbytes = 4 * B * T * (4 * 32 * 32 + 2 * 6)
+                K = max(1, min(256, (1 << 30) // nbytes))
+            ms = measure(make("auto"), B, T)
+            row = {"model": args.model, "B": B, "T": T, "K": K,
+                   "conv_dtype": args.conv_dtype,
+                   "ms_per_step": round(ms, 3),
+                   "seq_per_s": round(B / (ms / 1e3), 1)}
+        else:
+            ms_xla = measure(make(False), B, T)
+            ms_kernel = measure(make(True), B, T)
+            row = {
+                "model": args.model, "B": B, "T": T,
+                "ms_per_step_xla": round(ms_xla, 3),
+                "ms_per_step_kernel": round(ms_kernel, 3),
+                "speedup": round(ms_xla / ms_kernel, 3),
+            }
         results.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"metric": "train_kernel_ab", "results": results}))
