@@ -69,6 +69,19 @@ class DataModuleConfig:
     action_preprocess: Callable | None = None
     audio_preprocess: Callable | None = None
     vision_preprocess: Callable | None = None
+    # Device-resident dataset (TPU-native fast path): upload the normalized,
+    # T-sliced episode streams to device HBM once and assemble every
+    # [K,B,...] scan chunk ON DEVICE (gather + on-device input noise), so
+    # steady-state training moves one small int32 index array per chunk
+    # instead of ~1 GB of stacked batches over the host link. Host-side
+    # assembly caps e2e training at ~0.7-2k seq/s at the reference config
+    # (BASELINE.md e2e section) vs the ~7.4k seq/s device capability.
+    # Opt-in: the dataset must fit in HBM next to the model and one chunk.
+    # Noise parity is distributional, not bit-wise (jax RNG, not numpy).
+    # Unsupported (falls back to host streaming with a warning): memmapped
+    # pack mode, multi-device batch sharding, the accumulate_grad_batches
+    # per-step path.
+    device_resident: bool = False
 
 
 def effective_data_dir(cfg: "DataModuleConfig") -> Path:
@@ -106,6 +119,9 @@ class EpisodeDataModule:
         self._split: tuple[np.ndarray, np.ndarray] | None = None
         self._raw = False
         self._preprocess: dict | None = None
+        self._dev_data: dict | None = None  # device-resident streams (cached)
+        self._gather_fn = None  # jitted on-device chunk assembler (cached)
+        self._dev_warned = False
 
     # ---- preparation -------------------------------------------------------
     def setup(self) -> None:
@@ -328,6 +344,9 @@ class EpisodeDataModule:
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         groups = self._batched_indices(idx, bs)
+        if self._device_resident_active(stacked_device):
+            base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
+            return self._device_chunked_stream(groups, bs, k, base, skip)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device, skip)
 
     def val_batches_chunked(
@@ -335,12 +354,23 @@ class EpisodeDataModule:
     ) -> Iterator[tuple[str, Batch]]:
         """Validation counterpart of ``train_batches_chunked``: same batches
         as ``val_batches`` (identical noise draws and order), grouped into
-        [k, B, ...] stacks for the scan val step."""
+        [k, B, ...] stacks for the scan val step.
+
+        ``k`` is clamped to the number of FULL val batches: the val split is
+        typically far smaller than the train split that sized ``k``, and an
+        unclamped ``k`` would leave every val batch on the per-step path
+        (one ~30 ms tunnel round trip each) — the val epoch would then cost
+        more than the train epoch it follows."""
         self._require_setup()
         cfg = self.cfg
         bs = self.val_batch_size
         rng = np.random.default_rng((cfg.seed, 987654321))
         groups = self._batched_indices(self._split[1], bs)
+        n_full = sum(1 for g in groups if len(g) == bs)
+        k = max(1, min(k, n_full))
+        if self._device_resident_active(stacked_device):
+            base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 987654321)
+            return self._device_chunked_stream(groups, bs, k, base)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
 
     def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
@@ -370,6 +400,137 @@ class EpisodeDataModule:
                 yield (kind, _place_batch(b, stacked_device if kind == "scan" else device))
 
         return _prefetch_iter(place(gen()))
+
+    # ---- device-resident fast path -----------------------------------------
+    def _device_resident_active(self, sharding) -> bool:
+        """True when the device-resident chunk path should serve this stream."""
+        if not self.cfg.device_resident:
+            return False
+        reason = None
+        if self._raw:
+            reason = "memmapped pack mode keeps raw pages on disk"
+        elif sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
+            reason = "multi-device batch sharding streams per-host shards"
+        if reason is not None:
+            if not self._dev_warned:
+                import warnings
+
+                warnings.warn(
+                    f"device_resident dataset disabled ({reason}); "
+                    "falling back to host streaming", stacklevel=3)
+                self._dev_warned = True
+            return False
+        return True
+
+    def _device_dataset(self) -> dict:
+        """Upload the normalized, T-sliced streams once (cached jnp arrays)."""
+        if self._dev_data is None:
+            T = self.cfg.sequence_length
+            streams = {
+                "audio": ("action", "audio"),
+                "vision": ("action", "vision"),
+            }.get(self.cfg.modality, ("action", "audio", "vision"))
+            self._dev_data = {
+                s: jax.device_put(np.ascontiguousarray(self._arrays[s][:, :T]))
+                for s in streams
+            }
+        return self._dev_data
+
+    def _gather_jit(self):
+        """Jitted on-device chunk assembler: (data, idx, key, item) → batch.
+
+        ``idx`` is [k, B] (scan chunk) or [B] (single batch); the output
+        mirrors ``_make_batch``'s tuple contract exactly — inputs get
+        Gaussian noise (std = ``cfg.noise_std``) and ``drop_modality``
+        zero-out, targets stay clean. Noise keys fold (key, item, stream),
+        so every chunk item and stream draws an independent stream.
+        """
+        if self._gather_fn is not None:
+            return self._gather_fn
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        std = float(cfg.noise_std)
+        drop = cfg.drop_modality
+        modality = cfg.modality
+
+        def gather(data, idx, key, item):
+            key = jax.random.fold_in(key, item)
+
+            def g(name):
+                return jnp.take(data[name], idx, axis=0)
+
+            def noisy(x, s):
+                if std <= 0:
+                    return x
+                return x + std * jax.random.normal(
+                    jax.random.fold_in(key, s), x.shape, x.dtype)
+
+            a = g("action")
+            a_in = noisy(a, 0)
+            if modality == "audio":
+                au = g("audio")
+                au_in = jnp.full_like(au, -1.0) if drop == "audio" else noisy(au, 1)
+                return (a_in, au_in, a, au)
+            if modality == "vision":
+                vi = g("vision")
+                vi_in = jnp.full_like(vi, -1.0) if drop == "vision" else noisy(vi, 2)
+                return (a_in, vi_in, a, vi)
+            au = g("audio")
+            vi = g("vision")
+            au_in = jnp.full_like(au, -1.0) if drop == "audio" else noisy(au, 1)
+            vi_in = jnp.full_like(vi, -1.0) if drop == "vision" else noisy(vi, 2)
+            return (a_in, au_in, vi_in, a, au, vi)
+
+        self._gather_fn = jax.jit(gather)
+        return self._gather_fn
+
+    def _device_chunked_stream(self, groups, bs, k, base_key, skip: int = 0):
+        """Device-side counterpart of ``_chunked_stream``: same grouping and
+        yield order, but each item is assembled ON DEVICE by ``_gather_jit``
+        from the device-resident dataset — the host moves only the int32
+        index array. The noise-key schedule advances with the item counter
+        even across ``skip``, so mid-epoch resume draws identical noise."""
+        data = self._device_dataset()
+        gather = self._gather_jit()
+        import jax.numpy as jnp
+
+        def gen():
+            pending: list[np.ndarray] = []
+            item = 0
+
+            def emit(kind, idx_arr):
+                nonlocal item
+                out = None
+                if item >= skip:
+                    idx_dev = jnp.asarray(np.asarray(idx_arr, dtype=np.int32))
+                    out = (kind, gather(data, idx_dev, base_key, item))
+                item += 1
+                return out
+
+            for g in groups:
+                if len(g) == bs and k > 1:
+                    pending.append(g)
+                    if len(pending) == k:
+                        it = emit("scan", np.stack(pending))
+                        pending = []
+                        if it is not None:
+                            yield it
+                else:
+                    for pb in pending:
+                        it = emit("step", pb)
+                        if it is not None:
+                            yield it
+                    pending = []
+                    it = emit("step", g)
+                    if it is not None:
+                        yield it
+            for pb in pending:
+                it = emit("step", pb)
+                if it is not None:
+                    yield it
+
+        return gen()
 
     def val_batches(self, device=None) -> Iterator[Batch]:
         """Deterministic validation batches (noise still applied to inputs,

@@ -254,6 +254,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         seed=int(raw.get("seed_everything", 42)),
         drop_modality=dconf.get("drop_modality"),
         modality=dconf.get("modality", "multimodal"),
+        device_resident=bool(dconf.get("device_resident", False)),
     )
 
     viz = VizConfig(

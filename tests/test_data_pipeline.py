@@ -193,3 +193,100 @@ def test_synthetic_labeled_generator_non_divisible_length(tmp_path):
     assert npz
     with np.load(npz[0]) as z:
         assert z["label"].shape[0] == 25
+
+
+def test_val_chunked_clamps_k_to_full_batches(tmp_path):
+    """A train-sized k (e.g. 256) must not push every val batch onto the
+    per-step path: k is clamped to the val split's full-batch count so the
+    val epoch still runs as one scan chunk (+ ragged tail)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=23, episode_length=5)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    dm.setup()
+    # 23 episodes -> 18 train, 5 val -> 2 full val batches of 2 + tail of 1
+    items = list(dm.val_batches_chunked(256))
+    kinds = [kind for kind, _ in items]
+    assert kinds == ["scan", "step"]
+    scan_stack = items[0][1]
+    assert scan_stack[0].shape[:2] == (2, 2)  # [k=2 full batches, B=2, ...]
+    assert items[1][1][0].shape[0] == 1  # ragged tail batch
+    # Contents identical to the unchunked stream (same noise draws/order).
+    unchunked = list(dm.val_batches())
+    for j in range(2):
+        for s in range(len(scan_stack)):
+            np.testing.assert_array_equal(np.asarray(scan_stack[s][j]),
+                                          np.asarray(unchunked[j][s]))
+    for s in range(len(scan_stack)):
+        np.testing.assert_array_equal(np.asarray(items[1][1][s]),
+                                      np.asarray(unchunked[2][s]))
+
+
+def test_device_resident_stream_matches_host_stream(tmp_path):
+    """device_resident=True assembles chunks on device; with noise off the
+    items must be BIT-equal to the host-assembled stream (same permutation,
+    same grouping, same values)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+    mk = lambda dev: EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.0,
+        device_resident=dev))
+    for stream in ("train", "val"):
+        host_dm, dev_dm = mk(False), mk(True)
+        if stream == "train":
+            host = list(host_dm.train_batches_chunked(0, 3))
+            dev = list(dev_dm.train_batches_chunked(0, 3))
+        else:
+            host = list(host_dm.val_batches_chunked(3))
+            dev = list(dev_dm.val_batches_chunked(3))
+        assert [k for k, _ in host] == [k for k, _ in dev]
+        for (_, hb), (_, db) in zip(host, dev):
+            for hx, dx in zip(hb, db):
+                np.testing.assert_array_equal(np.asarray(hx), np.asarray(dx))
+
+
+def test_device_resident_noise_and_drop_semantics(tmp_path):
+    """On-device noise hits inputs only; drop_modality zeroes the input to
+    -1; the val stream is deterministic across iterations (fixed key)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=8, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.1,
+        device_resident=True, drop_modality="audio"))
+    kind, b = next(iter(dm.train_batches_chunked(0, 2)))
+    assert kind == "scan"
+    a_in, au_in, vi_in, a, au, vi = (np.asarray(x) for x in b)
+    assert (au_in == -1.0).all()  # dropped input
+    assert not (au == -1.0).all()  # target untouched
+    assert not np.array_equal(vi_in, vi)  # noised input
+    assert np.abs(vi_in - vi).mean() < 0.5  # ...but only by the 0.1 std
+    assert not np.array_equal(a_in, a)
+    # Epochs draw different noise; val draws are fixed across iterations.
+    _, b2 = next(iter(dm.train_batches_chunked(1, 2)))
+    assert not np.array_equal(np.asarray(b2[2]), vi_in)
+    dm2 = EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.1,
+        device_resident=True))
+    v1 = [np.asarray(x) for _, bb in dm2.val_batches_chunked(4) for x in bb]
+    v2 = [np.asarray(x) for _, bb in dm2.val_batches_chunked(4) for x in bb]
+    for x, y in zip(v1, v2):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_device_resident_pack_mode_falls_back(tmp_path):
+    """Pack (memmap) mode cannot be device-resident: warn once, stream host."""
+    import warnings as _w
+
+    from multimodal_mtrssm_tpu.data.pack import pack_episodes
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=6, episode_length=6)
+    pack_episodes(data_dir, data_dir / "pack")
+    dm = EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, device_resident=True))
+    dm.setup()
+    assert dm._raw
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        items = list(dm.train_batches_chunked(0, 2))
+    assert any("device_resident" in str(r.message) for r in rec)
+    assert items and dm._dev_data is None  # served from host, nothing uploaded

@@ -531,3 +531,25 @@ def test_fit_resume_from_warm_start(tmp_path):
         Trainer(small_model(), dm(), TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "runE"))).fit(
             resume_from=tmp_path / "nope"
         )
+
+
+def test_device_resident_fit_matches_host_stream(tmp_path):
+    """Training from the device-resident dataset (on-device gather chunks)
+    is bit-identical to the host-streamed fit when host noise is off (same
+    permutation, same values, same per-step RNG)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+
+    def run(dev: bool):
+        dm = EpisodeDataModule(DataModuleConfig(
+            data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.0,
+            device_resident=dev))
+        cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / f"r{dev}"),
+                            learning_rate=3e-4, steps_per_dispatch=2)
+        return Trainer(small_model(), dm, cfg).fit()["history"]
+
+    host, dev = run(False), run(True)
+    assert len(host) == len(dev) == 2
+    for h, d in zip(host, dev):
+        for key in ("train/loss", "val/loss"):
+            assert h[key] == d[key], (key, h[key], d[key])
