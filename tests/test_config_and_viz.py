@@ -34,6 +34,7 @@ def test_load_our_mrssm_config():
     # GaussianNoise moves on-device: model applies it, pipeline serves clean.
     assert exp.model.cfg.input_noise_std == 0.1
     assert exp.data.noise_std == 0.0
+    assert exp.data.device_resident is False  # opt-in via data.device_resident
 
 
 def test_load_our_mmtrssm_config():
