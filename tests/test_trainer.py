@@ -553,3 +553,49 @@ def test_device_resident_fit_matches_host_stream(tmp_path):
     for h, d in zip(host, dev):
         for key in ("train/loss", "val/loss"):
             assert h[key] == d[key], (key, h[key], d[key])
+
+
+def test_mid_epoch_preemption_resume_device_resident(tmp_path):
+    """Mid-epoch preemption + resume under device-resident chunks WITH
+    on-device noise: the noise-key schedule advances with the item counter
+    across the resume skip, so final params are bit-identical to an
+    uninterrupted run."""
+    import os
+    import signal
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=13, episode_length=6)
+
+    def make(log_dir):
+        dm = EpisodeDataModule(DataModuleConfig(
+            data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.1,
+            device_resident=True))
+        cfg = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / log_dir),
+                            learning_rate=3e-4, steps_per_dispatch=2,
+                            checkpoint_every_n_epochs=1)
+        return Trainer(small_model(), dm, cfg)
+
+    out_ref = make("ref").fit()
+
+    # Interrupt after the first scan chunk (10 train eps -> scan, scan, step).
+    tr_int = make("int")
+    real_scan = tr_int._train_scan
+
+    def scanner(*a):
+        os.kill(os.getpid(), signal.SIGTERM)
+        return real_scan(*a)
+
+    tr_int._train_scan = scanner
+    out_int = tr_int.fit()
+    assert out_int["history"] == []
+    _, aux = tr_int.ckpt.restore("last", {"params": out_int["params"],
+                                          "opt_state": out_int["opt_state"]})
+    assert aux["mid_epoch"] and aux["items_done"] == 1
+
+    tr_res = make("int")
+    out_res = tr_res.fit(resume=True)
+    assert [r["epoch"] for r in out_res["history"]] == [0]
+    for a, b in zip(jax.tree.leaves(out_ref["params"]), jax.tree.leaves(out_res["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(out_res["history"][0]["train/loss"],
+                               out_ref["history"][0]["train/loss"], rtol=1e-6)
