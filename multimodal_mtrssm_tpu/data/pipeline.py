@@ -78,9 +78,10 @@ class DataModuleConfig:
     # (BASELINE.md e2e section) vs the ~7.4k seq/s device capability.
     # Opt-in: the dataset must fit in HBM next to the model and one chunk.
     # Noise parity is distributional, not bit-wise (jax RNG, not numpy).
-    # Unsupported (falls back to host streaming with a warning): memmapped
-    # pack mode, multi-device batch sharding, the accumulate_grad_batches
-    # per-step path.
+    # Multi-device meshes replicate the dataset and pin chunks to the batch
+    # sharding (single process). Unsupported (falls back to host streaming
+    # with a warning): memmapped pack mode and multi-host runs; the
+    # accumulate_grad_batches per-step path stays host-streamed.
     device_resident: bool = False
 
 
@@ -120,7 +121,7 @@ class EpisodeDataModule:
         self._raw = False
         self._preprocess: dict | None = None
         self._dev_data: dict | None = None  # device-resident streams (cached)
-        self._gather_fn = None  # jitted on-device chunk assembler (cached)
+        self._gather_fns: dict = {}  # jitted chunk assemblers, per out-sharding
         self._dev_warned = False
 
     # ---- preparation -------------------------------------------------------
@@ -346,7 +347,9 @@ class EpisodeDataModule:
         groups = self._batched_indices(idx, bs)
         if self._device_resident_active(stacked_device):
             base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
-            return self._device_chunked_stream(groups, bs, k, base, skip)
+            return self._device_chunked_stream(groups, bs, k, base, skip,
+                                               scan_sharding=stacked_device,
+                                               step_sharding=device)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device, skip)
 
     def val_batches_chunked(
@@ -370,7 +373,9 @@ class EpisodeDataModule:
         k = max(1, min(k, n_full))
         if self._device_resident_active(stacked_device):
             base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 987654321)
-            return self._device_chunked_stream(groups, bs, k, base)
+            return self._device_chunked_stream(groups, bs, k, base,
+                                               scan_sharding=stacked_device,
+                                               step_sharding=device)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
 
     def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
@@ -409,8 +414,8 @@ class EpisodeDataModule:
         reason = None
         if self._raw:
             reason = "memmapped pack mode keeps raw pages on disk"
-        elif sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
-            reason = "multi-device batch sharding streams per-host shards"
+        elif jax.process_count() > 1:
+            reason = "multi-host runs stream per-host shards"
         if reason is not None:
             if not self._dev_warned:
                 import warnings
@@ -422,21 +427,33 @@ class EpisodeDataModule:
             return False
         return True
 
-    def _device_dataset(self) -> dict:
-        """Upload the normalized, T-sliced streams once (cached jnp arrays)."""
+    def _device_dataset(self, sharding=None) -> dict:
+        """Upload the normalized, T-sliced streams once (cached jnp arrays).
+
+        On a multi-device batch sharding the dataset is placed fully
+        REPLICATED over the sharding's mesh (the standard replicated-data /
+        sharded-batch DP input recipe) so each device gathers its own batch
+        rows locally."""
         if self._dev_data is None:
             T = self.cfg.sequence_length
             streams = {
                 "audio": ("action", "audio"),
                 "vision": ("action", "vision"),
             }.get(self.cfg.modality, ("action", "audio", "vision"))
+            if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
+                from multimodal_mtrssm_tpu.parallel.mesh import replicated
+
+                rep = replicated(sharding.mesh)
+                place = lambda a: jax.device_put(a, rep)  # noqa: E731
+            else:
+                place = jax.device_put
             self._dev_data = {
-                s: jax.device_put(np.ascontiguousarray(self._arrays[s][:, :T]))
+                s: place(np.ascontiguousarray(self._arrays[s][:, :T]))
                 for s in streams
             }
         return self._dev_data
 
-    def _gather_jit(self):
+    def _gather_jit(self, out_sharding=None):
         """Jitted on-device chunk assembler: (data, idx, key, item) → batch.
 
         ``idx`` is [k, B] (scan chunk) or [B] (single batch); the output
@@ -444,9 +461,11 @@ class EpisodeDataModule:
         Gaussian noise (std = ``cfg.noise_std``) and ``drop_modality``
         zero-out, targets stay clean. Noise keys fold (key, item, stream),
         so every chunk item and stream draws an independent stream.
+        ``out_sharding`` (optional NamedSharding) pins the output batch
+        placement on a mesh; the compiled fn is cached per sharding.
         """
-        if self._gather_fn is not None:
-            return self._gather_fn
+        if out_sharding in self._gather_fns:
+            return self._gather_fns[out_sharding]
         import jax.numpy as jnp
 
         cfg = self.cfg
@@ -482,18 +501,30 @@ class EpisodeDataModule:
             vi_in = jnp.full_like(vi, -1.0) if drop == "vision" else noisy(vi, 2)
             return (a_in, au_in, vi_in, a, au, vi)
 
-        self._gather_fn = jax.jit(gather)
-        return self._gather_fn
+        fn = (jax.jit(gather) if out_sharding is None
+              else jax.jit(gather, out_shardings=out_sharding))
+        self._gather_fns[out_sharding] = fn
+        return fn
 
-    def _device_chunked_stream(self, groups, bs, k, base_key, skip: int = 0):
+    def _device_chunked_stream(self, groups, bs, k, base_key, skip: int = 0,
+                               scan_sharding=None, step_sharding=None):
         """Device-side counterpart of ``_chunked_stream``: same grouping and
         yield order, but each item is assembled ON DEVICE by ``_gather_jit``
         from the device-resident dataset — the host moves only the int32
         index array. The noise-key schedule advances with the item counter
-        even across ``skip``, so mid-epoch resume draws identical noise."""
-        data = self._device_dataset()
-        gather = self._gather_jit()
+        even across ``skip``, so mid-epoch resume draws identical noise.
+        On a multi-device mesh the dataset is replicated and chunk outputs
+        are pinned to the batch sharding (a ragged item whose rows don't
+        divide the mesh goes out unsharded and jit reshards, mirroring
+        ``_place_batch``)."""
+        data = self._device_dataset(step_sharding or scan_sharding)
         import jax.numpy as jnp
+
+        def shard_for(kind, n_rows):
+            sh = scan_sharding if kind == "scan" else step_sharding
+            if sh is not None and n_rows % max(1, len(sh.device_set)):
+                return None
+            return sh
 
         def gen():
             pending: list[np.ndarray] = []
@@ -503,8 +534,9 @@ class EpisodeDataModule:
                 nonlocal item
                 out = None
                 if item >= skip:
-                    idx_dev = jnp.asarray(np.asarray(idx_arr, dtype=np.int32))
-                    out = (kind, gather(data, idx_dev, base_key, item))
+                    idx_np = np.asarray(idx_arr, dtype=np.int32)
+                    gather = self._gather_jit(shard_for(kind, idx_np.shape[-1]))
+                    out = (kind, gather(data, jnp.asarray(idx_np), base_key, item))
                 item += 1
                 return out
 

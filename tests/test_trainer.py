@@ -599,3 +599,26 @@ def test_mid_epoch_preemption_resume_device_resident(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(out_res["history"][0]["train/loss"],
                                out_ref["history"][0]["train/loss"], rtol=1e-6)
+
+
+def test_device_resident_fit_matches_host_on_mesh(tmp_path):
+    """On a multi-device mesh the device-resident dataset replicates and
+    chunks come out batch-sharded: the fit is bit-identical to the
+    host-streamed sharded fit (noise off)."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=21, episode_length=6)
+
+    def run(dev: bool):
+        dm = EpisodeDataModule(DataModuleConfig(
+            data_dir=data_dir, batch_size=4, sequence_length=3, noise_std=0.0,
+            device_resident=dev))
+        cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / f"m{dev}"),
+                            learning_rate=3e-4, steps_per_dispatch=2)
+        tr = Trainer(small_model(), dm, cfg)
+        assert tr.mesh.devices.size > 1  # conftest provides 8 virtual devices
+        return tr.fit()["history"]
+
+    host, dev = run(False), run(True)
+    for h, d in zip(host, dev):
+        for key in ("train/loss", "val/loss"):
+            assert h[key] == d[key], (key, h[key], d[key])
