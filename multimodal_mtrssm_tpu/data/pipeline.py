@@ -80,9 +80,13 @@ class DataModuleConfig:
     # Noise parity is distributional, not bit-wise (jax RNG, not numpy).
     # Multi-device meshes replicate the dataset and pin chunks to the batch
     # sharding (single process). Unsupported (falls back to host streaming
-    # with a warning): memmapped pack mode and multi-host runs; the
-    # accumulate_grad_batches per-step path stays host-streamed.
+    # with a warning): memmapped pack mode, multi-host runs, and datasets
+    # over device_resident_max_bytes; the accumulate_grad_batches per-step
+    # path stays host-streamed.
     device_resident: bool = False
+    # HBM budget for the resident streams (default 8 GB — leaves room for
+    # the model, one [K,B,...] chunk and XLA scratch on a 16 GB v5e).
+    device_resident_max_bytes: int = 8 << 30
 
 
 def effective_data_dir(cfg: "DataModuleConfig") -> Path:
@@ -416,6 +420,13 @@ class EpisodeDataModule:
             reason = "memmapped pack mode keeps raw pages on disk"
         elif jax.process_count() > 1:
             reason = "multi-host runs stream per-host shards"
+        else:
+            T = self.cfg.sequence_length
+            nbytes = sum(a[:, :T].nbytes for a in self._arrays.values())
+            if nbytes > self.cfg.device_resident_max_bytes:
+                reason = (f"dataset needs {nbytes >> 20} MB resident, over the "
+                          f"{self.cfg.device_resident_max_bytes >> 20} MB budget "
+                          "(device_resident_max_bytes)")
         if reason is not None:
             if not self._dev_warned:
                 import warnings

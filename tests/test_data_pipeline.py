@@ -290,3 +290,20 @@ def test_device_resident_pack_mode_falls_back(tmp_path):
         items = list(dm.train_batches_chunked(0, 2))
     assert any("device_resident" in str(r.message) for r in rec)
     assert items and dm._dev_data is None  # served from host, nothing uploaded
+
+
+def test_device_resident_hbm_budget_falls_back(tmp_path):
+    """Datasets over device_resident_max_bytes warn and stream from host
+    instead of OOMing the device."""
+    import warnings as _w
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=6, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3,
+        device_resident=True, device_resident_max_bytes=1024))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        items = list(dm.train_batches_chunked(0, 2))
+    assert any("budget" in str(r.message) for r in rec)
+    assert items and dm._dev_data is None
