@@ -56,11 +56,19 @@ def main() -> None:
     enable_compilation_cache()
     wd = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="bench_e2e_"))
     data_dir = wd / "data"
+    marker = wd / "dataset.json"
+    spec = {"episodes": args.episodes, "seq_len": args.seq_len}
     if not data_dir.exists():
         print(f"# generating {args.episodes} episodes of T={args.seq_len} under {data_dir}",
               flush=True)
         generate_synthetic_audio_mnist(data_dir, n_episodes=args.episodes,
                                        episode_length=args.seq_len)
+        marker.write_text(json.dumps(spec))
+    elif not marker.exists() or json.loads(marker.read_text()) != spec:
+        raise SystemExit(
+            f"{data_dir} holds a different dataset than requested "
+            f"({marker.read_text() if marker.exists() else 'no marker'} vs {spec}); "
+            "pick a fresh --workdir or delete it")
     dm = EpisodeDataModule(DataModuleConfig(
         data_dir=data_dir, batch_size=args.batch_size, sequence_length=args.seq_len,
         device_resident=args.device_resident))

@@ -126,9 +126,16 @@ def main() -> None:
         B, T = (int(v) for v in shape.split("x"))
         if args.default_only:
             if args.k is None:
-                # Trainer._resolve_spd auto formula on this shape's batch bytes.
+                # Trainer._resolve_spd auto formula (shared constants) on this
+                # shape's batch bytes (== EpisodeDataModule.batch_nbytes: four
+                # 32×32×1 image streams + two 6-dim action streams, f32).
+                from multimodal_mtrssm_tpu.train.trainer import (
+                    SPD_CHUNK_BUDGET_BYTES,
+                    SPD_MAX_STEPS,
+                )
+
                 nbytes = 4 * B * T * (4 * 32 * 32 + 2 * 6)
-                K = max(1, min(256, (1 << 30) // nbytes))
+                K = max(1, min(SPD_MAX_STEPS, SPD_CHUNK_BUDGET_BYTES // nbytes))
             ms = measure(make("auto"), B, T)
             row = {"model": args.model, "B": B, "T": T, "K": K,
                    "conv_dtype": args.conv_dtype,

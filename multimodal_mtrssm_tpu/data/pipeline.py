@@ -125,6 +125,7 @@ class EpisodeDataModule:
         self._raw = False
         self._preprocess: dict | None = None
         self._dev_data: dict | None = None  # device-resident streams (cached)
+        self._dev_data_key: object = None  # placement the cache was made for
         self._gather_fns: dict = {}  # jitted chunk assemblers, per out-sharding
         self._dev_warned = False
 
@@ -213,17 +214,22 @@ class EpisodeDataModule:
     def val_batch_size(self) -> int:
         return max(1, min(self.cfg.batch_size, self.n_val)) if self.n_val else 0
 
+    def _streams(self) -> tuple[str, ...]:
+        """The streams the configured modality serves — the single source of
+        truth for batch assembly, sizing, the HBM budget guard, and the
+        device-resident upload."""
+        return {
+            "audio": ("action", "audio"),
+            "vision": ("action", "vision"),
+        }.get(self.cfg.modality, ("action", "audio", "vision"))
+
     def batch_nbytes(self, bs: int) -> int:
         """Approximate f32 bytes of one assembled batch (inputs + targets) —
         the sizing input for the auto steps-per-dispatch heuristic. Counts
         only the streams the configured modality actually serves."""
         self._require_setup()
         T = self.cfg.sequence_length
-        streams = {
-            "audio": ("action", "audio"),
-            "vision": ("action", "vision"),
-        }.get(self.cfg.modality, ("action", "audio", "vision"))
-        per_frame = sum(int(np.prod(self._arrays[s].shape[2:])) for s in streams)
+        per_frame = sum(int(np.prod(self._arrays[s].shape[2:])) for s in self._streams())
         return 2 * bs * T * per_frame * 4
 
     # ---- batch assembly ------------------------------------------------------
@@ -237,10 +243,7 @@ class EpisodeDataModule:
         # Only assemble the streams the configured modality serves — a
         # unimodal run must not pay the gather/normalize/noise cost (and,
         # in pack mode, the disk pages) of the dropped stream.
-        streams = {
-            "audio": ("action", "audio"),
-            "vision": ("action", "vision"),
-        }.get(cfg.modality, ("action", "audio", "vision"))
+        streams = self._streams()
         stream_k = {"action": 0, "audio": 1, "vision": 2}
         outs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if self._raw:
@@ -349,7 +352,7 @@ class EpisodeDataModule:
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         groups = self._batched_indices(idx, bs)
-        if self._device_resident_active(stacked_device):
+        if self._device_resident_active():
             base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             return self._device_chunked_stream(groups, bs, k, base, skip,
                                                scan_sharding=stacked_device,
@@ -375,32 +378,46 @@ class EpisodeDataModule:
         groups = self._batched_indices(self._split[1], bs)
         n_full = sum(1 for g in groups if len(g) == bs)
         k = max(1, min(k, n_full))
-        if self._device_resident_active(stacked_device):
+        if self._device_resident_active():
             base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 987654321)
             return self._device_chunked_stream(groups, bs, k, base,
                                                scan_sharding=stacked_device,
                                                step_sharding=device)
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device)
 
+    @staticmethod
+    def _grouped_indices(groups, bs, k):
+        """Group index batches for the chunked streams: full batches
+        accumulate into ``("scan", [k, B] index matrix)`` items; a ragged
+        batch flushes the buffer as ``("step", [B'] indices)`` items first so
+        the step ORDER matches the unchunked stream exactly. Shared by the
+        host and device chunk streams — their item order (and therefore the
+        mid-epoch-resume skip counting) cannot diverge."""
+        pending: list[np.ndarray] = []
+        for g in groups:
+            if len(g) == bs and k > 1:
+                pending.append(g)
+                if len(pending) == k:
+                    yield ("scan", np.stack(pending))
+                    pending = []
+            else:
+                for pb in pending:
+                    yield ("step", pb)
+                pending = []
+                yield ("step", g)
+        for pb in pending:
+            yield ("step", pb)
+
     def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
         def gen():
-            pending: list[Batch] = []
-            for g in groups:
-                b = self._make_batch(g, rng)
-                if len(g) == bs and k > 1:
-                    pending.append(b)
-                    if len(pending) == k:
-                        yield ("scan", tuple(np.stack(xs) for xs in zip(*pending)))
-                        pending = []
+            for kind, idx in self._grouped_indices(groups, bs, k):
+                if kind == "scan":
+                    # Per-batch assembly in group order keeps the noise-RNG
+                    # draw sequence identical to the unchunked stream.
+                    batches = [self._make_batch(g, rng) for g in idx]
+                    yield ("scan", tuple(np.stack(xs) for xs in zip(*batches)))
                 else:
-                    # Ragged tail: flush buffered full batches first so the
-                    # step ORDER matches the unchunked stream exactly.
-                    for pb in pending:
-                        yield ("step", pb)
-                    pending = []
-                    yield ("step", b)
-            for pb in pending:
-                yield ("step", pb)
+                    yield ("step", self._make_batch(idx, rng))
 
         def place(items):
             for i, (kind, b) in enumerate(items):
@@ -411,7 +428,7 @@ class EpisodeDataModule:
         return _prefetch_iter(place(gen()))
 
     # ---- device-resident fast path -----------------------------------------
-    def _device_resident_active(self, sharding) -> bool:
+    def _device_resident_active(self) -> bool:
         """True when the device-resident chunk path should serve this stream."""
         if not self.cfg.device_resident:
             return False
@@ -422,7 +439,7 @@ class EpisodeDataModule:
             reason = "multi-host runs stream per-host shards"
         else:
             T = self.cfg.sequence_length
-            nbytes = sum(a[:, :T].nbytes for a in self._arrays.values())
+            nbytes = sum(self._arrays[s][:, :T].nbytes for s in self._streams())
             if nbytes > self.cfg.device_resident_max_bytes:
                 reason = (f"dataset needs {nbytes >> 20} MB resident, over the "
                           f"{self.cfg.device_resident_max_bytes >> 20} MB budget "
@@ -444,24 +461,25 @@ class EpisodeDataModule:
         On a multi-device batch sharding the dataset is placed fully
         REPLICATED over the sharding's mesh (the standard replicated-data /
         sharded-batch DP input recipe) so each device gathers its own batch
-        rows locally."""
-        if self._dev_data is None:
-            T = self.cfg.sequence_length
-            streams = {
-                "audio": ("action", "audio"),
-                "vision": ("action", "vision"),
-            }.get(self.cfg.modality, ("action", "audio", "vision"))
-            if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
-                from multimodal_mtrssm_tpu.parallel.mesh import replicated
+        rows locally. The cache is keyed on the placement: a stream later
+        served with a different mesh re-uploads instead of handing the jits
+        wrongly-placed data."""
+        if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
+            from multimodal_mtrssm_tpu.parallel.mesh import replicated
 
-                rep = replicated(sharding.mesh)
-                place = lambda a: jax.device_put(a, rep)  # noqa: E731
-            else:
-                place = jax.device_put
+            rep = replicated(sharding.mesh)
+            place_key: object = rep
+            place = lambda a: jax.device_put(a, rep)  # noqa: E731
+        else:
+            place_key = None
+            place = jax.device_put
+        if self._dev_data is None or self._dev_data_key != place_key:
+            T = self.cfg.sequence_length
             self._dev_data = {
                 s: place(np.ascontiguousarray(self._arrays[s][:, :T]))
-                for s in streams
+                for s in self._streams()
             }
+            self._dev_data_key = place_key
         return self._dev_data
 
     def _gather_jit(self, out_sharding=None):
@@ -534,44 +552,16 @@ class EpisodeDataModule:
         def shard_for(kind, n_rows):
             sh = scan_sharding if kind == "scan" else step_sharding
             if sh is not None and n_rows % max(1, len(sh.device_set)):
-                return None
+                return None  # ragged item: go out unsharded, jit reshards
             return sh
 
         def gen():
-            pending: list[np.ndarray] = []
-            item = 0
-
-            def emit(kind, idx_arr):
-                nonlocal item
-                out = None
-                if item >= skip:
-                    idx_np = np.asarray(idx_arr, dtype=np.int32)
-                    gather = self._gather_jit(shard_for(kind, idx_np.shape[-1]))
-                    out = (kind, gather(data, jnp.asarray(idx_np), base_key, item))
-                item += 1
-                return out
-
-            for g in groups:
-                if len(g) == bs and k > 1:
-                    pending.append(g)
-                    if len(pending) == k:
-                        it = emit("scan", np.stack(pending))
-                        pending = []
-                        if it is not None:
-                            yield it
-                else:
-                    for pb in pending:
-                        it = emit("step", pb)
-                        if it is not None:
-                            yield it
-                    pending = []
-                    it = emit("step", g)
-                    if it is not None:
-                        yield it
-            for pb in pending:
-                it = emit("step", pb)
-                if it is not None:
-                    yield it
+            for item, (kind, idx) in enumerate(self._grouped_indices(groups, bs, k)):
+                if item < skip:  # noise-key schedule still advances with item
+                    continue
+                idx_np = np.asarray(idx, dtype=np.int32)
+                gather = self._gather_jit(shard_for(kind, idx_np.shape[-1]))
+                yield (kind, gather(data, jnp.asarray(idx_np), base_key, item))
 
         return gen()
 

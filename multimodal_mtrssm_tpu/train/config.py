@@ -255,6 +255,7 @@ def load_experiment(path: str | Path, overrides: dict | None = None) -> Experime
         drop_modality=dconf.get("drop_modality"),
         modality=dconf.get("modality", "multimodal"),
         device_resident=bool(dconf.get("device_resident", False)),
+        device_resident_max_bytes=int(dconf.get("device_resident_max_bytes", 8 << 30)),
     )
 
     viz = VizConfig(

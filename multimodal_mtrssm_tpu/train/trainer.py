@@ -91,6 +91,13 @@ class _PreemptionGuard:
         return False
 
 
+# Auto steps-per-dispatch sizing (BASELINE.md K-sweep: knee at K=256, device
+# floor ~0.97 ms/step). Shared with benchmarks that reproduce the shipped
+# default (benchmarks/bench_train_kernel.py --default-only).
+SPD_CHUNK_BUDGET_BYTES = 1 << 30
+SPD_MAX_STEPS = 256
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Trainer hyperparameters (reference trainer:/optimizer: YAML blocks)."""
@@ -332,8 +339,8 @@ class Trainer:
             return max(1, int(cfg.steps_per_dispatch))
         bs = self.dm.train_batch_size
         n_full = self.dm.n_train // max(bs, 1)
-        by_mem = (1 << 30) // max(1, self.dm.batch_nbytes(bs))
-        return max(1, min(256, by_mem, n_full))
+        by_mem = SPD_CHUNK_BUDGET_BYTES // max(1, self.dm.batch_nbytes(bs))
+        return max(1, min(SPD_MAX_STEPS, by_mem, n_full))
 
     def _place_opt_state(self, opt_state):
         """Replicate, or shard the moment vectors over ICI when ZeRO-1 is on."""

@@ -606,17 +606,25 @@ def test_device_resident_fit_matches_host_on_mesh(tmp_path):
     chunks come out batch-sharded: the fit is bit-identical to the
     host-streamed sharded fit (noise off)."""
     data_dir = tmp_path / "data"
-    generate_synthetic_audio_mnist(data_dir, n_episodes=21, episode_length=6)
+    # 40 episodes → train 32 / val 8: both batch sizes divide the 8-device
+    # mesh, so the trainer keeps every virtual device.
+    generate_synthetic_audio_mnist(data_dir, n_episodes=40, episode_length=6)
 
     def run(dev: bool):
         dm = EpisodeDataModule(DataModuleConfig(
-            data_dir=data_dir, batch_size=4, sequence_length=3, noise_std=0.0,
+            data_dir=data_dir, batch_size=8, sequence_length=3, noise_std=0.0,
             device_resident=dev))
         cfg = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / f"m{dev}"),
                             learning_rate=3e-4, steps_per_dispatch=2)
         tr = Trainer(small_model(), dm, cfg)
         assert tr.mesh.devices.size > 1  # conftest provides 8 virtual devices
-        return tr.fit()["history"]
+        hist = tr.fit()["history"]
+        if dev:
+            # The SHARDED gather branch must have compiled (B=8 divides the
+            # mesh): at least one assembler was jitted with out_shardings.
+            assert any(sh is not None for sh in dm._gather_fns)
+            assert dm._dev_data_key is not None  # replicated placement cached
+        return hist
 
     host, dev = run(False), run(True)
     for h, d in zip(host, dev):
