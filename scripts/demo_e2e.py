@@ -69,6 +69,11 @@ def run_once(args, work: Path, seed: int) -> dict:
     exp.trainer.seed = seed
     exp.trainer.log_dir = str(work / "run")
     exp.data.data_dir = train_dir
+    # Device-resident dataset: the YAML demo configs serve noise-free host
+    # batches (noise is on-device via input_noise_std), so this path is
+    # BIT-equal to host streaming (tests/test_trainer.py equivalence) while
+    # skipping the host chunk-assembly cost every epoch.
+    exp.data.device_resident = not args.no_device_resident
     # Short demo runs: skip the fused training kernel (minutes of Mosaic
     # compile for a ~0.2 ms/step win — net loss at this scale).
     import dataclasses
@@ -142,6 +147,9 @@ def main() -> None:
                     help="first seed; the pipeline is deterministic per seed, so "
                     "extending an earlier sweep only needs the new seeds")
     ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
+    ap.add_argument("--no-device-resident", action="store_true",
+                    help="stream batches from host instead of the "
+                         "HBM-resident dataset (bit-equal, slower epochs)")
     args = ap.parse_args()
 
     import numpy as np
