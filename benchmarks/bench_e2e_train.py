@@ -34,7 +34,12 @@ from multimodal_mtrssm_tpu.data import (  # noqa: E402
     EpisodeDataModule,
     generate_synthetic_audio_mnist,
 )
-from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig  # noqa: E402
+from multimodal_mtrssm_tpu.models import (  # noqa: E402
+    MMTRSSMConfig,
+    MoPoEMMTRSSM,
+    MoPoEMRSSM,
+    MRSSMConfig,
+)
 from multimodal_mtrssm_tpu.train import Trainer, TrainerConfig  # noqa: E402
 
 
@@ -46,6 +51,7 @@ def main() -> None:
     ap.add_argument("--seq-len", type=int, default=30)
     ap.add_argument("--conv-dtype", choices=("float32", "bfloat16"),
                     default="bfloat16", help="bfloat16 = the bench.py headline config")
+    ap.add_argument("--model", choices=("mrssm", "mmtrssm"), default="mrssm")
     ap.add_argument("--device-resident", action="store_true",
                     help="hold the dataset in HBM and assemble chunks on "
                          "device (DataModuleConfig.device_resident)")
@@ -73,7 +79,9 @@ def main() -> None:
         data_dir=data_dir, batch_size=args.batch_size, sequence_length=args.seq_len,
         device_resident=args.device_resident))
     conv_dtype = jnp.bfloat16 if args.conv_dtype == "bfloat16" else None
-    model = MoPoEMRSSM(MRSSMConfig(conv_dtype=conv_dtype))
+    model = (MoPoEMRSSM(MRSSMConfig(conv_dtype=conv_dtype))
+             if args.model == "mrssm"
+             else MoPoEMMTRSSM(MMTRSSMConfig(conv_dtype=conv_dtype)))
     tr = Trainer(model, dm, TrainerConfig(
         max_epochs=args.epochs, log_dir=str(wd / "run"),
         checkpoint_every_n_epochs=10_000))
@@ -87,7 +95,8 @@ def main() -> None:
     steady = max(rates[1:]) if len(rates) > 1 else rates[0]
     print(json.dumps({
         "metric": "e2e_train_seq_per_s", "value": round(steady, 1),
-        "unit": "seq/s", "spd": spd, "conv_dtype": args.conv_dtype,
+        "unit": "seq/s", "model": args.model,
+        "spd": spd, "conv_dtype": args.conv_dtype,
         "device_resident": args.device_resident,
         "B": args.batch_size, "T": args.seq_len,
         "epoch_rates": [round(r, 1) for r in rates],
