@@ -630,3 +630,28 @@ def test_device_resident_fit_matches_host_on_mesh(tmp_path):
     for h, d in zip(host, dev):
         for key in ("train/loss", "val/loss"):
             assert h[key] == d[key], (key, h[key], d[key])
+
+
+def test_bench_e2e_train_contract(tmp_path, capsys, monkeypatch):
+    """benchmarks/bench_e2e_train.py stays runnable and emits one parseable
+    JSON line with the contract keys (the TPU e2e evidence in BASELINE.md
+    is produced by this script)."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "benchmarks"))
+    import bench_e2e_train
+
+    monkeypatch.setattr(sys, "argv", [
+        "bench_e2e_train", "--episodes", "12", "--epochs", "2",
+        "--batch-size", "2", "--seq-len", "3", "--conv-dtype", "float32",
+        "--device-resident", "--workdir", str(tmp_path)])
+    bench_e2e_train.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    row = json.loads(out[-1])
+    assert row["metric"] == "e2e_train_seq_per_s"
+    assert row["device_resident"] is True and row["model"] == "mrssm"
+    assert row["value"] > 0 and len(row["epoch_rates"]) == 2
+    # the dataset marker guards against stale-workdir reuse
+    assert json.loads((tmp_path / "dataset.json").read_text()) == {
+        "episodes": 12, "seq_len": 3}
