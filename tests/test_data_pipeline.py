@@ -307,3 +307,23 @@ def test_device_resident_hbm_budget_falls_back(tmp_path):
         items = list(dm.train_batches_chunked(0, 2))
     assert any("budget" in str(r.message) for r in rec)
     assert items and dm._dev_data is None
+
+
+def test_device_resident_multihost_falls_back(tmp_path, monkeypatch):
+    """Multi-process runs must stream from host (put_sharded per-shard
+    callbacks), not upload per-process copies."""
+    import warnings as _w
+
+    import jax as _jax
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=6, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, device_resident=True))
+    dm.setup()
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        items = list(dm.train_batches_chunked(0, 2))
+    assert any("multi-host" in str(r.message) for r in rec)
+    assert items and dm._dev_data is None
