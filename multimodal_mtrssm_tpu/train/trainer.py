@@ -225,6 +225,14 @@ class Trainer:
             f"trainer mesh: {n}/{len(devices)} device(s), "
             + " × ".join(f"{self.mesh.shape[a]} {a}" for a in self.mesh.axis_names)
         )
+        if (self.cfg.accumulate_grad_batches > 1
+                and getattr(self.dm.cfg, "device_resident", False)):
+            warnings.warn(
+                "accumulate_grad_batches > 1 trains on the per-step path, "
+                "which streams batches from host — data.device_resident has "
+                "no effect there (validation still uses it).",
+                stacklevel=2,
+            )
         if self.cfg.zero1:
             from jax.sharding import NamedSharding, PartitionSpec
 
