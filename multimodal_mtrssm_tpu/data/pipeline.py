@@ -455,21 +455,39 @@ class EpisodeDataModule:
             return False
         return True
 
+    @staticmethod
+    def _as_sharding(device):
+        """Normalize a batch-placement target to a Sharding (or None). The
+        host path's ``jax.device_put`` accepts plain ``jax.Device``s, so the
+        device-resident path must too."""
+        if device is not None and not isinstance(device, jax.sharding.Sharding):
+            return jax.sharding.SingleDeviceSharding(device)
+        return device
+
     def _device_dataset(self, sharding=None) -> dict:
         """Upload the normalized, T-sliced streams once (cached jnp arrays).
 
         On a multi-device batch sharding the dataset is placed fully
         REPLICATED over the sharding's mesh (the standard replicated-data /
         sharded-batch DP input recipe) so each device gathers its own batch
-        rows locally. The cache is keyed on the placement: a stream later
-        served with a different mesh re-uploads instead of handing the jits
-        wrongly-placed data."""
-        if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
+        rows locally. A single-device target (Sharding or plain Device) pins
+        the dataset to THAT device — not the default one — so the gather jit
+        compiled against the target never round-trips through another chip.
+        The cache is keyed on the placement: a stream later served with a
+        different mesh re-uploads instead of handing the jits wrongly-placed
+        data."""
+        sharding = self._as_sharding(sharding)
+        if sharding is not None and len(sharding.device_set) > 1:
             from multimodal_mtrssm_tpu.parallel.mesh import replicated
 
             rep = replicated(sharding.mesh)
             place_key: object = rep
             place = lambda a: jax.device_put(a, rep)  # noqa: E731
+        elif sharding is not None:
+            (dev,) = sharding.device_set
+            sds = jax.sharding.SingleDeviceSharding(dev)
+            place_key = sds
+            place = lambda a: jax.device_put(a, sds)  # noqa: E731
         else:
             place_key = None
             place = jax.device_put
@@ -546,6 +564,8 @@ class EpisodeDataModule:
         are pinned to the batch sharding (a ragged item whose rows don't
         divide the mesh goes out unsharded and jit reshards, mirroring
         ``_place_batch``)."""
+        scan_sharding = self._as_sharding(scan_sharding)
+        step_sharding = self._as_sharding(step_sharding)
         data = self._device_dataset(step_sharding or scan_sharding)
         import jax.numpy as jnp
 

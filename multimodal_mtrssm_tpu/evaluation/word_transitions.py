@@ -280,7 +280,7 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
     """Fused-Pallas fast path for both model families (wins at the
     batched-interval sizes, benchmarks/bench_pallas.py). Initial state is
     sampled once per interval, like ``_predict_digits``."""
-    from multimodal_mtrssm_tpu.nn.conv import decoder_apply
+    from multimodal_mtrssm_tpu.nn.conv import cast_conv_in, cast_conv_out, decoder_apply
 
     k1, k2 = jax.random.split(key)
     init = model.initial_state(params, audio0, vision0, k1)  # [I, ...]
@@ -315,7 +315,12 @@ def _predict_digits_pallas(model, params, classifier_params, audio0, vision0, ac
         )
         feature0 = jnp.concatenate([deters[:, classify_frame], stochs[:, classify_frame]], axis=-1)
         dec_cfg = model.decoder_cfg("vision")
-    recon = decoder_apply(params["vision_decoder"], dec_cfg, feature0)
+    # Route through the shared mixed-precision cast pair (nn/conv.py) so a
+    # conv_dtype=bfloat16 model decodes identically on the Pallas and XLA
+    # dispatch paths.
+    recon = cast_conv_out(
+        cfg, decoder_apply(params["vision_decoder"], dec_cfg, cast_conv_in(cfg, feature0))
+    )
     first = jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0)
     return recognize_digits(classifier_params, first)
 
@@ -343,6 +348,10 @@ def generate_predictions_batched(
     whole word keeps the device busy (the reference loops Python-side per
     interval AND per sample, reference ``:941-1007``/``:333-370``).
     """
+    if not 0 <= classify_frame < n_frames:
+        raise ValueError(
+            f"classify_frame={classify_frame} out of range for n_frames={n_frames}"
+        )
     audio_transform = audio_transform or NormalizeAudioMelSpectrogram(-80.0, 0.0)
     vision_transform = vision_transform or NormalizeVisionImage()
     a0 = np.stack([audio_transform(_to_nhwc(iv["audio"]))[0] for iv in intervals])
@@ -474,6 +483,14 @@ def evaluate_word_transitions(
     therefore scores the one-word-ahead prediction that the Matching-Rate
     metric's p(w|wa) actually describes.
     """
+    if not 0 <= classify_frame < n_frames:
+        # Validate up front: past the rollout horizon the XLA path would
+        # trace an empty slice (crash) while the Pallas path's jnp indexing
+        # would silently clamp to the last frame — same args, divergent
+        # behavior.
+        raise ValueError(
+            f"classify_frame={classify_frame} out of range for n_frames={n_frames}"
+        )
     audio_t = NormalizeAudioMelSpectrogram(audio_min, audio_max)
     vision_t = NormalizeVisionImage()
     key = jax.random.PRNGKey(seed)

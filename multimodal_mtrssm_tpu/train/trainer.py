@@ -211,7 +211,11 @@ class Trainer:
             # Auto-detect mode on a multi-slice pod: the batch-divisibility
             # trim above can split a slice unevenly, which make_hybrid_mesh
             # rejects. Fall back to a flat data mesh (gradients then psum
-            # over DCN without the ICI/DCN split) rather than failing.
+            # over DCN without the ICI/DCN split) rather than failing. An
+            # EXPLICITLY requested dcn_size, however, is a topology contract:
+            # surface the error instead of silently training on a flat mesh.
+            if dcn is not None:
+                raise
             from multimodal_mtrssm_tpu.parallel.mesh import make_mesh
 
             warnings.warn(

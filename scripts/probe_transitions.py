@@ -106,8 +106,12 @@ def main() -> None:
 
     at = NormalizeAudioMelSpectrogram(-80.0, 0.0)
     vt = NormalizeVisionImage()
-    # Mirrors generate_synthetic_labeled_audio_mnist's graph construction.
-    successors = {d: tuple(((d + 1) % 10, (d + 3) % 10)[: args.n_successors]) for d in range(10)}
+    # Mirrors generate_synthetic_labeled_audio_mnist's graph construction
+    # (data/episodes.py: odd offsets (1,3,5,7,9)[:n_successors]).
+    _offsets = (1, 3, 5, 7, 9)
+    successors = {
+        d: tuple((d + off) % 10 for off in _offsets[: args.n_successors]) for d in range(10)
+    }
 
     # For each digit: find a frame of that digit, condition, imagine 3
     # frames × 64 samples, classify each imagined frame.

@@ -327,3 +327,27 @@ def test_device_resident_multihost_falls_back(tmp_path, monkeypatch):
         items = list(dm.train_batches_chunked(0, 2))
     assert any("multi-host" in str(r.message) for r in rec)
     assert items and dm._dev_data is None
+
+
+def test_device_resident_accepts_plain_device_and_honors_placement(tmp_path):
+    """The host path's ``device=`` accepts a plain jax.Device, so the
+    device-resident path must too — and a single-device target that is NOT
+    the default device must get the dataset (and every yielded chunk)
+    committed to THAT device, not silently round-tripped through device 0."""
+    import jax
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+    mk = lambda dev: EpisodeDataModule(DataModuleConfig(
+        data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=0.0,
+        device_resident=dev))
+    target = jax.devices("cpu")[1]  # non-default device
+    host = list(mk(False).train_batches_chunked(0, 3, device=target,
+                                                stacked_device=target))
+    dev = list(mk(True).train_batches_chunked(0, 3, device=target,
+                                              stacked_device=target))
+    assert [k for k, _ in host] == [k for k, _ in dev]
+    for (_, hb), (_, db) in zip(host, dev):
+        for hx, dx in zip(hb, db):
+            np.testing.assert_array_equal(np.asarray(hx), np.asarray(dx))
+            assert dx.devices() == {target}

@@ -341,3 +341,60 @@ def test_mnist_resize_is_bilinear_upscale():
     # scales coordinates by 32/28
     assert out.max() == 1.0 and 0 < out[0, 12, 12] <= 1.0
     assert abs(float(out.sum()) - 64.0 * (32 / 28) ** 2) / (64.0 * (32 / 28) ** 2) < 0.1
+
+
+def test_classify_frame_out_of_range_raises():
+    """classify_frame past the rollout horizon must fail loudly on BOTH
+    dispatch paths (the Pallas path's jnp indexing would otherwise silently
+    clamp to the last frame while the XLA path crashed at trace time)."""
+    from multimodal_mtrssm_tpu.evaluation.word_transitions import (
+        evaluate_word_transitions,
+        generate_predictions_batched,
+    )
+
+    with pytest.raises(ValueError, match="classify_frame"):
+        generate_predictions_batched(None, None, None, [], None,
+                                     n_predictions=2, n_frames=5, classify_frame=5)
+    with pytest.raises(ValueError, match="classify_frame"):
+        evaluate_word_transitions(None, None, None, [], n_frames=5, classify_frame=-1)
+
+
+def test_pallas_eval_respects_conv_dtype(trained_classifier):
+    """The Pallas eval fast path must decode through the shared conv_dtype
+    cast pair (nn/conv.py) — a 16-mixed model decodes in bf16 on BOTH
+    dispatch paths, not only via model.decode_state."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import multimodal_mtrssm_tpu.evaluation.word_transitions as W
+    import multimodal_mtrssm_tpu.nn.conv as C
+    import multimodal_mtrssm_tpu.ops.pallas as P
+    from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+
+    params_clf, _ = trained_classifier
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
+                        num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc,
+                                   init_proj_cells=16, conv_dtype=jnp.bfloat16))
+    params = model.init(jax.random.PRNGKey(0))
+    seen = []
+    orig_dec, orig_roll = C.decoder_apply, P.fused_rollout_transition
+
+    def recording(p, cfg, x):
+        seen.append(x.dtype)
+        return orig_dec(p, cfg, x)
+
+    try:
+        C.decoder_apply = recording
+        P.fused_rollout_transition = functools.partial(orig_roll, interpret=True)
+        a0 = jnp.zeros((2, 32, 32, 1))
+        v0 = jnp.zeros((2, 32, 32, 1))
+        actions = jnp.zeros((2 * 3, 2, 6))
+        digits = W._predict_digits_pallas(model, params, params_clf, a0, v0,
+                                          actions, jax.random.PRNGKey(1), 3)
+    finally:
+        C.decoder_apply, P.fused_rollout_transition = orig_dec, orig_roll
+    assert seen and all(d == jnp.bfloat16 for d in seen)
+    assert len(np.asarray(digits)) == 6
