@@ -12,6 +12,9 @@ no network, so this module implements the always-runnable subset natively:
 - E711/E712: ``== None`` / ``== True`` style comparisons,
 - F632: ``is`` comparisons against str/number/tuple literals,
 - W605: invalid escape sequences in non-raw string literals,
+- F821: names that resolve to no binding in any enclosing scope
+  (pyflakes-lite static scope analysis — catches the NameError-on-a-rare-
+  path class of bug; files with ``import *`` are skipped),
 - D103 subset (pydoclint-lite): public module-level functions and classes
   inside the package must carry docstrings.
 
@@ -127,6 +130,118 @@ def _escape_findings(path: Path, src: str) -> list[str]:
     return findings
 
 
+# --- F821: undefined names (pyflakes-lite scope analysis) -------------------
+
+_BUILTINS = frozenset(dir(__import__("builtins"))) | {
+    "__file__", "__name__", "__doc__", "__package__", "__spec__",
+    "__loader__", "__builtins__", "__debug__", "__class__", "__path__",
+}
+
+_SCOPE_NODES = (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda, ast.ClassDef,
+                ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+
+
+def _bindings_in(node: ast.AST) -> tuple[set[str], set[str]]:
+    """Names BOUND directly in the scope opened by ``node`` (not in nested
+    scopes), plus the names it declares ``global``/``nonlocal`` (which resolve
+    elsewhere). Mirrors Python's static local-variable determination."""
+    bound: set[str] = set()
+    escaped: set[str] = set()  # global/nonlocal declarations
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+        a = node.args
+        for arg in [*a.posonlyargs, *a.args, *a.kwonlyargs,
+                    *([a.vararg] if a.vararg else []), *([a.kwarg] if a.kwarg else [])]:
+            bound.add(arg.arg)
+    if isinstance(node, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)):
+        for comp in node.generators:
+            bound |= _target_names(comp.target)
+
+    def visit(n: ast.AST) -> None:
+        for child in ast.iter_child_nodes(n):
+            if isinstance(child, _SCOPE_NODES):
+                # def/class/lambda binds its NAME here; its body is a new scope.
+                if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                    bound.add(child.name)
+                continue
+            if isinstance(child, (ast.Import, ast.ImportFrom)):
+                for alias in child.names:
+                    if alias.name != "*":
+                        bound.add((alias.asname or alias.name).split(".")[0])
+            elif isinstance(child, (ast.Global, ast.Nonlocal)):
+                escaped.update(child.names)
+            elif isinstance(child, ast.Name) and isinstance(child.ctx, (ast.Store, ast.Del)):
+                bound.add(child.id)
+            elif isinstance(child, ast.ExceptHandler) and child.name:
+                bound.add(child.name)
+            elif isinstance(child, (ast.MatchAs, ast.MatchStar)) and child.name:
+                bound.add(child.name)
+            elif isinstance(child, ast.MatchMapping) and child.rest:
+                bound.add(child.rest)
+            visit(child)
+
+    # Lambda/comprehension bodies are expressions: walk them for walrus etc.
+    visit(node)
+    return bound - escaped, escaped
+
+
+def _target_names(t: ast.AST) -> set[str]:
+    out: set[str] = set()
+    for n in ast.walk(t):
+        if isinstance(n, ast.Name):
+            out.add(n.id)
+    return out
+
+
+def _undefined_findings(path: Path, tree: ast.Module) -> list[str]:
+    """F821: Name loads that no enclosing scope binds. Class scopes are
+    invisible to nested functions (Python scoping); comprehensions and
+    lambdas open their own scopes. Files containing ``import *`` are
+    skipped entirely (their namespace is unknowable statically)."""
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and any(a.name == "*" for a in node.names):
+            return []
+    findings: list[str] = []
+    # ``global x`` inside any function binds x at module scope.
+    global_names = {
+        name for n in ast.walk(tree) if isinstance(n, ast.Global) for name in n.names
+    }
+
+    def check(node: ast.AST, stack: list[tuple[ast.AST, set[str]]]) -> None:
+        bound, _ = _bindings_in(node)
+        if isinstance(node, ast.Module):
+            bound |= global_names
+        frame = (node, bound)
+        new_stack = stack + [frame]
+
+        def resolvable(name: str) -> bool:
+            for i in range(len(new_stack) - 1, -1, -1):
+                snode, sbound = new_stack[i]
+                # A class body's names are visible only AT class level
+                # (the innermost frame), never through it from a function.
+                if isinstance(snode, ast.ClassDef) and i != len(new_stack) - 1:
+                    continue
+                if name in sbound:
+                    return True
+            return name in _BUILTINS
+
+        def walk(n: ast.AST) -> None:
+            for child in ast.iter_child_nodes(n):
+                if isinstance(child, _SCOPE_NODES):
+                    check(child, new_stack)
+                    continue
+                if isinstance(child, ast.Name) and isinstance(child.ctx, ast.Load):
+                    if not resolvable(child.id):
+                        findings.append(
+                            f"{path}:{child.lineno}: F821 undefined name '{child.id}'"
+                        )
+                walk(child)
+
+        walk(node)
+
+    check(tree, [])
+    return findings
+
+
 def _docstring_findings(path: Path, tree: ast.Module) -> list[str]:
     """D103 subset: public module-level defs/classes must have docstrings."""
     findings: list[str] = []
@@ -155,6 +270,7 @@ def check_file(path: Path) -> list[str]:
             )
     findings.extend(_comparison_findings(path, tree))
     findings.extend(_escape_findings(path, src))
+    findings.extend(_undefined_findings(path, tree))
     if "multimodal_mtrssm_tpu" in path.parts:
         findings.extend(_docstring_findings(path, tree))
 

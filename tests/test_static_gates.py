@@ -68,6 +68,47 @@ def test_ast_lint_style_rules(tmp_path):
     assert not any("D103" in f for f in check_paths([outside]))
 
 
+def test_ast_lint_undefined_names(tmp_path):
+    """F821 scope analysis: flags true undefined names, respects Python
+    scoping (class bodies invisible to methods, comprehension scopes,
+    closures, walrus, global/nonlocal), and skips ``import *`` files."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expect an F821 finding)
+        "plain undefined": ("def f():\n    '''d'''\n    return missing_name\n", True),
+        "typo on rare path": (
+            "def f(x):\n    '''d'''\n    if x:\n        return x\n    return resutl\n", True),
+        "class attr not visible in method": (
+            "class C:\n    '''d'''\n    attr = 1\n"
+            "    def m(self):\n        '''d'''\n        return attr\n", True),
+        "class attr via self ok": (
+            "class C:\n    '''d'''\n    attr = 1\n"
+            "    def m(self):\n        '''d'''\n        return self.attr\n", False),
+        "closure ok": ("def f():\n    '''d'''\n    y = 1\n    return lambda: y\n", False),
+        "comprehension target ok": ("xs = [i * 2 for i in range(3)]\n", False),
+        "comprehension target does not leak": ("xs = [i for i in range(3)]\nprint(i)\n", True),
+        "walrus ok": ("if (n := 5) > 3:\n    print(n)\n", False),
+        "except name ok": ("try:\n    pass\nexcept ValueError as e:\n    print(e)\n", False),
+        "global binding visible at module level": (
+            "def f():\n    '''d'''\n    global st\n    st = 1\n"
+            "def g():\n    '''d'''\n    return st\n", False),
+        "import star skips file": ("from os.path import *\nprint(join('a','b'))\n", False),
+        "decorator undefined": ("@nope\ndef f():\n    '''d'''\n", True),
+        "nonlocal ok": (
+            "def f():\n    '''d'''\n    y = 0\n"
+            "    def g():\n        '''d'''\n        nonlocal y\n        y += 1\n"
+            "    return g\n", False),
+        "forward ref to later def ok": (
+            "def f():\n    '''d'''\n    return g()\ndef g():\n    '''d'''\n    return 1\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / "case.py"
+        p.write_text(code)
+        got = any("F821" in x for x in check_file(p))
+        assert got == expect, (name, check_file(p))
+
+
 @pytest.mark.skipif(shutil.which("ruff") is None, reason="ruff not installed in image")
 def test_ruff_clean():
     proc = subprocess.run(["ruff", "check", "."], cwd=REPO_ROOT, capture_output=True, text=True)
