@@ -51,11 +51,45 @@ WARMUP = 3  # scan calls (768 steps)
 WINDOWS = 12
 ITERS = 1  # scan calls per window (K steps each)
 WINDOW_GAP_S = 6.0
+# A healthy run (claim + 2 compiles + warmup + 12 gapped windows) finishes in
+# ~5 min. The tunneled chip has a known failure mode where the CLAIM ITSELF
+# hangs indefinitely (CLAUDE.md; observed for hours on 2026-08-17/18): without
+# a watchdog this script would then hang and print NOTHING, breaking the
+# one-JSON-line contract. The watchdog emits a diagnostic JSON line and exits.
+WATCHDOG_S = 1800.0
+
+
+def _start_watchdog() -> "threading.Event":
+    """Print an error JSON line and hard-exit if main() doesn't finish in
+    WATCHDOG_S (os._exit works even while the main thread is stuck in a
+    hung device-claim C call)."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def guard() -> None:
+        if not done.wait(WATCHDOG_S):
+            print(json.dumps({
+                "metric": "mopoe_mrssm_train_seq_per_s",
+                "value": 0.0,
+                "unit": "seq/s",
+                "vs_baseline": 0.0,
+                "error": (
+                    f"watchdog: no result within {WATCHDOG_S:.0f}s — TPU "
+                    "claim/execution hung (known wedged-chip failure mode)"
+                ),
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=guard, daemon=True).start()
+    return done
 
 
 def main() -> None:
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
+    watchdog_done = _start_watchdog()
     enable_compilation_cache()
     import jax.numpy as jnp
 
@@ -185,6 +219,7 @@ def main() -> None:
         "gflop_per_step": round(flops_per_step / 1e9, 2),
         "mfu_pct": round(100.0 * flops_per_step / best_dt / V5E_PEAK_FLOPS, 3),
     }
+    watchdog_done.set()
     print(json.dumps(result))
 
 

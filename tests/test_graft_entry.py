@@ -58,3 +58,31 @@ def test_dryrun_multichip_backend_already_claimed():
     )
     assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_bench_watchdog_emits_json_and_exits():
+    """If the TPU claim hangs (known wedged-chip failure mode), bench.py's
+    watchdog must still print exactly one JSON line (with an "error" field)
+    and exit nonzero instead of hanging silently."""
+    import json
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import time\n"
+        "import bench\n"
+        "bench.WATCHDOG_S = 0.5\n"
+        "bench._start_watchdog()\n"
+        "time.sleep(60)\n"
+        "print('NOT_REACHED')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=_clean_env(), cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "NOT_REACHED" not in proc.stdout
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+    assert len(json_lines) == 1, proc.stdout
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "mopoe_mrssm_train_seq_per_s" and "error" in d
