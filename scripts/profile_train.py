@@ -65,16 +65,16 @@ def main() -> None:
 
     f = jax.jit(step, donate_argnums=(0, 1))
     params, opt_state, loss = f(params, opt_state, ks[3])
-    loss.block_until_ready()
+    float(loss)  # host-transfer fence (block_until_ready can return early; CLAUDE.md)
     for i in range(30):  # warm past backend background work
         params, opt_state, loss = f(params, opt_state, jax.random.fold_in(ks[3], i))
-    loss.block_until_ready()
+    float(loss)
 
     jax.profiler.start_trace(args.out)
     t0 = time.perf_counter()
     for i in range(args.steps):
         params, opt_state, loss = f(params, opt_state, jax.random.fold_in(ks[3], 100 + i))
-    loss.block_until_ready()
+    float(loss)
     dt = (time.perf_counter() - t0) / args.steps
     jax.profiler.stop_trace()
     print(f"{args.model}: {dt * 1e3:.2f} ms/step; trace written to {args.out}")
