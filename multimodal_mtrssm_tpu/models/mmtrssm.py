@@ -166,11 +166,17 @@ class MoPoEMMTRSSM:
 
         return cast_conv_out(self.cfg, x)
 
+    def _encode_embeds(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array):
+        """Raw (conv-dtype) encoder outputs for both modalities (see the
+        MRSSM counterpart — single home of the encoder call pair)."""
+        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
+        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        return a, v
+
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
         """Mean-fused embedding (inherited contract, reference
         ``mopoe_mrssm/core.py:165-182``)."""
-        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
-        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        a, v = self._encode_embeds(params, audio_obs, vision_obs)
         return self._conv_out((a + v) / 2.0)
 
     # ---- per-step cores ------------------------------------------------------
@@ -226,8 +232,13 @@ class MoPoEMMTRSSM:
         """Initial hierarchical latent (reference ``core.py:321-362``):
         ``init_proj(embed)`` split into [hd | ld] halves seeds both the deter
         states and the MTRNN integrators; stochs sampled from the priors."""
-        cfg = self.cfg
         embed = self.encode_observation(params, audio_obs0, vision_obs0)
+        return self.initial_state_from_embed(params, embed, key)
+
+    def initial_state_from_embed(self, params: Params, embed: jax.Array, key: jax.Array) -> MTState:
+        """``initial_state`` from a pre-computed mean-fused embedding (lets
+        ``shared_step`` reuse the rollout's encoder pass for frame 0)."""
+        cfg = self.cfg
         h = mlp_apply(params["init_proj"], embed, cfg.init_proj_activation)
         higher_h = h[..., : cfg.hd_dim]
         lower_h = h[..., cfg.hd_dim :]
@@ -259,13 +270,17 @@ class MoPoEMMTRSSM:
     ) -> tuple[MTState, MTState]:
         """Posterior/prior rollout over [B, T] (reference ``core.py:364-494``)
         as one ``lax.scan``. Returns ``(mixed posterior, prior)``, time axis 1."""
+        a_raw, v_raw = self._encode_embeds(params, audio_obs, vision_obs)
+        return self._rollout_from_embeds(
+            params, actions, self._conv_out(a_raw), self._conv_out(v_raw), prev_state, key
+        )
+
+    def _rollout_from_embeds(
+        self, params, actions, audio_embed, vision_embed, prev_state, key
+    ) -> tuple[MTState, MTState]:
+        """Representation rollout from pre-computed per-modality embeddings
+        (kernel dispatch + XLA-scan fallback)."""
         cfg = self.cfg
-        audio_embed = self._conv_out(
-            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
-        )
-        vision_embed = self._conv_out(
-            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
-        )
         mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
         if mode is not None:
             return self._rollout_representation_fused(
@@ -341,38 +356,28 @@ class MoPoEMMTRSSM:
 
     def _train_kernel_mode(self, batch: int, horizon: int) -> str | None:
         """Resolve ``use_pallas_train`` (see MRSSM counterpart): ELU + f32 +
-        VMEM-sized shapes only; "auto" additionally requires single-chip TPU
-        and the measured-win policy flag."""
-        v = self.cfg.use_pallas_train
-        if v in (False, None):
-            return None
-        from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import fits_vmem_mt
-
-        eligible = (
-            self.cfg.activation_name == "ELU"
-            and self.cfg.compute_dtype == jnp.float32
-            and fits_vmem_mt(horizon, batch)
+        VMEM-sized shapes only; the dispatch ladder is shared
+        (``ops.pallas.resolve_train_kernel_mode``)."""
+        from multimodal_mtrssm_tpu.ops.pallas import resolve_train_kernel_mode
+        from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import (
+            AUTO_MT_TRAIN_KERNEL,
+            fits_vmem_mt,
         )
-        if v in ("interpret", "reference"):
-            return v if eligible else None
-        if v == "auto":
-            from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import AUTO_MT_TRAIN_KERNEL
 
-            if (eligible and AUTO_MT_TRAIN_KERNEL and jax.default_backend() == "tpu"
-                    and len(jax.devices()) == 1):
-                return "kernel"
-            return None
-        if not eligible:
-            import warnings
-
-            warnings.warn(
+        return resolve_train_kernel_mode(
+            self.cfg.use_pallas_train,
+            eligible=(
+                self.cfg.activation_name == "ELU"
+                and self.cfg.compute_dtype == jnp.float32
+                and fits_vmem_mt(horizon, batch)
+            ),
+            auto_flag=AUTO_MT_TRAIN_KERNEL,
+            warn_ineligible=(
                 "use_pallas_train=True ignored: the fused hierarchical training "
                 "kernel requires ELU + float32 and a VMEM-sized [T, B]; taking "
-                "the XLA scan path",
-                stacklevel=3,
-            )
-            return None
-        return "kernel"
+                "the XLA scan path"
+            ),
+        )
 
     def _rollout_representation_fused(
         self, params, actions, audio_embed, vision_embed, prev_state, key, mode: str
@@ -504,9 +509,18 @@ class MoPoEMMTRSSM:
                 k_noise, stds, action_input, audio_in, vision_in
             )
         dt = cfg.compute_dtype
-        init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
-        posterior, prior = self.rollout_representation(
-            params, action_input.astype(dt), audio_in.astype(dt), vision_in.astype(dt), init, k_roll
+        # One encoder pass for both the initial state and the recurrence
+        # (see the MRSSM counterpart: the reference re-encodes frame 0,
+        # an extra [B]-frame conv pass per training step).
+        a_raw, v_raw = self._encode_embeds(
+            params, audio_in.astype(dt), vision_in.astype(dt)
+        )
+        init = self.initial_state_from_embed(
+            params, self._conv_out((a_raw[:, 0] + v_raw[:, 0]) / 2.0), k_init
+        )
+        posterior, prior = self._rollout_from_embeds(
+            params, action_input.astype(dt), self._conv_out(a_raw), self._conv_out(v_raw),
+            init, k_roll,
         )
         recons = self.decode_state(params, posterior)
         targets = {"recon/audio": batch[4], "recon/vision": batch[5]}

@@ -35,7 +35,13 @@ from multimodal_mtrssm_tpu.nn.conv import (
     encoder_apply,
     encoder_init,
 )
-from multimodal_mtrssm_tpu.nn.core import Params, gru_apply, gru_init, mlp_apply, mlp_init
+from multimodal_mtrssm_tpu.nn.core import (
+    Params,
+    gru_init,
+    mlp_apply,
+    mlp_init,
+    rssm_transition_core,
+)
 from multimodal_mtrssm_tpu.models.state import State
 from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot, kl_balanced
 from multimodal_mtrssm_tpu.ops.fusion import mopoe_mix_log_probs
@@ -179,10 +185,19 @@ class MoPoEMRSSM:
 
         return cast_conv_out(self.cfg, x)
 
-    def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
-        """Mean-fused embedding (reference ``mopoe_mrssm/core.py:165-182``)."""
+    def _encode_embeds(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array):
+        """Raw (conv-dtype) encoder outputs for both modalities — the single
+        home of the encoder call pair, shared by ``encode_observation``,
+        the rollouts, and ``shared_step`` (which reuses one pass for both
+        the initial state and the recurrence instead of re-encoding
+        frame 0)."""
         a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
         v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        return a, v
+
+    def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
+        """Mean-fused embedding (reference ``mopoe_mrssm/core.py:165-182``)."""
+        a, v = self._encode_embeds(params, audio_obs, vision_obs)
         return self._conv_out((a + v) / 2.0)
 
     def transition(self, params: Params, action: jax.Array, prev_state: State, key: jax.Array) -> State:
@@ -194,13 +209,9 @@ class MoPoEMRSSM:
     def _transition_core(
         self, params: Params, action: jax.Array, prev_stoch: jax.Array, prev_deter: jax.Array
     ) -> tuple[jax.Array, jax.Array]:
-        t = params["transition"]
-        act = self.cfg.activation_name
-        x = jnp.concatenate([action, prev_stoch], axis=-1)
-        x = mlp_apply(t["action_state_projector"], x, act)
-        deter = gru_apply(t["gru"], x, prev_deter)
-        logits = mlp_apply(t["rnn_to_prior_projector"], deter, act)
-        return deter, logits
+        return rssm_transition_core(
+            params["transition"], action, prev_stoch, prev_deter, self.cfg.activation_name
+        )
 
     def _posterior_logits(
         self, params: Params, which: str, deter: jax.Array, obs_embed: jax.Array
@@ -216,6 +227,12 @@ class MoPoEMRSSM:
     ) -> State:
         """Initial latent from frame-0 observations (reference ``core.py:121-135``)."""
         embed = self.encode_observation(params, audio_obs0, vision_obs0)
+        return self.initial_state_from_embed(params, embed, key)
+
+    def initial_state_from_embed(self, params: Params, embed: jax.Array, key: jax.Array) -> State:
+        """``initial_state`` from a pre-computed mean-fused embedding —
+        lets ``shared_step`` reuse the rollout's encoder pass for frame 0
+        instead of running both conv stacks a second time."""
         deter = mlp_apply(params["init_proj"], embed, self.cfg.init_proj_activation)
         logits = mlp_apply(
             params["transition"]["rnn_to_prior_projector"], deter, self.cfg.activation_name
@@ -237,18 +254,41 @@ class MoPoEMRSSM:
 
         Returns ``(posterior, prior)`` with time on axis 1.
         """
-        cfg = self.cfg
-        audio_embed = self._conv_out(
-            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
+        a_raw, v_raw = self._encode_embeds(params, audio_obs, vision_obs)
+        return self._rollout_from_embeds(
+            params, actions, self._conv_out(a_raw), self._conv_out(v_raw), prev_state, key
         )
-        vision_embed = self._conv_out(
-            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
-        )
+
+    def _rollout_from_embeds(
+        self, params, actions, audio_embed, vision_embed, prev_state, key
+    ) -> tuple[State, State]:
+        """Representation rollout from pre-computed per-modality embeddings
+        (kernel dispatch + XLA-scan fallback)."""
         mode = self._train_kernel_mode(actions.shape[0], actions.shape[1])
         if mode is not None:
             return self._rollout_representation_fused(
                 params, actions, audio_embed, vision_embed, prev_state, key, mode
             )
+        posterior, prior, _ = self._scan_representation(
+            params, actions, audio_embed, vision_embed, prev_state, key
+        )
+        return posterior, prior
+
+    def _posterior_mix(
+        self, params: Params, deter: jax.Array, a_logits: jax.Array, v_logits: jax.Array
+    ) -> tuple[jax.Array, tuple]:
+        """Posterior subset mixture for one step: (mixed logits, extras).
+        Subclass hook — ``WeightedMoPoEMRSSM`` overrides this to apply its
+        learned subset weights and thread them out of the scan."""
+        return mopoe_mix_log_probs(a_logits, v_logits), ()
+
+    def _scan_representation(
+        self, params, actions, audio_embed, vision_embed, prev_state, key
+    ) -> tuple[State, State, tuple]:
+        """XLA-scan representation recurrence. Returns ``(posterior, prior,
+        extras)`` where ``extras`` is whatever ``_posterior_mix`` threads
+        per step (time moved to axis 1)."""
+        cfg = self.cfg
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 
@@ -261,14 +301,14 @@ class MoPoEMRSSM:
             prior_stoch = prior_dist.rsample(k_prior)
             a_logits = self._posterior_logits(params, "audio", deter, a_emb_t)
             v_logits = self._posterior_logits(params, "vision", deter, v_emb_t)
-            mixed_logits = mopoe_mix_log_probs(a_logits, v_logits)
+            mixed_logits, extras = self._posterior_mix(params, deter, a_logits, v_logits)
             post_dist = self._dist(mixed_logits)
             post_stoch = post_dist.rsample(k_post)
             # Mixed posterior becomes the next prev_state (reference :256).
             # Samples are f32 (ops force f32 math); the carry runs in the
             # compute dtype so the recurrence stays on the bf16 path.
             carry = (deter, post_stoch.astype(deter.dtype))
-            ys = (deter, prior_logits, prior_stoch, mixed_logits, post_stoch)
+            ys = ((deter, prior_logits, prior_stoch, mixed_logits, post_stoch), extras)
             return carry, ys
 
         # Scan is time-major; transpose once afterwards ([T, B, …] → [B, T, …]).
@@ -280,55 +320,39 @@ class MoPoEMRSSM:
         )
         if cfg.remat:
             step = jax.checkpoint(step)
-        _, (deter, prior_logits, prior_stoch, mixed_logits, post_stoch) = jax.lax.scan(
+        _, ((deter, prior_logits, prior_stoch, mixed_logits, post_stoch), extras) = jax.lax.scan(
             step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs,
             unroll=cfg.scan_unroll,
         )
         tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
         prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
         posterior = State(deter=tm(deter), stoch=tm(post_stoch), distribution=self._dist(tm(mixed_logits)))
-        return posterior, prior
+        return posterior, prior, jax.tree.map(tm, extras)
 
     def _train_kernel_mode(self, batch: int, horizon: int) -> str | None:
         """Resolve ``use_pallas_train`` to a concrete mode (None = XLA scan).
 
         Eligibility: ELU activation (the kernel hard-codes it), f32 compute
         (the kernel is an f32 program; bf16 configs keep the XLA path), and
-        the single-program VMEM budget (``fits_vmem``)."""
-        v = self.cfg.use_pallas_train
-        if v in (False, None):
-            return None
-        from multimodal_mtrssm_tpu.ops.pallas import fits_vmem
+        the single-program VMEM budget (``fits_vmem``). The dispatch ladder
+        itself is shared (``ops.pallas.resolve_train_kernel_mode``)."""
+        from multimodal_mtrssm_tpu.ops.pallas import fits_vmem, resolve_train_kernel_mode
+        from multimodal_mtrssm_tpu.ops.pallas.train_step import AUTO_TRAIN_KERNEL
 
-        eligible = (
-            self.cfg.activation_name == "ELU"
-            and self.cfg.compute_dtype == jnp.float32
-            and fits_vmem(horizon, batch)
-        )
-        if v in ("interpret", "reference"):
-            return v if eligible else None
-        if v == "auto":
-            from multimodal_mtrssm_tpu.ops.pallas.train_step import AUTO_TRAIN_KERNEL
-
-            # Single-chip only for auto: GSPMD cannot partition a bare
-            # pallas_call over a batch-sharded mesh (multi-chip training
-            # keeps the XLA scan, which partitions automatically).
-            if (eligible and AUTO_TRAIN_KERNEL and jax.default_backend() == "tpu"
-                    and len(jax.devices()) == 1):
-                return "kernel"
-            return None
-        # v is True
-        if not eligible:
-            import warnings
-
-            warnings.warn(
+        return resolve_train_kernel_mode(
+            self.cfg.use_pallas_train,
+            eligible=(
+                self.cfg.activation_name == "ELU"
+                and self.cfg.compute_dtype == jnp.float32
+                and fits_vmem(horizon, batch)
+            ),
+            auto_flag=AUTO_TRAIN_KERNEL,
+            warn_ineligible=(
                 "use_pallas_train=True ignored: the fused training kernel "
                 "requires ELU + float32 and a VMEM-sized [T, B]; taking the "
-                "XLA scan path",
-                stacklevel=3,
-            )
-            return None
-        return "kernel"
+                "XLA scan path"
+            ),
+        )
 
     def _rollout_representation_fused(
         self, params, actions, audio_embed, vision_embed, prev_state, key, mode: str
@@ -432,9 +456,22 @@ class MoPoEMRSSM:
                 k_noise, stds, action_input, audio_in, vision_in
             )
         dt = self.cfg.compute_dtype
-        init = self.initial_state(params, audio_in[:, 0].astype(dt), vision_in[:, 0].astype(dt), k_init)
-        posterior, prior = self.rollout_representation(
-            params, action_input.astype(dt), audio_in.astype(dt), vision_in.astype(dt), init, k_roll
+        # One encoder pass serves BOTH the initial state (frame 0) and the
+        # recurrence — the reference re-encodes frame 0 inside initial_state
+        # (reference core.py:121-135 + 215-216), an extra [B]-frame pass
+        # through both conv stacks every training step (~1/T of conv FLOPs).
+        # Numerics are identical: convs are per-sample, and the frame-0 mean
+        # fusion below is exactly encode_observation's (raw conv-dtype mean,
+        # then one cast).
+        a_raw, v_raw = self._encode_embeds(
+            params, audio_in.astype(dt), vision_in.astype(dt)
+        )
+        init = self.initial_state_from_embed(
+            params, self._conv_out((a_raw[:, 0] + v_raw[:, 0]) / 2.0), k_init
+        )
+        posterior, prior = self._rollout_from_embeds(
+            params, action_input.astype(dt), self._conv_out(a_raw), self._conv_out(v_raw),
+            init, k_roll,
         )
         recons = self.decode_state(params, posterior)
         targets = {"recon/audio": batch[4], "recon/vision": batch[5]}

@@ -111,27 +111,31 @@ class RSSM:
         return encoder_apply(params["encoder"], self.cfg.encoder, obs)
 
     def _transition_core(self, params, action, prev_stoch, prev_deter):
-        from multimodal_mtrssm_tpu.nn.core import gru_apply
+        from multimodal_mtrssm_tpu.nn.core import rssm_transition_core
 
-        t = params["transition"]
-        act = self.cfg.activation_name
-        x = jnp.concatenate([action, prev_stoch], axis=-1)
-        x = mlp_apply(t["action_state_projector"], x, act)
-        deter = gru_apply(t["gru"], x, prev_deter)
-        logits = mlp_apply(t["rnn_to_prior_projector"], deter, act)
-        return deter, logits
+        return rssm_transition_core(
+            params["transition"], action, prev_stoch, prev_deter, self.cfg.activation_name
+        )
 
     def initial_state(self, params: Params, obs0: jax.Array, key: jax.Array) -> State:
+        return self.initial_state_from_embed(params, self.encode_observation(params, obs0), key)
+
+    def initial_state_from_embed(self, params: Params, embed: jax.Array, key: jax.Array) -> State:
+        """``initial_state`` from a pre-computed embedding (lets
+        ``shared_step`` reuse the rollout's encoder pass for frame 0)."""
         act = self.cfg.activation_name
-        embed = self.encode_observation(params, obs0)
         deter = mlp_apply(params["init_proj"], embed, self.cfg.init_proj_activation)
         logits = mlp_apply(params["transition"]["rnn_to_prior_projector"], deter, act)
         dist = self._dist(logits)
         return State(deter=deter, stoch=dist.rsample(key), distribution=dist)
 
     def rollout_representation(self, params, actions, obs, prev_state, key):
-        cfg = self.cfg
         embed = self.encode_observation(params, obs)
+        return self._rollout_from_embed(params, actions, embed, prev_state, key)
+
+    def _rollout_from_embed(self, params, actions, embed, prev_state, key):
+        """Representation rollout from a pre-computed embedding sequence."""
+        cfg = self.cfg
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 
@@ -192,9 +196,12 @@ class RSSM:
         if any(s > 0 for s in stds):
             action_input, obs_in = _add_input_noise(k_noise, stds, action_input, obs_in)
         dt = cfg.compute_dtype
-        init = self.initial_state(params, obs_in[:, 0].astype(dt), k_init)
-        posterior, prior = self.rollout_representation(
-            params, action_input.astype(dt), obs_in.astype(dt), init, k_roll
+        # One encoder pass for both the initial state (frame 0) and the
+        # recurrence (see the MRSSM counterpart).
+        embed = self.encode_observation(params, obs_in.astype(dt))
+        init = self.initial_state_from_embed(params, embed[:, 0], k_init)
+        posterior, prior = self._rollout_from_embed(
+            params, action_input.astype(dt), embed, init, k_roll
         )
         recon = gaussian_nll(self.decode_state(params, posterior)["recon"], batch[3], event_ndims=3)
         kl = jnp.mean(jnp.sum(

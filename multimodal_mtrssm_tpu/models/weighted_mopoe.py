@@ -45,22 +45,36 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         )
         return params
 
-    def _mix_weighted(self, params: Params, deter: jax.Array,
-                      a_logits: jax.Array, v_logits: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """Weighted MoE logsumexp; returns (mixed log-probs, subset weights [.., 3])."""
+    def _train_kernel_mode(self, batch: int, horizon: int) -> str | None:
+        """The fused training kernel hard-codes equal 1/3 subset weights, so
+        this model ALWAYS trains on the XLA scan; an explicit
+        ``use_pallas_train`` request is refused loudly instead of silently
+        (the base class would have either dispatched the kernel — wrong
+        posteriors — or warned)."""
+        v = self.cfg.use_pallas_train
+        if v not in (False, None, "auto"):
+            import warnings
+
+            warnings.warn(
+                f"use_pallas_train={v!r} ignored: the fused training kernel "
+                "hard-codes equal 1/3 subset weights, which would compute "
+                "wrong posteriors for WeightedMoPoEMRSSM; always taking the "
+                "XLA scan path",
+                stacklevel=3,
+            )
+        return None
+
+    def _posterior_mix(self, params: Params, deter: jax.Array,
+                       a_logits: jax.Array, v_logits: jax.Array) -> tuple[jax.Array, tuple]:
+        """Learned-weight MoE mixture (the base class's scan hook): the
+        shared ``mopoe_mix_log_probs`` (single home of the unnormalized-PoE
+        quirk) with per-step log-weights from the deter head; threads the
+        weights [.., 3] out of the scan."""
+        from multimodal_mtrssm_tpu.ops.fusion import mopoe_mix_log_probs
+
         w_logits = mlp_apply(params["moe_weight_head"], deter, self.cfg.activation_name)
         log_w = jax.nn.log_softmax(w_logits.astype(jnp.float32), axis=-1)
-        a = jax.nn.log_softmax(a_logits.astype(jnp.float32), axis=-1)
-        v = jax.nn.log_softmax(v_logits.astype(jnp.float32), axis=-1)
-        fused = a + v  # unnormalized PoE term (reference quirk, kept)
-        stacked = jnp.stack([a, v, fused], axis=-2) + log_w[..., None]
-        return jax.nn.logsumexp(stacked, axis=-2), jnp.exp(log_w)
-
-    def rollout_representation(self, params, actions, audio_obs, vision_obs, prev_state, key):
-        posterior, prior, _ = self.rollout_representation_with_weights(
-            params, actions, audio_obs, vision_obs, prev_state, key
-        )
-        return posterior, prior
+        return mopoe_mix_log_probs(a_logits, v_logits, log_weights=log_w), (jnp.exp(log_w),)
 
     def rollout_representation_with_weights(
         self, params, actions, audio_obs, vision_obs, prev_state, key
@@ -68,47 +82,11 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         """Like the base rollout, additionally returning the learned subset
         weights over time (``weights_timeseries`` [B, T, 3] — the quantity
         the reference's dead callback wanted to plot)."""
-        from multimodal_mtrssm_tpu.nn.conv import encoder_apply
-
-        cfg = self.cfg
-        audio_embed = self._conv_out(
-            encoder_apply(params["audio_encoder"], cfg.audio_encoder, self._conv_in(audio_obs))
+        a_raw, v_raw = self._encode_embeds(params, audio_obs, vision_obs)
+        posterior, prior, (weights,) = self._scan_representation(
+            params, actions, self._conv_out(a_raw), self._conv_out(v_raw), prev_state, key
         )
-        vision_embed = self._conv_out(
-            encoder_apply(params["vision_encoder"], cfg.vision_encoder, self._conv_in(vision_obs))
-        )
-        T = actions.shape[1]
-        step_keys = jax.random.split(key, T)
-
-        def step(carry, xs):
-            prev_deter, prev_stoch = carry
-            action_t, a_emb_t, v_emb_t, k = xs
-            k_prior, k_post = jax.random.split(k)
-            deter, prior_logits = self._transition_core(params, action_t, prev_stoch, prev_deter)
-            prior_stoch = self._dist(prior_logits).rsample(k_prior)
-            a_logits = self._posterior_logits(params, "audio", deter, a_emb_t)
-            v_logits = self._posterior_logits(params, "vision", deter, v_emb_t)
-            mixed, weights = self._mix_weighted(params, deter, a_logits, v_logits)
-            post_stoch = self._dist(mixed).rsample(k_post)
-            carry = (deter, post_stoch.astype(deter.dtype))
-            return carry, (deter, prior_logits, prior_stoch, mixed, post_stoch, weights)
-
-        xs = (
-            jnp.swapaxes(actions, 0, 1),
-            jnp.swapaxes(audio_embed, 0, 1),
-            jnp.swapaxes(vision_embed, 0, 1),
-            step_keys,
-        )
-        if cfg.remat:
-            step = jax.checkpoint(step)
-        _, (deter, prior_logits, prior_stoch, mixed, post_stoch, weights) = jax.lax.scan(
-            step, (prev_state.deter, prev_state.stoch.astype(prev_state.deter.dtype)), xs,
-            unroll=cfg.scan_unroll,
-        )
-        tm = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
-        prior = State(deter=tm(deter), stoch=tm(prior_stoch), distribution=self._dist(tm(prior_logits)))
-        posterior = State(deter=tm(deter), stoch=tm(post_stoch), distribution=self._dist(tm(mixed)))
-        return posterior, prior, tm(weights)
+        return posterior, prior, weights
 
 
 def plot_weights_timeseries(weights: jax.Array, out_path, episode: int = 0):

@@ -196,3 +196,20 @@ def mtrnn_apply(
         dense_apply(params["d2h"], prev_d) + dense_apply(params["input2h"], x)
     ) * inv_tau
     return jnp.tanh(new_hidden), new_hidden
+
+
+def rssm_transition_core(
+    transition: Params,
+    action: jax.Array,
+    prev_stoch: jax.Array,
+    prev_deter: jax.Array,
+    activation_name: str,
+) -> tuple[jax.Array, jax.Array]:
+    """Shared RSSM transition chain: MLP(cat(action, stoch)) → GRU → prior
+    head (reference ``networks.py:151-173``). One home for every family
+    (MoPoE-MRSSM, unimodal RSSM) so a parity fix cannot miss a sibling."""
+    x = jnp.concatenate([action, prev_stoch], axis=-1)
+    x = mlp_apply(transition["action_state_projector"], x, activation_name)
+    deter = gru_apply(transition["gru"], x, prev_deter)
+    logits = mlp_apply(transition["rnn_to_prior_projector"], deter, activation_name)
+    return deter, logits

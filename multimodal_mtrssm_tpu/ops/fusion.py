@@ -42,12 +42,23 @@ def poe_fuse_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> jax
     return a + v
 
 
-def mopoe_mix_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> jax.Array:
-    """Equal-weight MoE logsumexp over the subsets {A}, {V}, {A+V}.
+def mopoe_mix_log_probs(
+    audio_logits: jax.Array,
+    vision_logits: jax.Array,
+    log_weights: jax.Array | None = None,
+) -> jax.Array:
+    """MoE logsumexp over the subsets {A}, {V}, {A+V}.
 
     Reference ``mopoe_mrssm/core.py:136-154`` (the 2^M - 1 non-empty modality
     subsets for M=2). Returns mixed log-probabilities (f32) to be used as
     ``MultiOneHot`` logits.
+
+    ``log_weights`` (``[..., 3]``, log-space, broadcast against the logits'
+    batch dims) replaces the fixed log(1/3) per-subset weight — this is the
+    ONE home of the mixture (including the intentional unnormalized-PoE
+    quirk), shared by the equal-weight models and ``WeightedMoPoEMRSSM``'s
+    learned weights so the quirk cannot be "fixed" in one copy and not the
+    other.
 
     With identical expert logits the mixture must agree with each expert up
     to the (unnormalized) PoE term:
@@ -61,5 +72,9 @@ def mopoe_mix_log_probs(audio_logits: jax.Array, vision_logits: jax.Array) -> ja
     a = jax.nn.log_softmax(audio_logits.astype(jnp.float32), axis=-1)
     v = jax.nn.log_softmax(vision_logits.astype(jnp.float32), axis=-1)
     fused = a + v  # unnormalized PoE term, kept unnormalized on purpose
-    stacked = jnp.stack([a, v, fused], axis=-2) + _LOG_THIRD
+    stacked = jnp.stack([a, v, fused], axis=-2)
+    if log_weights is None:
+        stacked = stacked + _LOG_THIRD
+    else:
+        stacked = stacked + log_weights.astype(jnp.float32)[..., None]
     return jax.nn.logsumexp(stacked, axis=-2)

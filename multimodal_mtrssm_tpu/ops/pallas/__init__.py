@@ -59,7 +59,62 @@ def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: i
         return False
     if use_pallas == "auto":
         return default_use_pallas(kind, batch, horizon)
-    return bool(use_pallas)
+    if use_pallas in (True, False):
+        return use_pallas
+    raise ValueError(
+        f"use_pallas={use_pallas!r} not recognized; expected True, False, or 'auto'"
+    )
+
+
+def resolve_train_kernel_mode(
+    v, *, eligible: bool, auto_flag: bool, warn_ineligible: str
+) -> str | None:
+    """Resolve a ``use_pallas_train`` flag to a concrete mode (None = XLA
+    scan). Shared by both model families so the dispatch ladder cannot
+    drift between them.
+
+    - ``False``/``None`` → None.
+    - ``"interpret"``/``"reference"`` (debug/test modes) → themselves when
+      the shape/config is eligible, else None.
+    - ``"auto"`` → ``"kernel"`` only when eligible AND the family's
+      measured-win policy flag is on AND running single-chip on TPU (GSPMD
+      cannot partition a bare ``pallas_call`` over a batch-sharded mesh, so
+      multi-chip training keeps the XLA scan, which partitions
+      automatically).
+    - ``True`` → ``"kernel"`` when eligible, with the same single-device
+      guard as "auto" (warns either way when falling back — an explicit
+      True must never be ignored silently).
+    - anything else → ``ValueError`` (a YAML typo like ``"false"`` or
+      ``"atuo"`` must not silently pick a path).
+    """
+    if v in (False, None):
+        return None
+    if v in ("interpret", "reference"):
+        return v if eligible else None
+    if v == "auto":
+        if (eligible and auto_flag and jax.default_backend() == "tpu"
+                and len(jax.devices()) == 1):
+            return "kernel"
+        return None
+    if v is True:
+        import warnings
+
+        if not eligible:
+            warnings.warn(warn_ineligible, stacklevel=4)
+            return None
+        if len(jax.devices()) > 1:
+            warnings.warn(
+                "use_pallas_train=True ignored on a multi-device backend: "
+                "GSPMD cannot partition the fused training kernel over a "
+                "batch-sharded mesh; taking the XLA scan path",
+                stacklevel=4,
+            )
+            return None
+        return "kernel"
+    raise ValueError(
+        f"use_pallas_train={v!r} not recognized; expected True, False, None, "
+        "'auto', 'interpret', or 'reference'"
+    )
 
 
 __all__ = [
@@ -76,5 +131,6 @@ __all__ = [
     "pack_train_params",
     "reference_mt_train_recurrence",
     "reference_train_recurrence",
+    "resolve_train_kernel_mode",
     "resolve_use_pallas",
 ]

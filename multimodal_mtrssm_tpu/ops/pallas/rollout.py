@@ -73,12 +73,13 @@ def _uniform_from_bits(bits: jax.Array) -> jax.Array:
     return one_to_two - 1.0
 
 
-def gumbel_block_sample(logits: jax.Array, class_size: int, category_size: int) -> jax.Array:
-    """One-hot categorical sample per category block via Gumbel-argmax,
-    using the on-core PRNG (must be seeded). First-index tie-break via a
-    static column sweep (cumsum/argmax are unimplemented in the lowering)."""
-    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
-    scores = logits + (-jnp.log(-jnp.log(u)))
+def onehot_blocks(scores: jax.Array, class_size: int, category_size: int) -> jax.Array:
+    """First-index argmax one-hot per category block via a static column
+    sweep (cumsum/argmax are unimplemented in the Pallas TPU lowering; the
+    first-index tie-break matches ``jax.random.categorical``). The ONE home
+    of this lowering workaround — shared by the rollout kernels (here) and
+    the training kernels (``train_step.py``) so sampling cannot
+    desynchronize between serving and training."""
     blocks = []
     for c in range(class_size):
         block = scores[:, c * category_size : (c + 1) * category_size]
@@ -92,6 +93,13 @@ def gumbel_block_sample(logits: jax.Array, class_size: int, category_size: int) 
             cols.append(col)
         blocks.append(jnp.concatenate(cols, axis=-1))
     return jnp.concatenate(blocks, axis=-1)
+
+
+def gumbel_block_sample(logits: jax.Array, class_size: int, category_size: int) -> jax.Array:
+    """One-hot categorical sample per category block via Gumbel-argmax,
+    using the on-core PRNG (must be seeded)."""
+    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32))
+    return onehot_blocks(logits + (-jnp.log(-jnp.log(u))), class_size, category_size)
 
 
 def _rollout_kernel(

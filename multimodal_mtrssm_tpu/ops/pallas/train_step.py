@@ -133,29 +133,14 @@ def _block_softmax_vjp(probs, g, class_size, category_size):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _onehot_blocks(scores, class_size, category_size):
-    """First-index argmax one-hot per category block (static column sweep —
-    cumsum/argmax are unimplemented in the Pallas TPU lowering)."""
-    blocks = []
-    for c in range(class_size):
-        block = scores[:, c * category_size : (c + 1) * category_size]
-        m = jnp.max(block, axis=-1, keepdims=True)
-        is_max = (block >= m).astype(jnp.float32)
-        taken = jnp.zeros_like(is_max[:, :1])
-        cols = []
-        for _j in range(category_size):
-            col = is_max[:, _j : _j + 1] * (1.0 - taken)
-            taken = taken + col
-            cols.append(col)
-        blocks.append(jnp.concatenate(cols, axis=-1))
-    return jnp.concatenate(blocks, axis=-1)
-
-
 def _st_sample(logits, gumbel, class_size, category_size):
     """Straight-through sample VALUE: (onehot + p) - p, matching the XLA
     path's ``onehot + probs - stop_gradient(probs)`` bit-for-bit (same
-    association order). Returns (sample, probs)."""
-    onehot = _onehot_blocks(logits + gumbel, class_size, category_size)
+    association order). Returns (sample, probs). The tie-break sweep is
+    shared with the rollout kernels (``rollout.onehot_blocks``)."""
+    from multimodal_mtrssm_tpu.ops.pallas.rollout import onehot_blocks
+
+    onehot = onehot_blocks(logits + gumbel, class_size, category_size)
     p = _block_probs(logits, class_size, category_size)
     return (onehot + p) - p, p
 

@@ -86,7 +86,7 @@ def test_weighted_mopoe_reduces_to_fixed_with_uniform_weights():
     deter = jnp.asarray(rng.normal(size=(B, 32)), jnp.float32)
     a = jnp.asarray(rng.normal(size=(B, 16)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, 16)), jnp.float32)
-    mixed_w, weights = model._mix_weighted(params, deter, a, v)
+    mixed_w, (weights,) = model._posterior_mix(params, deter, a, v)
     np.testing.assert_allclose(np.asarray(weights), 1.0 / 3.0, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(mixed_w), np.asarray(mopoe_mix_log_probs(a, v)), atol=1e-5

@@ -208,13 +208,26 @@ def test_model_kernel_path_trains():
     assert losses[-1] < losses[0]
 
 
-def test_dispatch_eligibility():
+def test_dispatch_eligibility(monkeypatch):
     """use_pallas_train falls back to the XLA path for non-ELU / bf16 /
-    VMEM-oversized configs, loudly for an explicit True."""
+    VMEM-oversized configs and multi-device backends — loudly for an
+    explicit True — and rejects unknown values outright."""
     import warnings
 
+    import pytest
+
+    # This test env runs 8 virtual CPU devices: an explicit True must warn
+    # and fall back (GSPMD can't partition a bare pallas_call over a mesh).
     m = _small_model(True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert m._train_kernel_mode(8, 30) is None
+    assert any("multi-device" in str(w.message) for w in caught)
+    # Single-device backend: True dispatches the kernel.
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a: one)
     assert m._train_kernel_mode(8, 30) == "kernel"
+    monkeypatch.undo()
     m_gelu = MoPoEMRSSM(MRSSMConfig(activation_name="GELU", use_pallas_train=True))
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
@@ -226,3 +239,8 @@ def test_dispatch_eligibility():
     assert m_big._train_kernel_mode(4096, 180) is None  # VMEM guard
     # "auto" stays on XLA off-TPU regardless.
     assert _small_model("auto")._train_kernel_mode(8, 30) is None
+    # A YAML typo like "false" (quoted) or "atuo" must raise, not silently
+    # pick a path.
+    for bad in ("false", "atuo", "on", 1):
+        with pytest.raises(ValueError, match="use_pallas_train"):
+            _small_model(bad)._train_kernel_mode(8, 30)

@@ -99,6 +99,14 @@ def test_use_pallas_auto_dispatch():
         assert P.resolve_use_pallas("auto", "mrssm", 10, 10) is False
         assert P.resolve_use_pallas("auto", "mrssm", 60, 10) is True
         assert P.resolve_use_pallas("auto", "mrssm", 64, 30) is True
+    # Unknown values (e.g. a quoted "true" from YAML) raise instead of
+    # silently truth-testing to the kernel path. (Python equality makes
+    # 1/0 indistinguishable from True/False — those pass through.)
+    import pytest
+
+    for bad in ("true", "on", "none"):
+        with pytest.raises(ValueError, match="use_pallas"):
+            P.resolve_use_pallas(bad, "mrssm", 8, 30)
 
 
 def test_worldmodel_mesh_parallel_matches_single_device():
