@@ -325,7 +325,13 @@ class EpisodeDataModule:
         bs = self.train_batch_size
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
-        batches = (self._make_batch(b, rng) for b in self._batched_indices(idx, bs))
+        groups = self._batched_indices(idx, bs)
+        if skip and not self._raw and cfg.noise_std == 0:
+            # No per-batch host RNG: skip at the index level (bit-identical
+            # stream, no wasted assembly of already-trained batches).
+            groups = groups[skip:]
+            skip = 0
+        batches = (self._make_batch(b, rng) for b in groups)
         if skip:
             batches = (b for i, b in enumerate(batches) if i >= skip)
         return _device_prefetch(batches, device)
@@ -409,9 +415,21 @@ class EpisodeDataModule:
             yield ("step", pb)
 
     def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
+        # Mid-epoch resume: when no host RNG is drawn per batch (non-pack
+        # mode with noise off — the config default applies noise on device),
+        # skipped items need not be assembled at all; dropping them at the
+        # index level leaves the served stream bit-identical. With per-batch
+        # RNG the skipped batches ARE assembled so the draw sequence matches
+        # the interrupted epoch.
+        cheap_skip = bool(skip) and (
+            rng is None or (not self._raw and self.cfg.noise_std == 0)
+        )
+
         def gen():
-            for kind, idx in self._grouped_indices(groups, bs, k):
-                if kind == "scan":
+            for i, (kind, idx) in enumerate(self._grouped_indices(groups, bs, k)):
+                if cheap_skip and i < skip:
+                    yield (kind, None)  # place() drops it before assembly
+                elif kind == "scan":
                     # Per-batch assembly in group order keeps the noise-RNG
                     # draw sequence identical to the unchunked stream.
                     batches = [self._make_batch(g, rng) for g in idx]

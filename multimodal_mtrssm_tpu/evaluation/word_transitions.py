@@ -40,6 +40,9 @@ from multimodal_mtrssm_tpu.data.transforms import (
     NormalizeAudioMelSpectrogram,
     NormalizeVisionImage,
 )
+# Layout normalization shared with the data pipeline (one home: it also
+# validates ndim, which this module's former local copy silently skipped).
+from multimodal_mtrssm_tpu.data.episodes import _to_nhwc
 from multimodal_mtrssm_tpu.evaluation.classifier import recognize_digits
 
 WORD_SET = list(range(10))
@@ -211,14 +214,6 @@ def select_intervals_for_word(
 # ---------------------------------------------------------------------------
 # Prediction (reference :286-372, batched over samples)
 # ---------------------------------------------------------------------------
-
-
-def _to_nhwc(obs: np.ndarray) -> np.ndarray:
-    if obs.ndim == 3:
-        return obs[..., None]
-    if obs.shape[1] <= 4 < obs.shape[-1]:
-        return np.moveaxis(obs, 1, -1)
-    return obs
 
 
 def generate_predictions_with_classifier(

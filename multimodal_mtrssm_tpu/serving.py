@@ -39,6 +39,20 @@ class WorldModel:
     """
 
     def __init__(self, model, params, use_pallas: bool | str = "auto", mesh=None):
+        import inspect
+
+        # The observe/imagine surface is multimodal: initial_state(params,
+        # audio, vision, key). Fail fast on a unimodal model (its
+        # initial_state(params, obs, key) would bind the vision array to the
+        # RNG key and crash deep inside jit on the first request).
+        if len(inspect.signature(model.initial_state).parameters) < 4:
+            raise TypeError(
+                f"WorldModel serves the multimodal families (MoPoEMRSSM / "
+                f"MoPoEMMTRSSM / WeightedMoPoEMRSSM); got "
+                f"{type(model).__name__}, whose initial_state takes a single "
+                "observation — wrap the unimodal model's rollout methods "
+                "directly instead"
+            )
         self.model = model
         # True / False / "auto" — auto picks kernel vs XLA per rollout shape
         # from the measured crossovers (ops.pallas.default_use_pallas). On a
@@ -123,8 +137,11 @@ class WorldModel:
                 f"no 'best' or 'last' checkpoint under {checkpoint_dir} — "
                 "point --checkpoint at a run's checkpoints directory"
             )
-        state, _ = ckpt.restore(name, {"params": template})
-        return cls(exp.model, state["params"], use_pallas=use_pallas, mesh=mesh)
+        # restore_params handles both params-only checkpoints ("best") and
+        # full training-state ones ("last" from a run preempted before any
+        # validation epoch) — a plain template restore rejects the latter.
+        params, _ = ckpt.restore_params(name, template)
+        return cls(exp.model, params, use_pallas=use_pallas, mesh=mesh)
 
     # ---- inference ---------------------------------------------------------
     def _observe_impl(self, params, actions, audio_obs, vision_obs, key):

@@ -44,6 +44,36 @@ class CheckpointManager:
         aux = json.loads(aux_path.read_text()) if aux_path.exists() else {}
         return state, aux
 
+    def restore_params(self, name: str, template: dict[str, Any]) -> tuple[dict, dict]:
+        """Restore only the ``params`` subtree of checkpoint ``name``.
+
+        Works for params-only checkpoints (``best``) AND full training-state
+        checkpoints (``last``/``diverged``): Orbax rejects a params-only
+        template against an on-disk tree that also holds ``opt_state``
+        (structure mismatch), so on that failure the raw tree is restored
+        and its ``params`` subtree extracted and validated against the
+        model's template.
+        """
+        try:
+            state, aux = self.restore(name, {"params": template})
+            return state["params"], aux
+        except ValueError:
+            state, aux = self.restore(name)
+        if not isinstance(state, dict) or "params" not in state:
+            raise ValueError(
+                f"checkpoint {self.dir / name} has no 'params' subtree "
+                f"(keys: {sorted(state) if isinstance(state, dict) else type(state)})"
+            )
+        params = state["params"]
+        want = jax.tree.structure(jax.device_get(template))
+        got = jax.tree.structure(params)
+        if got != want:
+            raise ValueError(
+                f"checkpoint {self.dir / name} 'params' tree does not match "
+                f"the model: checkpoint {got} vs model {want}"
+            )
+        return params, aux
+
     def exists(self, name: str) -> bool:
         return (self.dir / name).exists()
 

@@ -412,8 +412,11 @@ class Trainer:
                 if resume_from is None:
                     raise
                 # No optimizer state in the checkpoint (or an incompatible
-                # optimizer config): params-only restore.
-                state, aux = mgr.restore(name, {"params": params})
+                # optimizer config): params-only restore. restore_params also
+                # handles full-state checkpoints whose opt_state doesn't match
+                # this run's optimizer (raw restore + params extraction).
+                p_only, aux = mgr.restore_params(name, params)
+                state = {"params": p_only}
                 has_full = False
             params = replicate(state["params"], self.mesh)
             if not has_full:
@@ -560,11 +563,11 @@ class Trainer:
                             _accumulate(train_metrics, m, weight=b)
                             n_train_eps += b
                         stream_pos += window
-                def _save_last(epoch_, global_step_, **extra):
-                    """One 'last' checkpoint shape for every save site (the
+                def _save_last(epoch_, global_step_, name="last", **extra):
+                    """One checkpoint shape for every full-state save site (the
                     resume path depends on these fields staying in sync)."""
                     self.ckpt.save(
-                        "last",
+                        name,
                         {"params": params, "opt_state": opt_state},
                         {
                             "epoch": epoch_,
@@ -630,13 +633,9 @@ class Trainer:
                 bad = [k for k, v in row.items()
                        if k.startswith(("train/", "val/")) and not math.isfinite(v)]
                 if cfg.halt_on_non_finite and bad:
-                    self.ckpt.save(
-                        "diverged",
-                        {"params": params, "opt_state": opt_state},
-                        {"epoch": epoch, "non_finite": bad, "best_val": best_val,
-                         "scheduler": scheduler.state_dict(),
-                         "early_stop": early_stop.state_dict()},
-                    )
+                    # Same aux shape as 'last' (global_step/key_base included)
+                    # so fit(resume_from=…/diverged) resumes exactly.
+                    _save_last(epoch, global_step, name="diverged", non_finite=bad)
                     advice = (
                         "resume from 'last' with a lower learning rate"
                         if self.ckpt.exists("last")

@@ -244,6 +244,60 @@ def test_device_resident_stream_matches_host_stream(tmp_path):
                 np.testing.assert_array_equal(np.asarray(hx), np.asarray(dx))
 
 
+def test_mid_epoch_skip_equivalence_and_cheapness(tmp_path):
+    """skip=N serves exactly the tail of the full stream on both host paths.
+    With no per-batch host RNG (noise off, non-pack) the skipped items are
+    never assembled; with host noise on they ARE assembled so the RNG draw
+    sequence matches the interrupted epoch — either way the values match."""
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
+    for noise in (0.0, 0.1):
+        dm = EpisodeDataModule(DataModuleConfig(
+            data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=noise,
+            device_resident=False))
+        dm2 = EpisodeDataModule(DataModuleConfig(
+            data_dir=data_dir, batch_size=2, sequence_length=3, noise_std=noise,
+            device_resident=False))
+        calls = [0]
+        orig = type(dm2)._make_batch
+
+        def counting(self, idx, rng, _o=orig, _c=calls):
+            _c[0] += 1
+            return _o(self, idx, rng)
+
+        type(dm2)._make_batch = counting
+        try:
+            full = list(dm.train_batches_chunked(0, 2))
+            skip = 2
+            calls[0] = 0
+            tail = list(dm2.train_batches_chunked(0, 2, skip=skip))
+            n_assembled = calls[0]
+            full_pb = list(dm.train_batches(1))
+            calls[0] = 0
+            tail_pb = list(dm2.train_batches(1, skip=1))
+            n_assembled_pb = calls[0]
+        finally:
+            type(dm2)._make_batch = orig
+        assert [k for k, _ in tail] == [k for k, _ in full[skip:]]
+        for (_, a), (_, b) in zip(tail, full[skip:]):
+            for xa, xb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        for a, b in zip(tail_pb, full_pb[1:]):
+            for xa, xb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        # Cheapness: noise-off skips at the index level (no assembly of
+        # skipped items); noise-on must assemble every batch for RNG parity.
+        full_calls = sum((b[0].shape[0] if k == "scan" else 1) for k, b in full)
+        skipped_calls = sum((b[0].shape[0] if k == "scan" else 1)
+                            for k, b in full[:skip])
+        if noise == 0.0:
+            assert n_assembled == full_calls - skipped_calls
+            assert n_assembled_pb == len(full_pb) - 1
+        else:
+            assert n_assembled == full_calls
+            assert n_assembled_pb == len(full_pb)
+
+
 def test_device_resident_noise_and_drop_semantics(tmp_path):
     """On-device noise hits inputs only; drop_modality zeroes the input to
     -1; the val stream is deterministic across iterations (fixed key)."""

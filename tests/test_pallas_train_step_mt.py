@@ -167,9 +167,21 @@ def test_mt_model_shared_step_kernel_equals_reference_path():
     np.testing.assert_allclose(np.asarray(fk), np.asarray(fr), atol=3e-4 * scale)
 
 
-def test_mt_dispatch_eligibility():
+def test_mt_dispatch_eligibility(monkeypatch):
+    import warnings
+
+    # This test env runs 8 virtual CPU devices: an explicit True must warn
+    # and fall back (GSPMD can't partition a bare pallas_call over a mesh).
     m = _small_model(True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert m._train_kernel_mode(8, 30) is None
+    assert any("multi-device" in str(w.message) for w in caught)
+    # Single-device backend: True dispatches the kernel.
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a: one)
     assert m._train_kernel_mode(8, 30) == "kernel"
+    monkeypatch.undo()
     assert _small_model("auto")._train_kernel_mode(8, 30) is None  # off-TPU
     m_bf16 = MoPoEMMTRSSM(MMTRSSMConfig(compute_dtype=jnp.bfloat16,
                                         use_pallas_train="interpret"))

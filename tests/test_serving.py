@@ -79,6 +79,30 @@ def test_from_checkpoint(tmp_path):
     posterior, _ = wm.observe(actions, audio, vision, jax.random.PRNGKey(2))
     assert posterior.feature.shape == (B, T, 48)
 
+    # A run preempted before any validation epoch has ONLY a full-state
+    # 'last' (params + opt_state): from_checkpoint must extract the params
+    # subtree, not die on Orbax's params-template/structure mismatch.
+    import shutil
+
+    ckpts = tmp_path / "run" / "checkpoints"
+    shutil.rmtree(ckpts / "best")
+    (ckpts / "best.json").unlink(missing_ok=True)
+    wm2 = WorldModel.from_checkpoint(repo / "configs" / "mopoe_mrssm.yaml", ckpts)
+    p2, _ = wm2.observe(actions, audio, vision, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(p2.deter), np.asarray(posterior.deter))
+
+
+def test_worldmodel_rejects_unimodal_model():
+    """The observe surface is multimodal; a unimodal RSSM must fail fast at
+    construction, not deep inside jit on the first request."""
+    import pytest
+
+    from multimodal_mtrssm_tpu.models.rssm import RSSM, RSSMConfig
+
+    model = RSSM(RSSMConfig(encoder=ENC))
+    with pytest.raises(TypeError, match="multimodal"):
+        WorldModel(model, model.init(jax.random.PRNGKey(0)))
+
 
 def test_use_pallas_auto_dispatch():
     """"auto" resolves per shape: XLA off-TPU always; on TPU, MT always and

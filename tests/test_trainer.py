@@ -348,6 +348,36 @@ def test_divergence_guard_halts_and_saves(tmp_path):
         "diverged", {"params": out["params"], "opt_state": out["opt_state"]}
     )
     assert aux["non_finite"], "diagnostic checkpoint missing the offending metric names"
+    # The diagnostic checkpoint carries the SAME aux shape as 'last'
+    # (global_step + key_base) so fit(resume_from=…/diverged) resumes
+    # exactly instead of silently resetting the step counter.
+    assert aux["global_step"] > 0 and "key_base" in aux and "scheduler" in aux
+    cfg2 = TrainerConfig(max_epochs=aux["epoch"] + 2, log_dir=str(tmp_path / "run2"))
+    out2 = Trainer(small_model(), dm, cfg2).fit(
+        resume_from=tmp_path / "run" / "checkpoints" / "diverged"
+    )
+    assert out2["history"][0]["epoch"] == aux["epoch"] + 1  # full-state resume
+
+
+def test_resume_from_incompatible_full_state_warm_starts(tmp_path):
+    """A full-state checkpoint whose opt_state doesn't match this run's
+    optimizer (different build / mesh) falls back to a params-only warm
+    start instead of crashing on the Orbax structure mismatch."""
+    from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
+
+    data_dir = tmp_path / "data"
+    generate_synthetic_audio_mnist(data_dir, n_episodes=4, episode_length=6)
+    dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
+    params = small_model().init(jax.random.PRNGKey(0))
+    ck = tmp_path / "foreign"
+    CheckpointManager(ck).save(
+        "last",
+        {"params": params, "opt_state": {"alien": np.zeros(3, np.float32)}},
+        {"epoch": 3, "scheduler": {"kind": "plateau"}},  # claims full state
+    )
+    cfg = TrainerConfig(max_epochs=1, log_dir=str(tmp_path / "run"))
+    out = Trainer(small_model(), dm, cfg).fit(resume_from=ck)
+    assert out["history"][0]["epoch"] == 0  # warm start, not epoch-4 resume
 
 
 def test_steps_per_dispatch_matches_per_step_loop(tmp_path):
