@@ -87,8 +87,12 @@ def _start_watchdog() -> "threading.Event":
 
 
 def main() -> None:
+    import os
+
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
+    if os.environ.get("_BENCH_FAIL_FAST"):  # test hook: the error-JSON contract
+        raise RuntimeError("injected failure (_BENCH_FAIL_FAST self-test)")
     watchdog_done = _start_watchdog()
     enable_compilation_cache()
     import jax.numpy as jnp
@@ -104,41 +108,22 @@ def main() -> None:
     ks = jax.random.split(key, 4)
     # K distinct batches stacked on a leading scan axis — real training
     # traffic (a fresh batch every optimizer step), not one batch reused.
-    stacked = (
-        jax.random.normal(ks[0], (K, B, T, 6)),
-        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (K, B, T, 6)),
-        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
+    # Inputs and targets reuse the SAME arrays (bit-identical to generating
+    # twice from the same keys, half the device footprint: each vision/audio
+    # stack is ~252 MB).
+    act = jax.random.normal(ks[0], (K, B, T, 6))
+    aud = jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1)
+    vis = jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1)
+    stacked = (act, aud, vis, act, aud, vis)
     params = model.init(jax.random.PRNGKey(1))
     opt_state = optimizer.init(params)
 
-    def one_step(params, opt_state, batch, k):
-        def loss_fn(p):
-            return model.shared_step(p, batch, k)["loss"]
+    # The Trainer's ACTUAL steps_per_dispatch fast path — same builder the
+    # Trainer jits (train/steps.py), so the equivalence test pinning that
+    # path covers exactly what this script times.
+    from multimodal_mtrssm_tpu.train.steps import make_train_scan, make_train_step
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    def train_scan(params, opt_state, stacked, key, step0):
-        # Trainer(steps_per_dispatch=K) fast path: K optimizer steps per
-        # dispatch, per-step keys folded inside jit.
-        def body(carry, xs):
-            p, s = carry
-            batch, step = xs
-            p, s, loss = one_step(p, s, batch, jax.random.fold_in(key, step))
-            return (p, s), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (stacked, step0 + jnp.arange(K))
-        )
-        return params, opt_state, losses[-1]
-
-    train_scan = jax.jit(train_scan, donate_argnums=(0, 1))
+    train_scan = jax.jit(make_train_scan(model, optimizer), donate_argnums=(0, 1))
 
     # Compiled cost analysis → analytic FLOPs/step for the MFU figure
     # (VERDICT r1 item 2: quantify chip utilization, not just vs-torch
@@ -156,18 +141,11 @@ def main() -> None:
         # 25.6 GFLOP step (convs dominate; measured 2026-08-17: 25.5924 vs
         # 25.5923 GF between modes), so the twin's count stands in exactly.
         flops_model = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False))
-
-        def one_step_flops(params, opt_state, batch, k):
-            loss, grads = jax.value_and_grad(
-                lambda p: flops_model.shared_step(p, batch, k)["loss"]
-            )(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
-
+        one_step_flops = make_train_step(flops_model, optimizer)
         batch1 = tuple(x[0] for x in stacked)
         ca = (
             jax.jit(one_step_flops)
-            .lower(params, opt_state, batch1, ks[3])
+            .lower(params, opt_state, batch1, ks[3], 0)
             .compile()
             .cost_analysis()
         )
@@ -179,7 +157,8 @@ def main() -> None:
 
     step_no = 0
     for _ in range(WARMUP):
-        params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
+        params, opt_state, metrics = train_scan(params, opt_state, stacked, ks[3], step_no)
+        loss = metrics["loss"]
         step_no += K
     # Fence with a host transfer, NOT block_until_ready: on this backend
     # block_until_ready can return before enqueued work completes (observed
@@ -191,9 +170,9 @@ def main() -> None:
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            params, opt_state, loss = train_scan(params, opt_state, stacked, ks[3], step_no)
+            params, opt_state, metrics = train_scan(params, opt_state, stacked, ks[3], step_no)
             step_no += K
-        float(loss)
+        float(metrics["loss"])
         times.append((time.perf_counter() - t0) / (ITERS * K))
         if w < WINDOWS - 1:
             time.sleep(WINDOW_GAP_S)
@@ -224,4 +203,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the contract is ONE JSON line, always
+        # A fast failure (tunnel refused, libtpu mismatch, OOM) must still
+        # print the one JSON line — the watchdog only covers hangs.
+        print(json.dumps({
+            "metric": "mopoe_mrssm_train_seq_per_s",
+            "value": 0.0,
+            "unit": "seq/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        raise SystemExit(1)

@@ -92,6 +92,9 @@ def gather_affine_noise(
 ) -> np.ndarray:
     """``src[idx, :seq_len] * scale + shift (+ noise)`` fused; numpy fallback."""
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    # numpy's :seq_len slice clamps to the episode length; the kernel must
+    # see the same bound or it would read past the episode row.
+    seq_len = min(int(seq_len), int(src.shape[1]))
     B = idx.shape[0]
     frame_shape = src.shape[2:]
     frame_elems = int(np.prod(frame_shape)) if frame_shape else 1
@@ -132,6 +135,8 @@ def gather_noise(
     """
     src = np.ascontiguousarray(src, dtype=np.float32)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    # Match numpy's clamping :seq_len slice (no out-of-row reads in the kernel).
+    seq_len = min(int(seq_len), int(src.shape[1]))
     B = idx.shape[0]
     frame_shape = src.shape[2:]
     frame_elems = int(np.prod(frame_shape)) if frame_shape else 1

@@ -69,6 +69,22 @@ def conv_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int) -> Params:
     }
 
 
+def deconv_init(key: jax.Array, in_ch: int, out_ch: int, kernel: int) -> Params:
+    """ConvTranspose2d params (HWIO), torch-style init.
+
+    torch computes the init fan from ``weight.size(1) * k * k``; a
+    ConvTranspose2d weight is laid out (in, out, kH, kW), so its fan is
+    OUT_ch·k² — not in_ch·k² as for Conv2d. Matching that keeps the decoder's
+    starting scale (and so optimizer dynamics) in the reference's regime.
+    """
+    kw, kb = jax.random.split(key)
+    fan_in = out_ch * kernel * kernel
+    return {
+        "w": _fan_in_uniform(kw, (kernel, kernel, in_ch, out_ch), fan_in),
+        "b": _fan_in_uniform(kb, (out_ch,), fan_in),
+    }
+
+
 def conv_apply(params: Params, x: jax.Array, stride: int, padding: int) -> jax.Array:
     """2-D conv, NHWC x HWIO → NHWC."""
     w = params["w"].astype(x.dtype)
@@ -310,7 +326,7 @@ def decoder_init(key: jax.Array, cfg: DecoderConfig) -> Params:
         c_in = in_ch
     deconvs = []
     for ch, k in zip(cfg.channels, cfg.kernel_sizes):
-        deconvs.append(conv_init(next(keys), c_in, ch, k))
+        deconvs.append(deconv_init(next(keys), c_in, ch, k))
         c_in = ch
     params["deconvs"] = deconvs
     return params

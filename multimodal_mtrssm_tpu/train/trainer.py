@@ -256,21 +256,16 @@ class Trainer:
 
     # ---- jitted steps ------------------------------------------------------
     def _build_steps(self) -> None:
+        from multimodal_mtrssm_tpu.train.steps import make_train_scan, make_train_step
+
         model = self.model
         optimizer = self.optimizer
 
-        def train_step(params, opt_state, batch, key, step):
-            # Per-step key derived inside jit: no host→device RNG traffic.
-            key = jax.random.fold_in(key, step)
-
-            def loss_fn(p):
-                d = model.shared_step(p, batch, key)
-                return d["loss"], d
-
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return params, opt_state, metrics
+        # Step math lives in train/steps.py — ONE implementation shared with
+        # bench.py and the multi-chip dry run, pinned by the
+        # steps_per_dispatch equivalence test below.
+        train_step = make_train_step(model, optimizer)
+        train_scan = make_train_scan(model, optimizer)
 
         def val_step(params, batch, key, step):
             return model.shared_step(params, batch, jax.random.fold_in(key, step))
@@ -285,34 +280,6 @@ class Trainer:
 
             _, metrics = jax.lax.scan(body, None, (stacked, step0 + jnp.arange(k)))
             return jax.tree.map(jnp.sum, metrics)
-
-        def train_scan(params, opt_state, stacked, key, step0):
-            """K train steps in one dispatch: scan over the leading axis of a
-            [K, B, ...] batch stack. Per-step math/RNG identical to
-            train_step(…, step0 + i)."""
-            k = stacked[0].shape[0]
-
-            def body(carry, xs):
-                p, s = carry
-                batch, step = xs
-                kk = jax.random.fold_in(key, step)
-
-                def loss_fn(pp):
-                    d = model.shared_step(pp, batch, kk)
-                    return d["loss"], d
-
-                grads, metrics = jax.grad(loss_fn, has_aux=True)(p)
-                updates, s = optimizer.update(grads, s, p)
-                p = jax.tree.map(lambda a, u: a + u, p, updates)
-                return (p, s), metrics
-
-            steps = step0 + jnp.arange(k)
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state), (stacked, steps)
-            )
-            # Per-step metric vectors summed on device (all k batches are
-            # full-size, so the host applies one weight to the sum).
-            return params, opt_state, jax.tree.map(jnp.sum, metrics)
 
         def grad_step(params, acc, batch, key, step):
             key = jax.random.fold_in(key, step)

@@ -156,12 +156,18 @@ def _bindings_in(node: ast.AST) -> tuple[set[str], set[str]]:
         for comp in node.generators:
             bound |= _target_names(comp.target)
 
+    comp_types = (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+
     def visit(n: ast.AST) -> None:
         for child in ast.iter_child_nodes(n):
             if isinstance(child, _SCOPE_NODES):
                 # def/class/lambda binds its NAME here; its body is a new scope.
                 if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                     bound.add(child.name)
+                elif isinstance(child, comp_types) and not isinstance(node, comp_types):
+                    # PEP 572: a walrus inside a comprehension binds in the
+                    # nearest enclosing NON-comprehension scope — this one.
+                    bound.update(_walrus_targets_through_comps(child))
                 continue
             if isinstance(child, (ast.Import, ast.ImportFrom)):
                 for alias in child.names:
@@ -182,6 +188,25 @@ def _bindings_in(node: ast.AST) -> tuple[set[str], set[str]]:
     # Lambda/comprehension bodies are expressions: walk them for walrus etc.
     visit(node)
     return bound - escaped, escaped
+
+
+def _walrus_targets_through_comps(comp: ast.AST) -> set[str]:
+    """``NamedExpr`` targets inside a comprehension subtree, walking through
+    nested comprehensions but not into function/lambda/class scopes (a
+    walrus inside those binds there, not in the comprehension's owner)."""
+    out: set[str] = set()
+
+    def visit(n: ast.AST) -> None:
+        for child in ast.iter_child_nodes(n):
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                  ast.Lambda, ast.ClassDef)):
+                continue
+            if isinstance(child, ast.NamedExpr) and isinstance(child.target, ast.Name):
+                out.add(child.target.id)
+            visit(child)
+
+    visit(comp)
+    return out
 
 
 def _target_names(t: ast.AST) -> set[str]:

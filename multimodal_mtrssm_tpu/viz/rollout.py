@@ -36,7 +36,10 @@ def compute_reconstructions(model, params, batch, query_length: int, key: jax.Ar
     ``{audio,vision} × {prior,posterior}`` reconstructions.
     """
     action, audio_in, vision_in = batch[0], batch[1], batch[2]
-    q = query_length
+    # q < 1 would make posterior[:, q-1] wrap to the LAST timestep and seed
+    # "imagination" from the end of the episode — clamp to [1, T-1] (floor
+    # wins on a T=1 batch: prior == posterior frame 0, empty imagination).
+    q = max(1, min(query_length, action.shape[1] - 1))
     k1, k2, k3 = jax.random.split(key, 3)
     init = model.initial_state(params, audio_in[:, 0], vision_in[:, 0], k1)
     posterior, _ = model.rollout_representation(params, action, audio_in, vision_in, init, k2)

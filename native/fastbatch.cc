@@ -82,6 +82,7 @@ void fastbatch_gather_noise(const float* src, int64_t n, int64_t t_total,
                             int64_t frame_elems, const int64_t* idx, int64_t b,
                             int64_t seq_len, float noise_std, uint64_t seed,
                             float* out, int64_t n_threads) {
+  if (b <= 0) return;  // empty batch: nothing to do (and avoids /0 below)
   const int64_t row_elems = seq_len * frame_elems;
   if (n_threads <= 0) {
     n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
@@ -125,6 +126,7 @@ void fastbatch_gather_affine_noise(const float* src, int64_t n, int64_t t_total,
                                    int64_t b, int64_t seq_len, float scale,
                                    float shift, float noise_std, uint64_t seed,
                                    float* out, int64_t n_threads) {
+  if (b <= 0) return;  // empty batch: nothing to do (and avoids /0 below)
   const int64_t row_elems = seq_len * frame_elems;
   if (n_threads <= 0) {
     n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());

@@ -86,3 +86,24 @@ def test_bench_watchdog_emits_json_and_exits():
     assert len(json_lines) == 1, proc.stdout
     d = json.loads(json_lines[0])
     assert d["metric"] == "mopoe_mrssm_train_seq_per_s" and "error" in d
+
+
+def test_bench_fast_failure_emits_error_json():
+    """A fast failure (tunnel refused, libtpu mismatch) must ALSO print the
+    one JSON line — the watchdog only covers hangs. Uses bench.py's
+    _BENCH_FAIL_FAST injection hook."""
+    import json
+
+    env = _clean_env()
+    env["_BENCH_FAIL_FAST"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], env=env, cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+    assert len(json_lines) == 1, proc.stdout
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "mopoe_mrssm_train_seq_per_s"
+    assert d["value"] == 0.0 and "injected failure" in d["error"]

@@ -75,3 +75,19 @@ def test_native_gather_correct_with_noise():
     # noise is small: values must be near the gathered source
     np.testing.assert_allclose(out, src[idx, :7], atol=0.4)
     assert not np.array_equal(out, src[idx, :7])
+
+
+def test_gather_edge_cases_empty_batch_and_long_seq():
+    """b=0 must not SIGFPE the process; seq_len past the episode length
+    clamps exactly like numpy's :seq_len slice (no out-of-row reads)."""
+    src = np.random.default_rng(3).normal(size=(4, 5, 6)).astype(np.float32)
+    for fn, extra in ((native.gather_noise, ()), (native.gather_affine_noise, (2.0, -1.0))):
+        empty = fn(src, np.empty((0,), np.int64), 3, *extra, 0.0, 0)
+        assert empty.shape == (0, 3, 6)
+        idx = np.array([3, 1])
+        long = fn(src, idx, 99, *extra, 0.0, 0)
+        want = src[idx]  # full episode: the clamp bound
+        if extra:
+            want = want * extra[0] + extra[1]
+        assert long.shape == (2, 5, 6)
+        np.testing.assert_allclose(long, want, atol=1e-6)

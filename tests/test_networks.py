@@ -101,3 +101,23 @@ def test_conv_transpose_shape_math():
     for expect in (8, 16, 32):
         x = conv_transpose_apply(p, x, stride=2, padding=1)
         assert x.shape[1] == expect and x.shape[2] == expect
+
+
+def test_deconv_init_uses_transposed_fan():
+    """torch ConvTranspose2d computes its init fan from weight.size(1)·k² =
+    OUT_ch·k² (the transposed layout), not in_ch·k²: the decoder's output
+    layers must start at the reference's scale."""
+    import numpy as np
+
+    from multimodal_mtrssm_tpu.nn.conv import conv_init, deconv_init
+
+    in_ch, out_ch, k = 64, 16, 4
+    d = deconv_init(jax.random.PRNGKey(0), in_ch, out_ch, k)
+    bound = 1.0 / np.sqrt(out_ch * k * k)
+    w = np.asarray(d["w"])
+    assert w.shape == (k, k, in_ch, out_ch)
+    assert np.max(np.abs(w)) <= bound + 1e-7
+    assert np.max(np.abs(w)) > 0.9 * bound  # actually fills the range
+    # Distinct from the Conv2d fan (in_ch·k² would give a 2x smaller bound).
+    c = np.asarray(conv_init(jax.random.PRNGKey(0), in_ch, out_ch, k)["w"])
+    assert np.max(np.abs(c)) <= 1.0 / np.sqrt(in_ch * k * k) + 1e-7

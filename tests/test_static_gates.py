@@ -89,6 +89,20 @@ def test_ast_lint_undefined_names(tmp_path):
         "comprehension target ok": ("xs = [i * 2 for i in range(3)]\n", False),
         "comprehension target does not leak": ("xs = [i for i in range(3)]\nprint(i)\n", True),
         "walrus ok": ("if (n := 5) > 3:\n    print(n)\n", False),
+        # PEP 572: a walrus in a comprehension binds in the ENCLOSING scope.
+        "walrus in comp escapes": (
+            "def f(xs):\n    ys = [y := x + 1 for x in xs]\n    return y + ys[0]\n",
+            False,
+        ),
+        "walrus in nested comp escapes": (
+            "def f(xs):\n    m = [[z := v for v in row] for row in xs]\n    return z\n",
+            False,
+        ),
+        # …but the comprehension's LOOP variable does not.
+        "comp loop var does not escape": (
+            "def f(xs):\n    ys = [x + 1 for x in xs]\n    return x\n",
+            True,
+        ),
         "except name ok": ("try:\n    pass\nexcept ValueError as e:\n    print(e)\n", False),
         "global binding visible at module level": (
             "def f():\n    '''d'''\n    global st\n    st = 1\n"
