@@ -79,8 +79,11 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
     flat1 = jax.tree.leaves(p1)
     flat2 = jax.tree.leaves(p2)
+    # Post-Adam params: SPMD reduction reassociation passes through the
+    # normalized update, so per-entry noise up to a few e-5 is expected
+    # (lr=1e-3; a wiring bug corrupts essentially every entry by ~lr).
     for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_bench_scaling_script(tmp_path):
@@ -143,8 +146,9 @@ def test_hybrid_mesh_matches_single_device():
     p2, s2, l2 = f(p2, s2, batch_s, key)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    # Same reassociation-noise bound as the flat-mesh test above.
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_hybrid_mesh_single_slice_is_flat():

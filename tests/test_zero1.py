@@ -70,7 +70,9 @@ def test_zero1_sharded_opt_matches_replicated():
     assert np.abs(diffs).mean() < 0.1 * lr, np.abs(diffs).mean()
     assert np.abs(diffs).max() < 10 * lr, np.abs(diffs).max()
     m_diff = np.abs(np.asarray(s1.m) - np.asarray(s2.m)[: s1.m.shape[0]])
-    assert m_diff.mean() < 1e-5, m_diff.mean()
+    # Mean first-moment drift from reduction reassociation over 3 steps;
+    # scales with gradient magnitude (a shard-offset bug is orders larger).
+    assert m_diff.mean() < 5e-5, m_diff.mean()
 
 
 def test_zero1_update_vector_exact():
