@@ -21,20 +21,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.train.optim import make_optimizer
+from multimodal_mtrssm_tpu.train.steps import make_train_step
+from multimodal_mtrssm_tpu.utils.benchtools import (
+    MIN_WARMUP_ITERS,
+    best_window,
+    synthetic_batch6,
+)
 
 B, T = 8, 30
-
-
-def make_batch():
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    return (
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
 
 
 def build(cfg: MRSSMConfig):
@@ -42,19 +36,8 @@ def build(cfg: MRSSMConfig):
     opt = make_optimizer()
     params = model.init(jax.random.PRNGKey(1))
     opt_state = opt.init(params)
-
-    def train_step(params, opt_state, batch, key, step):
-        k = jax.random.fold_in(key, step)
-
-        def loss_fn(p):
-            return model.shared_step(p, batch, k)["loss"]
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, loss
-
-    f = jax.jit(train_step, donate_argnums=(0, 1))
+    # The Trainer's actual step math (train/steps.py).
+    f = jax.jit(make_train_step(model, opt), donate_argnums=(0, 1))
     return f, params, opt_state
 
 
@@ -71,30 +54,32 @@ def main() -> None:
         "bf16": MRSSMConfig(compute_dtype=jnp.bfloat16),
         "bf16+unroll5": MRSSMConfig(compute_dtype=jnp.bfloat16, scan_unroll=5),
     }
-    batch = make_batch()
+    batch = synthetic_batch6(jax.random.PRNGKey(0), B, T)
     key = jax.random.PRNGKey(2)
     states = {}
     for name, cfg in variants.items():
         f, p, s = build(cfg)
-        for i in range(20):  # warmup + donation settle
-            p, s, loss = f(p, s, batch, key, i)
-        jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
+        for i in range(MIN_WARMUP_ITERS):  # warmup + donation settle (CLAUDE.md)
+            p, s, m = f(p, s, batch, key, i)
+        float(m["loss"])  # host-transfer fence (CLAUDE.md)
         states[name] = [f, p, s]
 
-    best = {name: float("inf") for name in variants}
+    times = {name: [] for name in variants}
     step_no = 100
     for _ in range(args.rounds):
         for name in variants:
             f, p, s = states[name]
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                p, s, loss = f(p, s, batch, key, step_no)
+                p, s, m = f(p, s, batch, key, step_no)
                 step_no += 1
-            jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
+            float(m["loss"])  # host-transfer fence (CLAUDE.md)
             dt = (time.perf_counter() - t0) / args.iters
             states[name][1], states[name][2] = p, s
-            best[name] = min(best[name], dt)
+            times[name].append(dt)
 
+    # min over rounds, rejecting sub-0.25x-median anomaly windows.
+    best = {name: best_window(ts) for name, ts in times.items()}
     print(f"\n{'variant':<14}{'ms/step':>9}{'seq/s':>9}")
     for name, dt in sorted(best.items(), key=lambda kv: kv[1]):
         print(f"{name:<14}{dt * 1e3:>9.3f}{B / dt:>9.1f}")

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from multimodal_mtrssm_tpu.utils.benchtools import best_window, synthetic_batch6
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.nn.conv import encoder_apply
 from multimodal_mtrssm_tpu.train.optim import make_optimizer
@@ -41,14 +42,15 @@ def timeit(fn, *args):
     for _ in range(WARMUP):
         out = fn(*args)
     jax.device_get(jax.tree.leaves(out)[0])  # host-transfer fence
-    best = float("inf")
+    times = []
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = fn(*args)
         jax.device_get(jax.tree.leaves(out)[0])  # host-transfer fence
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best, out
+        times.append((time.perf_counter() - t0) / ITERS)
+    # min over windows, rejecting sub-0.25x-median anomalies (CLAUDE.md).
+    return best_window(times), out
 
 
 def flops_of(fn, *args):
@@ -70,14 +72,7 @@ def main() -> None:
     model = MoPoEMRSSM(cfg)
     opt = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    batch = (
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
+    batch = synthetic_batch6(jax.random.PRNGKey(0), B, T)
     params = model.init(jax.random.PRNGKey(1))
     opt_state = opt.init(params)
     key = ks[3]

@@ -55,15 +55,14 @@ def main() -> None:
     n_params = sum(p.size for p in jax.tree.leaves(params))
     opt = make_optimizer()
     opt_state = opt.init(params)
-    ks = jax.random.split(jax.random.PRNGKey(1), 4)
-    batch = (
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 64, 64, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 64, 64, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 64, 64, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 64, 64, 1), minval=-1, maxval=1),
+    from multimodal_mtrssm_tpu.utils.benchtools import (
+        MIN_WARMUP_ITERS,
+        best_window,
+        synthetic_batch6,
     )
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    batch = synthetic_batch6(jax.random.PRNGKey(1), B, T, hw=64)
 
     def step(p, st, key, i):
         k = jax.random.fold_in(key, i)
@@ -83,20 +82,19 @@ def main() -> None:
         bytes_per_step = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops_per_step = bytes_per_step = 0.0
-    params, opt_state, loss = f(params, opt_state, ks[3], 0)
-    jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
-    for i in range(10):
+    for i in range(MIN_WARMUP_ITERS):  # warmup >=30 iters (CLAUDE.md)
         params, opt_state, loss = f(params, opt_state, ks[3], i)
-    jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
-    best = float("inf")
+    float(loss)  # host-transfer fence (CLAUDE.md)
+    times = []
     sn = 100
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(15):
             params, opt_state, loss = f(params, opt_state, ks[3], sn)
             sn += 1
-        jax.device_get(loss)  # host-transfer fence (CLAUDE.md)
-        best = min(best, (time.perf_counter() - t0) / 15)
+        float(loss)  # host-transfer fence (CLAUDE.md)
+        times.append((time.perf_counter() - t0) / 15)
+    best = best_window(times)  # reject sub-0.25x-median anomaly windows
     V5E_PEAK_FLOPS = 197e12
     V5E_HBM_BPS = 819e9
     print(json.dumps({

@@ -8,7 +8,6 @@ Prints one JSON line per configuration.
 from __future__ import annotations
 
 import json
-import time
 
 import sys
 from pathlib import Path
@@ -19,6 +18,7 @@ import jax.numpy as jnp
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.utils.benchtools import timeit_fenced
 from multimodal_mtrssm_tpu.ops.pallas import fused_rollout_transition, pack_params
 
 
@@ -53,17 +53,8 @@ def _bench_mrssm() -> None:
             lambda a, d, s, seed: fused_rollout_transition(packed, a, d, s, seed)[0]
         )
 
-        def timeit(fn, *args, n=50):
-            r = fn(*args)
-            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = fn(*args)
-            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
-            return (time.perf_counter() - t0) / n
-
-        t_xla = timeit(xla_fn, actions, init_deter, init_stoch, jax.random.PRNGKey(2))
-        t_pal = timeit(pallas_fn, actions, init_deter, init_stoch, jnp.int32(7))
+        t_xla = timeit_fenced(xla_fn, actions, init_deter, init_stoch, jax.random.PRNGKey(2))
+        t_pal = timeit_fenced(pallas_fn, actions, init_deter, init_stoch, jnp.int32(7))
         print(json.dumps({
             "metric": f"imagination_rollout_B{B}_T{T}",
             "xla_ms": round(t_xla * 1e3, 3),
@@ -102,17 +93,8 @@ def _bench_mmtrssm() -> None:
             ls_class=cfg.ls_class, ls_category=cfg.ls_category,
             hs_class=cfg.hs_class, hs_category=cfg.hs_category)[0])
 
-        def timeit(fn, *args, n=50):
-            r = fn(*args)
-            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
-            t0 = time.perf_counter()
-            for _ in range(n):
-                r = fn(*args)
-            jax.device_get(jax.tree.leaves(r)[0])  # host-transfer fence
-            return (time.perf_counter() - t0) / n
-
-        t_xla = timeit(xla_fn, a, st, ks[5])
-        t_pal = timeit(pal_fn, a)
+        t_xla = timeit_fenced(xla_fn, a, st, ks[5])
+        t_pal = timeit_fenced(pal_fn, a)
         print(json.dumps({
             "metric": f"mt_imagination_rollout_B{B}_T{T}",
             "xla_ms": round(t_xla * 1e3, 3),

@@ -22,6 +22,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+from multimodal_mtrssm_tpu.utils.benchtools import synthetic_batch6
 from multimodal_mtrssm_tpu.models.state import State
 from multimodal_mtrssm_tpu.nn.conv import encoder_apply
 from multimodal_mtrssm_tpu.nn.core import activation, dense_apply, gru_apply, mlp_apply
@@ -153,14 +154,7 @@ def shared_step_fast2(params, batch, key):
 def main() -> None:
     opt = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    batch = (
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
+    batch = synthetic_batch6(jax.random.PRNGKey(0), B, T)
     params = model.init(jax.random.PRNGKey(1))
     key = ks[3]
 

@@ -32,6 +32,7 @@ from multimodal_mtrssm_tpu.models import (  # noqa: E402
     MRSSMConfig,
 )
 from multimodal_mtrssm_tpu.train.optim import make_optimizer  # noqa: E402
+from multimodal_mtrssm_tpu.utils.benchtools import synthetic_batch6  # noqa: E402
 
 K = 32
 WARMUP = 3
@@ -45,14 +46,7 @@ def measure(model, B: int, T: int) -> float:
           f"-> mode={model._train_kernel_mode(B, T)}", flush=True)
     optimizer = make_optimizer()
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    stacked = (
-        jax.random.normal(ks[0], (K, B, T, 6)),
-        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (K, B, T, 6)),
-        jax.random.uniform(ks[1], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (K, B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
+    stacked = synthetic_batch6(jax.random.PRNGKey(0), B, T, stacked_k=K)
     params = model.init(jax.random.PRNGKey(1))
     opt_state = optimizer.init(params)
 

@@ -1,15 +1,12 @@
-"""Shared CLI harness for the training entry points.
+"""Shared CLI harness for the repo-checkout training entry points.
 
-Replaces the reference's ``scripts/_train_common.py:9-33`` (LightningCLI argv
-surgery): here it is a plain argparse front-end over
-``train.config.load_experiment`` + ``Trainer.fit``. The default config is
-used unless ``-c/--config`` is passed, matching the reference's override
-behavior (reference ``README.md:55-58``).
+The implementation lives in the package (``multimodal_mtrssm_tpu.train.entry``)
+so the installed console scripts work outside a checkout; this module keeps
+the reference's ``scripts/_train_common.py`` name for the wrapper scripts.
 """
 
 from __future__ import annotations
 
-import argparse
 import sys
 from pathlib import Path
 
@@ -17,37 +14,6 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+from multimodal_mtrssm_tpu.train.entry import run_training  # noqa: E402
 
-def run_training(default_config: str) -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", default=default_config, help="experiment YAML")
-    parser.add_argument("--max-epochs", type=int, default=None)
-    parser.add_argument("--data-dir", default=None)
-    parser.add_argument("--log-dir", default=None)
-    parser.add_argument("--resume", action="store_true")
-    parser.add_argument("--synthetic", type=int, metavar="N", default=None,
-                        help="generate N synthetic episodes into --data-dir first")
-    args = parser.parse_args()
-
-    from multimodal_mtrssm_tpu.data import EpisodeDataModule, generate_synthetic_audio_mnist
-    from multimodal_mtrssm_tpu.train.config import load_experiment
-    from multimodal_mtrssm_tpu.train.trainer import Trainer
-    from multimodal_mtrssm_tpu.viz.callback import make_viz_callback
-
-    exp = load_experiment(args.config)
-    if args.max_epochs is not None:
-        exp.trainer.max_epochs = args.max_epochs
-    if args.data_dir is not None:
-        exp.data.data_dir = args.data_dir
-    if args.log_dir is not None:
-        exp.trainer.log_dir = args.log_dir
-
-    if args.synthetic:
-        generate_synthetic_audio_mnist(exp.data.data_dir, n_episodes=args.synthetic)
-
-    dm = EpisodeDataModule(exp.data)
-    callbacks = [make_viz_callback(exp)]
-    trainer = Trainer(exp.model, dm, exp.trainer, callbacks=callbacks)
-    out = trainer.fit(resume=args.resume)
-    print(f"done: best val/loss = {out['best_val']:.4f} over {len(out['history'])} epochs "
-          f"(log_dir={exp.trainer.log_dir})")
+__all__ = ["run_training"]

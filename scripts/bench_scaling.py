@@ -40,7 +40,8 @@ def main() -> None:
                     help="weak scaling: global batch = n_devices * this")
     ap.add_argument("--seq-len", type=int, default=30)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=30,
+                    help=">=30 iters before timing (CLAUDE.md backend warmup)")
     ap.add_argument("--zero1", action="store_true", help="shard optimizer state too")
     args = ap.parse_args()
 
@@ -60,6 +61,8 @@ def main() -> None:
     from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
     from multimodal_mtrssm_tpu.parallel import make_mesh, replicate, shard_batch
     from multimodal_mtrssm_tpu.train.optim import make_optimizer, shard_opt_state
+    from multimodal_mtrssm_tpu.train.steps import make_train_step
+    from multimodal_mtrssm_tpu.utils.benchtools import best_window, synthetic_batch6
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -78,37 +81,27 @@ def main() -> None:
         mesh = make_mesh(all_devices[:n])
         B = args.per_device_batch * n
         ks = jax.random.split(jax.random.PRNGKey(0), 4)
-        batch = (
-            jax.random.normal(ks[0], (B, T, 6)),
-            jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-            jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-            jax.random.normal(ks[0], (B, T, 6)),
-            jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-            jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        )
+        batch = synthetic_batch6(jax.random.PRNGKey(0), B, T)
         opt = make_optimizer(shard_pad=n if args.zero1 else 1)
         params = replicate(model.init(jax.random.PRNGKey(1)), mesh)
         opt_state = opt.init(params)
         opt_state = shard_opt_state(opt_state, mesh) if args.zero1 else replicate(opt_state, mesh)
         batch = shard_batch(batch, mesh)
 
-        def train_step(params, opt_state, batch, key, step):
-            k = jax.random.fold_in(key, step)
-            loss, g = jax.value_and_grad(
-                lambda p: model.shared_step(p, batch, k)["loss"]
-            )(params)
-            u, opt_state = opt.update(g, opt_state, params)
-            return jax.tree.map(lambda a, b: a + b, params, u), opt_state, loss
-
-        f = jax.jit(train_step, donate_argnums=(0, 1))
+        # The Trainer's actual step math (train/steps.py).
+        f = jax.jit(make_train_step(model, opt), donate_argnums=(0, 1))
         for i in range(args.warmup):
-            params, opt_state, loss = f(params, opt_state, batch, ks[3], i)
-        float(loss)  # host-transfer fence (block_until_ready can return early; CLAUDE.md)
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            params, opt_state, loss = f(params, opt_state, batch, ks[3], i)
-        float(loss)
-        dt = (time.perf_counter() - t0) / args.iters
+            params, opt_state, m = f(params, opt_state, batch, ks[3], i)
+        float(m["loss"])  # host-transfer fence (block_until_ready can return early; CLAUDE.md)
+        times = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                params, opt_state, m = f(params, opt_state, batch, ks[3], i)
+            loss = m["loss"]
+            float(loss)
+            times.append((time.perf_counter() - t0) / args.iters)
+        dt = best_window(times)  # reject sub-0.25x-median anomaly windows
         row = {
             "n_devices": n,
             "global_batch": B,

@@ -34,8 +34,9 @@ if __name__ == "__main__":
     template = exp.model.init(jax.random.PRNGKey(0))
     ckpt_dir = Path(args.checkpoint)
     mgr = CheckpointManager(ckpt_dir.parent)
-    state, _ = mgr.restore(ckpt_dir.name, {"params": template})
+    # restore_params also serves full training-state checkpoints ('last').
+    params, _ = mgr.restore_params(ckpt_dir.name, template)
     model_type = "mmtrssm" if "MMTRSSM" in type(exp.model).__name__.upper() else "mrssm"
-    manifest = save_lightning_checkpoint(state["params"], args.out, model_type)
+    manifest = save_lightning_checkpoint(params, args.out, model_type)
     print(f"exported {manifest['keys']} tensors ({manifest['n_params']:,} params, "
           f"{model_type}) -> {args.out}")

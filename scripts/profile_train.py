@@ -38,6 +38,7 @@ def main() -> None:
         MRSSMConfig,
     )
     from multimodal_mtrssm_tpu.train.optim import make_optimizer
+    from multimodal_mtrssm_tpu.utils.benchtools import synthetic_batch6
 
     B, T = args.batch, args.seq_len
     model = (
@@ -46,14 +47,7 @@ def main() -> None:
         else MoPoEMMTRSSM(MMTRSSMConfig(input_noise_std=0.1))
     )
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    batch = (
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.normal(ks[0], (B, T, 6)),
-        jax.random.uniform(ks[1], (B, T, 32, 32, 1), minval=-1, maxval=1),
-        jax.random.uniform(ks[2], (B, T, 32, 32, 1), minval=-1, maxval=1),
-    )
+    batch = synthetic_batch6(jax.random.PRNGKey(0), B, T)
     params = model.init(jax.random.PRNGKey(1))
     opt = make_optimizer()
     opt_state = opt.init(params)
