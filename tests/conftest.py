@@ -22,3 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+
+def small_encoder_config(**overrides):
+    """The canonical tiny conv encoder for fast tests — ONE home for the
+    literal that several suites used to copy (a change to EncoderConfig or
+    to the canonical small-test shape now edits once)."""
+    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+
+    kw = dict(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2),
+              paddings=(1, 1), num_residual_blocks=0, coord_conv=False,
+              linear_sizes=(64,))
+    kw.update(overrides)
+    return EncoderConfig(**kw)

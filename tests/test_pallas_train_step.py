@@ -143,11 +143,9 @@ def test_kernel_value_and_grad_finite_under_jit(setup):
 
 
 def _small_model(mode):
-    from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
+    from conftest import small_encoder_config
 
-    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2),
-                        paddings=(1, 1), num_residual_blocks=0, coord_conv=False,
-                        linear_sizes=(64,))
+    enc = small_encoder_config()
     return MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc,
                                   init_proj_cells=32, use_pallas_train=mode))
 

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
 
 from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
 from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot
-from test_torch_parity import _copy_decoder, _copy_dense, _copy_encoder, _copy_mlp, _t
+from test_torch_parity import _copy_decoder, _copy_dense, _copy_encoder, _copy_mlp
 
 B, T = 2, 30
 

@@ -10,10 +10,11 @@ from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 from multimodal_mtrssm_tpu.nn.conv import EncoderConfig
 from multimodal_mtrssm_tpu.train import EarlyStopping, PlateauScheduler, Trainer, TrainerConfig
 
+from conftest import small_encoder_config
+
 
 def small_model():
-    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2), paddings=(1, 1),
-                        num_residual_blocks=0, coord_conv=False, linear_sizes=(64,))
+    enc = small_encoder_config()
     return MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc, init_proj_cells=32))
 
 
@@ -445,8 +446,9 @@ def test_mmtrssm_fit_scan_mode(tmp_path):
 
 
 def test_auto_steps_per_dispatch_resolution(tmp_path):
-    """auto K: bounded by chunk memory, the K=32 cap, and the number of
-    full train batches per epoch (so small datasets still form chunks)."""
+    """auto K: bounded by chunk memory, the K=256 cap (BASELINE.md K-sweep
+    knee), and the number of full train batches per epoch (so small
+    datasets still form chunks)."""
     data_dir = tmp_path / "data"
     generate_synthetic_audio_mnist(data_dir, n_episodes=11, episode_length=6)
     dm = EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
