@@ -284,7 +284,6 @@ def _bwd_kernel(
      wa1, ba1, wa2, ba2, wv1, bv1, wv2, bv2) = weights
     D = whh.shape[0]
     A = actions_ref.shape[-1]
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     # Contract over the batch axis: [in, B] × [B, out] without materializing
     # transposes (x^T g as dot_general).
     tdot = functools.partial(

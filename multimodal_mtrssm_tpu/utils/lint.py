@@ -15,6 +15,9 @@ no network, so this module implements the always-runnable subset natively:
 - F821: names that resolve to no binding in any enclosing scope
   (pyflakes-lite static scope analysis — catches the NameError-on-a-rare-
   path class of bug; files with ``import *`` are skipped),
+- F841: function locals assigned by a simple ``x = expr`` and never loaded
+  (conservative: skips underscore names, unpacking, aug/annotated assigns,
+  and dynamic-scope functions),
 - D103 subset (pydoclint-lite): public module-level functions and classes
   inside the package must carry docstrings.
 
@@ -267,6 +270,54 @@ def _undefined_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+_DYNAMIC_SCOPE_CALLS = frozenset({"locals", "vars", "eval", "exec", "globals"})
+
+
+def _unused_local_findings(path: Path, tree: ast.Module) -> list[str]:
+    """F841 subset: function locals assigned by a simple ``x = expr`` and
+    never loaded anywhere in the function (including nested scopes —
+    a closure load counts as a use, keeping this conservative). Skipped:
+    underscore-prefixed names, tuple unpacking, augmented/annotated
+    assignment, ``global``/``nonlocal`` names, and functions that call
+    ``locals()``/``vars()``/``eval``/``exec`` (dynamic access)."""
+    findings: list[str] = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        stores: dict[str, int] = {}
+        escaped: set[str] = set()
+        dynamic = False
+        loads: set[str] = set()
+
+        def collect(n: ast.AST, top: bool) -> None:
+            nonlocal dynamic
+            for child in ast.iter_child_nodes(n):
+                if isinstance(child, ast.Name):
+                    if isinstance(child.ctx, (ast.Load, ast.Del)):
+                        loads.add(child.id)
+                    if child.id in _DYNAMIC_SCOPE_CALLS:
+                        dynamic = True
+                elif top:
+                    if isinstance(child, ast.Assign) and len(child.targets) == 1 and \
+                            isinstance(child.targets[0], ast.Name):
+                        stores.setdefault(child.targets[0].id, child.lineno)
+                    elif isinstance(child, (ast.Global, ast.Nonlocal)):
+                        escaped.update(child.names)
+                # Loads are collected everywhere; direct stores only at this
+                # function's scope (not nested defs/lambdas/comprehensions).
+                collect(child, top and not isinstance(child, _SCOPE_NODES))
+        collect(fn, True)
+        if dynamic:
+            continue
+        for name, lineno in sorted(stores.items(), key=lambda kv: kv[1]):
+            if name.startswith("_") or name in escaped or name in loads:
+                continue
+            findings.append(
+                f"{path}:{lineno}: F841 local '{name}' is assigned but never used"
+            )
+    return findings
+
+
 def _docstring_findings(path: Path, tree: ast.Module) -> list[str]:
     """D103 subset: public module-level defs/classes must have docstrings."""
     findings: list[str] = []
@@ -296,6 +347,7 @@ def check_file(path: Path) -> list[str]:
     findings.extend(_comparison_findings(path, tree))
     findings.extend(_escape_findings(path, src))
     findings.extend(_undefined_findings(path, tree))
+    findings.extend(_unused_local_findings(path, tree))
     if "multimodal_mtrssm_tpu" in path.parts:
         findings.extend(_docstring_findings(path, tree))
 

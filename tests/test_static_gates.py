@@ -135,3 +135,34 @@ def test_mypy_clean():
         ["mypy", "multimodal_mtrssm_tpu"], cwd=REPO_ROOT, capture_output=True, text=True
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_ast_lint_unused_locals(tmp_path):
+    """F841 subset: simple never-loaded function locals flag; conservative
+    exemptions (underscore, unpacking, aug-assign, closures, dynamic scope)
+    do not."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expect an F841 finding)
+        "dead local": ("def f():\n    '''d'''\n    x = 1\n    return 2\n", True),
+        "used local": ("def f():\n    '''d'''\n    x = 1\n    return x\n", False),
+        "underscore exempt": ("def f():\n    '''d'''\n    _unused = 1\n    return 2\n", False),
+        "unpacking exempt": ("def f(p):\n    '''d'''\n    a, b = p\n    return a\n", False),
+        "aug-assign exempt": ("def f(x):\n    '''d'''\n    x += 1\n    return 2\n", False),
+        "closure load counts": (
+            "def f():\n    '''d'''\n    x = 1\n    return lambda: x\n", False),
+        "nested store is its own scope": (
+            "def f():\n    '''d'''\n    def g():\n        y = 1\n        return y\n    return g\n",
+            False),
+        "locals() disables": (
+            "def f():\n    '''d'''\n    x = 1\n    return locals()\n", False),
+        "global exempt": (
+            "g = 0\ndef f():\n    '''d'''\n    global g\n    g = 1\n    return 2\n", False),
+        "module level not flagged": ("x = 1\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"f841_{abs(hash(name))}.py"
+        p.write_text(code)
+        got = any("F841" in x for x in check_file(p))
+        assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"

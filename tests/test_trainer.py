@@ -538,7 +538,7 @@ def test_fit_resume_from_warm_start(tmp_path):
         return EpisodeDataModule(DataModuleConfig(data_dir=data_dir, batch_size=2, sequence_length=3))
 
     cfg_a = TrainerConfig(max_epochs=2, log_dir=str(tmp_path / "runA"), learning_rate=3e-4)
-    out_a = Trainer(small_model(), dm(), cfg_a).fit()
+    Trainer(small_model(), dm(), cfg_a).fit()
     ckpts_a = tmp_path / "runA" / "checkpoints"
 
     # Warm start from run A's best (params-only): epochs restart at 0 and the

@@ -30,9 +30,9 @@ def test_zero1_sharded_opt_matches_replicated():
     batch = make_batch()
     key = jax.random.PRNGKey(2)
 
-    def train_step(opt):
+    def train_step(opt, bt):
         def step(p, st, k):
-            loss, g = jax.value_and_grad(lambda q: model.shared_step(q, batch, k)["loss"])(p)
+            loss, g = jax.value_and_grad(lambda q: model.shared_step(q, bt, k)["loss"])(p)
             u, st = opt.update(g, st, p)
             return jax.tree.map(lambda a, b: a + b, p, u), st, loss
 
@@ -42,7 +42,7 @@ def test_zero1_sharded_opt_matches_replicated():
     opt_r = make_optimizer()
     p1 = model.init(jax.random.PRNGKey(0))
     s1 = opt_r.init(p1)
-    f1 = train_step(opt_r)
+    f1 = train_step(opt_r, batch)
     for i in range(3):
         p1, s1, l1 = f1(p1, s1, jax.random.fold_in(key, i))
 
@@ -51,8 +51,8 @@ def test_zero1_sharded_opt_matches_replicated():
     p2 = replicate(model.init(jax.random.PRNGKey(0)), mesh)
     s2 = shard_opt_state(opt_z.init(p2), mesh)
     assert "data" in str(s2.m.sharding.spec)
-    f2 = train_step(opt_z)
     b2 = shard_batch(batch, mesh)
+    f2 = train_step(opt_z, b2)  # the ZeRO leg really runs on the SHARDED batch
     for i in range(3):
         p2, s2, l2 = f2(p2, s2, jax.random.fold_in(key, i))
 
