@@ -398,3 +398,53 @@ def test_pallas_eval_respects_conv_dtype(trained_classifier):
         C.decoder_apply, P.fused_rollout_transition = orig_dec, orig_roll
     assert seen and all(d == jnp.bfloat16 for d in seen)
     assert len(np.asarray(digits)) == 6
+
+
+def test_eval_cli_end_to_end(trained_classifier, tmp_path, monkeypatch):
+    """The packaged eval CLI (evaluation/cli.py — also the installed
+    `evaluate-word-transitions` console script) runs end-to-end: tiny
+    config + params-only checkpoint + labeled npz episodes + classifier
+    checkpoint on disk → markdown/JSON results."""
+    import sys
+
+    import yaml
+
+    from multimodal_mtrssm_tpu.data import generate_synthetic_labeled_audio_mnist
+    from multimodal_mtrssm_tpu.evaluation.classifier import save_classifier
+    from multimodal_mtrssm_tpu.evaluation.cli import main
+    from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
+    from multimodal_mtrssm_tpu.train.config import load_experiment
+
+    params_clf, _ = trained_classifier
+    save_classifier(params_clf, tmp_path / "clf.npz")
+    generate_synthetic_labeled_audio_mnist(
+        tmp_path / "train", tmp_path / "eval", n_episodes=4, frames_per_word=3, seed=0
+    )
+
+    from pathlib import Path as _P
+
+    repo = _P(__file__).resolve().parent.parent
+    cfg = yaml.safe_load(open(repo / "configs" / "mopoe_mrssm.yaml"))
+    enc = dict(channels=[4, 8], kernel_sizes=[3, 3], strides=[2, 2], paddings=[1, 1],
+               num_residual_blocks=0, coord_conv=False, linear_sizes=[64])
+    cfg["model"]["init_args"]["audio_encoder"] = enc
+    cfg["model"]["init_args"]["vision_encoder"] = dict(enc)
+    cfg["model"]["init_args"]["init_proj_cells"] = 32
+    cfg_path = tmp_path / "tiny.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    exp = load_experiment(cfg_path)
+    params = exp.model.init(jax.random.PRNGKey(0))
+    ck = tmp_path / "checkpoints"
+    CheckpointManager(ck).save("best", {"params": params})
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate-word-transitions", "--config", str(cfg_path),
+        "--checkpoint", str(ck), "--test-data", str(tmp_path / "eval"),
+        "--classifier", str(tmp_path / "clf.npz"), "--out", str(tmp_path / "results"),
+        "--n-intervals", "2", "--query-length", "2", "--n-predictions", "2",
+        "--n-frames", "2",
+    ])
+    main()
+    out_md = list((tmp_path / "results").glob("*.md")) or [p for p in (tmp_path / "results").iterdir()]
+    assert (tmp_path / "results").exists() and out_md
