@@ -301,6 +301,22 @@ class EpisodeDataModule:
         vi_in, vi = outs["vision"]
         return (a_in, au_in, vi_in, a, au, vi)
 
+    def _batch_consumes_rng(self, rng: np.random.Generator | None) -> bool:
+        """Whether ``_make_batch(idx, rng)`` advances the host RNG — the
+        predicate the mid-epoch cheap skip keys off (skipping at the index
+        level is only bit-exact when no per-batch RNG is consumed).
+
+        MUST mirror ``_make_batch``'s draw sites exactly: pack mode draws
+        the noise seed whenever ``rng`` is given, even at ``noise_std == 0``
+        (the ``rng.integers`` at the top of the raw branch); array mode
+        draws only when noise is actually applied. Any new ``rng.*`` call
+        in ``_make_batch`` must update this predicate in the same change."""
+        if rng is None:
+            return False
+        if self._raw:
+            return True
+        return self.cfg.noise_std > 0
+
     def _batched_indices(self, idx: np.ndarray, bs: int) -> list[np.ndarray]:
         """Split indices into full batches plus (unless drop_last) the ragged
         tail as a smaller final batch (reference DataLoader drop_last=False:
@@ -326,7 +342,7 @@ class EpisodeDataModule:
         rng = np.random.default_rng((cfg.seed, epoch))
         idx = rng.permutation(self._split[0])
         groups = self._batched_indices(idx, bs)
-        if skip and not self._raw and cfg.noise_std == 0:
+        if skip and not self._batch_consumes_rng(rng):
             # No per-batch host RNG: skip at the index level (bit-identical
             # stream, no wasted assembly of already-trained batches).
             groups = groups[skip:]
@@ -415,15 +431,12 @@ class EpisodeDataModule:
             yield ("step", pb)
 
     def _chunked_stream(self, groups, bs, rng, k, device, stacked_device, skip: int = 0):
-        # Mid-epoch resume: when no host RNG is drawn per batch (non-pack
-        # mode with noise off — the config default applies noise on device),
-        # skipped items need not be assembled at all; dropping them at the
-        # index level leaves the served stream bit-identical. With per-batch
-        # RNG the skipped batches ARE assembled so the draw sequence matches
-        # the interrupted epoch.
-        cheap_skip = bool(skip) and (
-            rng is None or (not self._raw and self.cfg.noise_std == 0)
-        )
+        # Mid-epoch resume: when no host RNG is drawn per batch
+        # (``_batch_consumes_rng``), skipped items need not be assembled at
+        # all; dropping them at the index level leaves the served stream
+        # bit-identical. With per-batch RNG the skipped batches ARE
+        # assembled so the draw sequence matches the interrupted epoch.
+        cheap_skip = bool(skip) and not self._batch_consumes_rng(rng)
 
         def gen():
             for i, (kind, idx) in enumerate(self._grouped_indices(groups, bs, k)):

@@ -113,6 +113,9 @@ class MoPoEMMTRSSM:
 
     def __init__(self, config: MMTRSSMConfig | None = None):
         self.cfg = config or MMTRSSMConfig()
+        # Device count of the mesh this model trains on; the Trainer sets it
+        # after resolving its mesh (None = consult the global backend).
+        self.mesh_devices: int | None = None
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -369,7 +372,15 @@ class MoPoEMMTRSSM:
             eligible=(
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
-                and fits_vmem_mt(horizon, batch)
+                and fits_vmem_mt(
+                    horizon, batch,
+                    action_size=self.cfg.action_size,
+                    obs_embed_size=self.cfg.obs_embed_size,
+                    hd_dim=self.cfg.hd_dim,
+                    ld_dim=self.cfg.ld_dim,
+                    hs_size=self.cfg.hs_dim,
+                    ls_size=self.cfg.ls_dim,
+                )
             ),
             auto_flag=AUTO_MT_TRAIN_KERNEL,
             warn_ineligible=(
@@ -377,6 +388,7 @@ class MoPoEMMTRSSM:
                 "kernel requires ELU + float32 and a VMEM-sized [T, B]; taking "
                 "the XLA scan path"
             ),
+            n_devices=getattr(self, "mesh_devices", None),
         )
 
     def _rollout_representation_fused(

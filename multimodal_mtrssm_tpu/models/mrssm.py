@@ -129,6 +129,9 @@ class MoPoEMRSSM:
 
     def __init__(self, config: MRSSMConfig | None = None):
         self.cfg = config or MRSSMConfig()
+        # Device count of the mesh this model trains on; the Trainer sets it
+        # after resolving its mesh (None = consult the global backend).
+        self.mesh_devices: int | None = None
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -344,7 +347,13 @@ class MoPoEMRSSM:
             eligible=(
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
-                and fits_vmem(horizon, batch)
+                and fits_vmem(
+                    horizon, batch,
+                    action_size=self.cfg.action_size,
+                    stoch_size=self.cfg.stoch_size,
+                    deter_size=self.cfg.deterministic_size,
+                    obs_embed_size=self.cfg.obs_embed_size,
+                )
             ),
             auto_flag=AUTO_TRAIN_KERNEL,
             warn_ineligible=(
@@ -352,6 +361,7 @@ class MoPoEMRSSM:
                 "requires ELU + float32 and a VMEM-sized [T, B]; taking the "
                 "XLA scan path"
             ),
+            n_devices=getattr(self, "mesh_devices", None),
         )
 
     def _rollout_representation_fused(

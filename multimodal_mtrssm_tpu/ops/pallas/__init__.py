@@ -67,7 +67,8 @@ def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: i
 
 
 def resolve_train_kernel_mode(
-    v, *, eligible: bool, auto_flag: bool, warn_ineligible: str
+    v, *, eligible: bool, auto_flag: bool, warn_ineligible: str,
+    n_devices: int | None = None,
 ) -> str | None:
     """Resolve a ``use_pallas_train`` flag to a concrete mode (None = XLA
     scan). Shared by both model families so the dispatch ladder cannot
@@ -86,14 +87,22 @@ def resolve_train_kernel_mode(
       True must never be ignored silently).
     - anything else → ``ValueError`` (a YAML typo like ``"false"`` or
       ``"atuo"`` must not silently pick a path).
+
+    ``n_devices`` is the device count the caller actually trains on — the
+    Trainer threads its resolved mesh size through the model's
+    ``mesh_devices`` attribute, so an 8-device backend trimmed to a
+    1-device mesh still gets the kernel fast path. ``None`` falls back to
+    the global backend count (standalone model use outside a Trainer).
     """
+    if n_devices is None:
+        n_devices = len(jax.devices())
     if v in (False, None):
         return None
     if v in ("interpret", "reference"):
         return v if eligible else None
     if v == "auto":
         if (eligible and auto_flag and jax.default_backend() == "tpu"
-                and len(jax.devices()) == 1):
+                and n_devices == 1):
             return "kernel"
         return None
     if v is True:
@@ -102,9 +111,9 @@ def resolve_train_kernel_mode(
         if not eligible:
             warnings.warn(warn_ineligible, stacklevel=4)
             return None
-        if len(jax.devices()) > 1:
+        if n_devices > 1:
             warnings.warn(
-                "use_pallas_train=True ignored on a multi-device backend: "
+                "use_pallas_train=True ignored on a multi-device mesh: "
                 "GSPMD cannot partition the fused training kernel over a "
                 "batch-sharded mesh; taking the XLA scan path",
                 stacklevel=4,

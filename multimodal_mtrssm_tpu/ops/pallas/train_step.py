@@ -505,7 +505,7 @@ def fused_train_recurrence(
 def reference_train_recurrence(
     packed, actions, a_emb, v_emb, init_deter, init_stoch, g_prior, g_post,
     class_size: int = 4, category_size: int = 4,
-):
+) -> tuple:
     """Pure-JAX twin of the kernel (same math, ``lax.scan``): the
     equivalence/grad oracle for the tests, differentiable by autodiff."""
 
@@ -526,10 +526,30 @@ def reference_train_recurrence(
     return ys
 
 
-def fits_vmem(T: int, B: int, budget_bytes: int = 10 << 20) -> bool:
-    """Conservative VMEM guard for the single-program kernel: ~17 [T,B,·]
-    lane-padded f32 arrays live at once in the backward pass."""
-    return 17 * T * B * 128 * 4 <= budget_bytes
+def fits_vmem(
+    T: int,
+    B: int,
+    budget_bytes: int = 10 << 20,
+    *,
+    action_size: int = 6,
+    stoch_size: int = 16,
+    deter_size: int = 32,
+    obs_embed_size: int = 64,
+) -> bool:
+    """Conservative VMEM guard for the single-program kernel, sized from
+    the actual feature dims (each pads to ``ceil(d/128)`` 128-lane tiles;
+    a flat one-tile-per-array estimate would under-count configs with
+    deter/obs_embed > 128 and dispatch a kernel whose backward fails to
+    fit). The backward pass is the larger program; its [T, B, ·] residency
+    is 15 arrays — inputs (actions A, embeds E×2, gumbels S×2, deter_seq D,
+    post_stoch_seq S), output grads (D + S×4), input grads (A + E×2) —
+    plus 2 lane-tiles of margin for per-step scratch (at the default dims
+    this reproduces the previously calibrated 17-tile estimate exactly)."""
+    pad = lambda d: -(-d // 128) * 128  # noqa: E731
+    A, S, D, E = pad(action_size), pad(stoch_size), pad(deter_size), pad(obs_embed_size)
+    lanes = 2 * A + 4 * E + 7 * S + 2 * D + 2 * 128
+    B_pad = -(-B // 8) * 8
+    return T * B_pad * lanes * 4 <= budget_bytes
 
 
 # "auto" dispatch policy for MRSSMConfig(use_pallas_train="auto"): whether

@@ -408,7 +408,7 @@ def fused_mt_train_recurrence(
 def reference_mt_train_recurrence(
     packed, actions, a_emb, v_emb, init6, gumbels,
     l_tau=2.0, h_tau=4.0, ls_class=4, ls_category=4, hs_class=2, hs_category=8,
-):
+) -> tuple:
     """Pure-JAX twin (same math via ``lax.scan``): the equivalence/grad
     oracle, with the ST estimator re-injected for autodiff."""
     g_lp, g_l, g_hp, g_h = gumbels
@@ -436,9 +436,32 @@ def reference_mt_train_recurrence(
     return ys
 
 
-def fits_vmem_mt(T: int, B: int, budget_bytes: int = 10 << 20) -> bool:
-    """VMEM guard: ~34 [T,B,·] lane-padded f32 arrays live in the backward."""
-    return 34 * T * B * 128 * 4 <= budget_bytes
+def fits_vmem_mt(
+    T: int,
+    B: int,
+    budget_bytes: int = 10 << 20,
+    *,
+    action_size: int = 6,
+    obs_embed_size: int = 64,
+    hd_dim: int = 32,
+    ld_dim: int = 32,
+    hs_size: int = 16,
+    ls_size: int = 16,
+) -> bool:
+    """VMEM guard for the MT kernel, sized from the actual feature dims
+    (``ceil(d/128)`` lane tiles per array — a flat per-array estimate
+    under-counts configs with dims > 128). Backward [T, B, ·] residency:
+    inputs (actions A, embeds E×2, gumbels LS×2 + HS×2, carry seqs
+    HD×2 + LD×2 + HS + LS), output grads (HD×2 + LD×2 + LS×4 + HS×4),
+    input grads (A + E×2) = 28 arrays, plus 6 lane-tiles of margin for
+    per-step scratch (reproducing the previously calibrated 34-tile
+    estimate exactly at the default dims)."""
+    pad = lambda d: -(-d // 128) * 128  # noqa: E731
+    A, E = pad(action_size), pad(obs_embed_size)
+    HD, LD, HS, LS = pad(hd_dim), pad(ld_dim), pad(hs_size), pad(ls_size)
+    lanes = 2 * A + 4 * E + 4 * HD + 4 * LD + 7 * LS + 7 * HS + 6 * 128
+    B_pad = -(-B // 8) * 8
+    return T * B_pad * lanes * 4 <= budget_bytes
 
 
 # "auto" dispatch policy (set from benchmarks/bench_train_kernel.py --model

@@ -33,6 +33,7 @@ class MetricLogger:
         # Accumulated (epoch, value) series per group × train/val for the
         # interactive line_series panels (reference callback.py:66-123).
         self._series: dict[str, list[tuple[int, float]]] = {}
+        self._last_series_step: int | None = None
         if use_wandb:
             try:
                 import wandb  # type: ignore
@@ -74,14 +75,22 @@ class MetricLogger:
                 key = f"{prefix}/{group}"
                 if key in metrics:
                     self._series.setdefault(key, []).append((epoch, float(metrics[key])))
+        # Re-logging the FULL accumulated series each epoch mirrors the
+        # reference cadence (callback.py:95-123) but makes the cumulative
+        # chart payload O(epochs²). Fine at the reference's 100-epoch scale;
+        # past that, thin the cadence (the panel only needs to look current,
+        # and close() emits one final full-series log regardless).
+        self._last_series_step = step
+        if epoch > 100 and epoch % 10 != 0:
+            return
+        self._emit_line_series(step)
+
+    def _emit_line_series(self, step: int) -> None:
         try:
             # One batched log per epoch, pinned to the same step as the
             # epoch's scalar row: an unstepped log would advance W&B's
             # internal counter past the next epoch's explicit step, making
-            # it silently drop every later stepped scalar. Re-logging the
-            # full series each epoch mirrors the reference cadence
-            # (callback.py:95-123); at the reference's 100-epoch scale the
-            # cumulative payload stays small.
+            # it silently drop every later stepped scalar.
             charts: dict[str, object] = {}
             for group in LINE_SERIES_GROUPS:
                 tr = self._series.get(f"train/{group}")
@@ -126,4 +135,8 @@ class MetricLogger:
     def close(self) -> None:
         self._fh.close()
         if self._wandb is not None:
+            # Final full-series log so the combined panels end current even
+            # when the thinned cadence skipped the last epochs.
+            if getattr(self, "_last_series_step", None) is not None:
+                self._emit_line_series(self._last_series_step)
             self._wandb.finish()

@@ -229,6 +229,12 @@ class Trainer:
             f"trainer mesh: {n}/{len(devices)} device(s), "
             + " × ".join(f"{self.mesh.shape[a]} {a}" for a in self.mesh.axis_names)
         )
+        # Thread the resolved mesh size into the model's train-kernel
+        # dispatch (ops.pallas.resolve_train_kernel_mode): a multi-device
+        # backend trimmed to a 1-device mesh still gets the fused-kernel
+        # fast path, instead of the dispatch consulting the global backend
+        # device count.
+        self.model.mesh_devices = n
         if (self.cfg.accumulate_grad_batches > 1
                 and getattr(self.dm.cfg, "device_resident", False)):
             warnings.warn(
@@ -375,13 +381,22 @@ class Trainer:
             try:
                 state, aux = mgr.restore(name, {"params": params, "opt_state": opt_state})
                 has_full = "scheduler" in aux
-            except Exception:
+            except Exception as restore_exc:
                 if resume_from is None:
                     raise
                 # No optimizer state in the checkpoint (or an incompatible
                 # optimizer config): params-only restore. restore_params also
                 # handles full-state checkpoints whose opt_state doesn't match
                 # this run's optimizer (raw restore + params extraction).
+                # The triggering exception is surfaced so an INCIDENTAL
+                # restore failure on a genuinely full checkpoint (corrupt
+                # opt_state file, orbax version skew) is visible instead of
+                # being silently reinterpreted as "params-only checkpoint".
+                print(
+                    "full-state restore failed "
+                    f"({type(restore_exc).__name__}: {restore_exc}); "
+                    "falling back to a params-only warm start"
+                )
                 p_only, aux = mgr.restore_params(name, params)
                 state = {"params": p_only}
                 has_full = False
@@ -663,7 +678,7 @@ class Trainer:
         return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
 
     # ---- inference helpers -------------------------------------------------
-    def load_best_params(self, params_template):
+    def load_best_params(self, params_template) -> Any:
         """Reference ``load_best_model_checkpoint`` (``callback.py:505-539``):
         load the best ckpt, falling back to the given params on failure."""
         try:
