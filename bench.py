@@ -57,6 +57,13 @@ WINDOW_GAP_S = 6.0
 # a watchdog this script would then hang and print NOTHING, breaking the
 # one-JSON-line contract. The watchdog emits a diagnostic JSON line and exits.
 WATCHDOG_S = 1800.0
+# Total wall budget for the retry supervisor (below): a TRANSIENT claim
+# failure — common on this tunnel right after a killed TPU process — fails
+# fast, so 2-3 bounded retries with backoff fit inside the same ~30 min
+# the single-attempt watchdog already claimed (round-3 lesson: one
+# transient failure recorded 0.0 for a whole round).
+SUPERVISOR_BUDGET_S = 1740.0
+RETRY_BACKOFF_S = (30.0, 60.0)
 
 
 def _start_watchdog() -> "threading.Event":
@@ -93,6 +100,8 @@ def main() -> None:
 
     if os.environ.get("_BENCH_FAIL_FAST"):  # test hook: the error-JSON contract
         raise RuntimeError("injected failure (_BENCH_FAIL_FAST self-test)")
+    if os.environ.get("_BENCH_FAIL_TRANSIENT"):  # test hook: the retry path
+        raise RuntimeError("UNAVAILABLE: injected transient (_BENCH_FAIL_TRANSIENT self-test)")
     watchdog_done = _start_watchdog()
     enable_compilation_cache()
     import jax.numpy as jnp
@@ -202,7 +211,94 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _transient(err: str) -> bool:
+    """Whether a child-attempt error is worth retrying: tunnel/claim-shaped
+    failures can clear in seconds after a killed process releases the chip;
+    deterministic failures (import error, OOM, injected test failure) and
+    watchdog hangs on an already-wedged chip would just burn the budget."""
+    markers = (
+        "unavailable", "deadline", "aborted", "claim", "timed out",
+        "timeout", "watchdog", "connection", "tunnel",
+    )
+    low = err.lower()
+    return any(m in low for m in markers)
+
+
+def _supervise() -> int:
+    """Run main() in a child process with up to 3 attempts and backoff.
+
+    Keeps the ONE-JSON-line contract: child stdout is captured; exactly one
+    JSON line (the first success, else the last error) is re-emitted here.
+    Child attempts get a watchdog sized to the remaining budget so a hung
+    claim cannot outlive the supervisor's own deadline.
+    """
+    import os
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + SUPERVISOR_BUDGET_S
+    last: dict | None = None
+    for attempt in range(3):
+        remaining = deadline - time.monotonic()
+        if attempt and remaining < 240.0:
+            break  # not enough room for a meaningful attempt
+        env = dict(
+            os.environ,
+            _BENCH_CHILD="1",
+            _BENCH_WATCHDOG_S=str(max(60.0, min(WATCHDOG_S, remaining - 15.0))),
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=remaining,
+            )
+        except subprocess.TimeoutExpired:
+            last = {"error": f"attempt {attempt + 1}: supervisor timeout after {remaining:.0f}s"}
+            break  # out of budget anyway
+        sys.stderr.write(proc.stderr)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+        parsed = None
+        if lines:
+            try:
+                parsed = json.loads(lines[-1])
+            except ValueError:
+                parsed = None
+        if proc.returncode == 0 and parsed is not None and "error" not in parsed:
+            print(lines[-1], flush=True)
+            return 0
+        last = parsed if parsed is not None else {
+            "error": f"attempt {attempt + 1}: child rc {proc.returncode}, no JSON line"
+        }
+        sys.stderr.write(
+            f"bench attempt {attempt + 1} failed: {last.get('error', '?')}\n")
+        if not _transient(str(last.get("error", ""))):
+            break
+        if attempt < 2:
+            # _BENCH_RETRY_BACKOFF_S: test hook to shrink the waits.
+            backoff = float(os.environ.get(
+                "_BENCH_RETRY_BACKOFF_S", RETRY_BACKOFF_S[attempt]))
+            time.sleep(backoff)
+    out = {
+        "metric": "mopoe_mrssm_train_seq_per_s",
+        "value": 0.0,
+        "unit": "seq/s",
+        "vs_baseline": 0.0,
+        "error": "no attempt produced a result",
+    }
+    if last is not None:
+        out.update(last)
+    print(json.dumps(out), flush=True)
+    return 1
+
+
 if __name__ == "__main__":
+    import os as _os
+
+    if not _os.environ.get("_BENCH_CHILD"):
+        raise SystemExit(_supervise())
+    if _os.environ.get("_BENCH_WATCHDOG_S"):
+        WATCHDOG_S = float(_os.environ["_BENCH_WATCHDOG_S"])
     try:
         main()
     except BaseException as e:  # noqa: BLE001 — the contract is ONE JSON line, always

@@ -107,3 +107,30 @@ def test_bench_fast_failure_emits_error_json():
     d = json.loads(json_lines[0])
     assert d["metric"] == "mopoe_mrssm_train_seq_per_s"
     assert d["value"] == 0.0 and "injected failure" in d["error"]
+    # A deterministic failure must NOT be retried: exactly one child attempt.
+    assert proc.stderr.count("bench attempt") == 1, proc.stderr
+
+
+def test_bench_retries_transient_failures():
+    """A transient tunnel/claim-shaped failure (error mentions UNAVAILABLE /
+    claim / timeout) must be retried up to 3 bounded attempts with backoff —
+    round-3 lesson: a single transient claim failure recorded 0.0 for the
+    whole round — while still emitting exactly ONE JSON line at the end."""
+    import json
+
+    env = _clean_env()
+    env["_BENCH_FAIL_TRANSIENT"] = "1"
+    env["_BENCH_RETRY_BACKOFF_S"] = "0.1"
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], env=env, cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+    assert len(json_lines) == 1, proc.stdout
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "mopoe_mrssm_train_seq_per_s" and d["value"] == 0.0
+    assert "UNAVAILABLE" in d["error"]
+    # All 3 attempts ran.
+    assert proc.stderr.count("bench attempt") == 3, proc.stderr
