@@ -20,6 +20,8 @@ design:
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -118,11 +120,11 @@ def state_from_logits(
     return State(deter=deter, stoch=stoch, distribution=dist)
 
 
-def stack_states(states: list, axis: int):
+def stack_states(states: list, axis: int) -> Any:
     """Stack states along a new axis (reference ``state.py:121-135`` / ``:184-216``)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=axis), *states)
 
 
-def cat_states(states: list, axis: int):
+def cat_states(states: list, axis: int) -> Any:
     """Concatenate states along an existing axis (reference ``state.py:138-152``)."""
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=axis), *states)

@@ -89,7 +89,7 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         return posterior, prior, weights
 
 
-def plot_weights_timeseries(weights: jax.Array, out_path, episode: int = 0):
+def plot_weights_timeseries(weights: jax.Array, out_path, episode: int = 0) -> object:
     """Plot one episode's learned subset weights over time (the chart the
     reference's dead ``LogWeightedMoPoEWeights`` was meant to draw,
     reference ``mopoe_mrssm/callback.py:71-163``)."""

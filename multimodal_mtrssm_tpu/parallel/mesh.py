@@ -20,6 +20,8 @@ shard_map needed at this model scale).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -113,13 +115,13 @@ def shard_batch(batch: tuple, mesh: Mesh, axis_name: str = DATA_AXIS) -> tuple:
     return tuple(jax.device_put(x, sharding) for x in batch)
 
 
-def replicate(tree, mesh: Mesh):
+def replicate(tree, mesh: Mesh) -> Any:
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.device_put(tree, sharding)
 
 
-def put_sharded(x: np.ndarray, sharding: NamedSharding):
+def put_sharded(x: np.ndarray, sharding: NamedSharding) -> jax.Array:
     """Place one host array onto a (possibly multi-host) sharding.
 
     Single-process: plain ``jax.device_put``. Under multi-process (pod-scale

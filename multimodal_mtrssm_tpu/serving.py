@@ -20,6 +20,7 @@ hosts only touch numpy at the edges.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -152,7 +153,7 @@ class WorldModel:
         )
         return posterior, prior
 
-    def observe(self, actions, audio_obs, vision_obs, key):
+    def observe(self, actions, audio_obs, vision_obs, key) -> tuple[Any, Any]:
         """Filter observations → (posterior, prior) latent sequences [B, T]."""
         b = _batch_len(actions)
         pad = self._pad_amount(b)
@@ -259,7 +260,7 @@ class WorldModel:
             )
         return self.model.rollout_transition(params, actions, prev_state, key)
 
-    def imagine(self, actions, prev_state, key):
+    def imagine(self, actions, prev_state, key) -> Any:
         """Prior-only rollout from ``prev_state`` under an action plan."""
         b = _batch_len(actions)
         pad = self._pad_amount(b)
@@ -268,7 +269,7 @@ class WorldModel:
         )
         return out[:b] if pad else out
 
-    def decode(self, state):
+    def decode(self, state) -> dict[str, jax.Array]:
         """Reconstruct both modalities from latents."""
         b = jax.tree_util.tree_leaves(state)[0].shape[0]
         pad = self._pad_amount(b)
@@ -278,7 +279,7 @@ class WorldModel:
         return out
 
     # ---- convenience ---------------------------------------------------------
-    def imagine_frames(self, actions, prev_state, key):
+    def imagine_frames(self, actions, prev_state, key) -> dict[str, jax.Array]:
         """Imagine and decode in one call → dict of [B, T, H, W, C] frames."""
         return self.decode(self.imagine(actions, prev_state, key))
 

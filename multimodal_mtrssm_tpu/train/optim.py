@@ -269,7 +269,7 @@ _SCHEDULERS = {
 
 
 def make_scheduler(spec: dict | None, base_lr: float,
-                   plateau_factor: float = 0.5, plateau_patience: int = 50):
+                   plateau_factor: float = 0.5, plateau_patience: int = 50) -> object:
     """Build an LR scheduler from a spec dict (``{"kind": ..., **kwargs}``).
 
     ``None`` or ``kind: plateau`` → the reference's ReduceLROnPlateau
@@ -292,7 +292,7 @@ def make_scheduler(spec: dict | None, base_lr: float,
     return cls(base_lr, **spec)
 
 
-def scheduler_from_state_dict(d: dict):
+def scheduler_from_state_dict(d: dict) -> object:
     """Restore any scheduler from its ``state_dict`` (``kind`` defaults to
     plateau for checkpoints written before kinds existed)."""
     d = dict(d)

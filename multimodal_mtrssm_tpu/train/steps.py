@@ -17,11 +17,13 @@ vectors on device so one host transfer serves K steps.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import jax
 import jax.numpy as jnp
 
 
-def one_update(model, optimizer, params, opt_state, batch, key):
+def one_update(model, optimizer, params, opt_state, batch, key) -> tuple:
     """One optimizer step at an already-folded per-step key."""
 
     def loss_fn(p):
@@ -34,7 +36,7 @@ def one_update(model, optimizer, params, opt_state, batch, key):
     return params, opt_state, metrics
 
 
-def make_train_step(model, optimizer):
+def make_train_step(model, optimizer) -> Callable:
     """(params, opt_state, batch, key, step) → (params, opt_state, metrics)."""
 
     def train_step(params, opt_state, batch, key, step):
@@ -46,7 +48,7 @@ def make_train_step(model, optimizer):
     return train_step
 
 
-def make_train_scan(model, optimizer):
+def make_train_scan(model, optimizer) -> Callable:
     """K train steps in one dispatch: scan over the leading axis of a
     [K, B, ...] batch stack. Per-step math/RNG identical to
     ``make_train_step(...)(…, step0 + i)``."""

@@ -24,7 +24,7 @@ MIN_WARMUP_ITERS = 30
 
 
 def synthetic_batch6(key: jax.Array, B: int, T: int, stacked_k: int | None = None,
-                     hw: int = 32):
+                     hw: int = 32) -> tuple:
     """The 6-tuple (action, audio_in, vision_in, action, audio, vision)
     batch every benchmark feeds ``shared_step`` — one home for the contract
     (mirrors ``data/pipeline.py::_make_batch``'s stream order). Inputs and

@@ -19,7 +19,11 @@ no network, so this module implements the always-runnable subset natively:
   (conservative: skips underscore names, unpacking, aug/annotated assigns,
   and dynamic-scope functions),
 - D103 subset (pydoclint-lite): public module-level functions and classes
-  inside the package must carry docstrings.
+  inside the package must carry docstrings,
+- DOC102 (pydoclint-lite): parameters documented in an ``Args:`` section or
+  ``:param:`` field must exist in the signature (docstring drift),
+- ANN201 subset (mypy-lite): public functions/methods inside the package
+  must carry return annotations.
 
 ``tests/test_static_gates.py`` runs these on every test invocation and
 additionally shells out to real ``ruff``/``mypy`` when they exist.
@@ -330,6 +334,100 @@ def _docstring_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+_SECTION_HEADERS = re.compile(
+    r"^(Args|Arguments|Parameters|Returns|Raises|Yields|Notes?|Examples?|"
+    r"Attributes|See Also|References|Warnings?)\s*:\s*$"
+)
+_ARGS_HEADERS = frozenset({"Args", "Arguments", "Parameters"})
+
+
+def _documented_args(doc: str) -> list[tuple[str, int]]:
+    """Parameter names a docstring documents, with 0-based line offsets.
+
+    Recognizes Google-style ``Args:`` sections (entries are ``name: desc`` or
+    ``name (type): desc`` at the section's first indent level; deeper lines
+    are description continuations) and Sphinx ``:param name:`` fields.
+    """
+    out: list[tuple[str, int]] = []
+    lines = doc.splitlines()
+    in_args = False
+    entry_indent: int | None = None
+    for i, ln in enumerate(lines):
+        stripped = ln.strip()
+        m = _SECTION_HEADERS.match(stripped)
+        if m:
+            in_args = m.group(1) in _ARGS_HEADERS
+            entry_indent = None
+            continue
+        if in_args and stripped:
+            indent = len(ln) - len(ln.lstrip())
+            if entry_indent is None:
+                entry_indent = indent
+            if indent == entry_indent:
+                em = re.match(r"^(\*{0,2}[A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s*:", stripped)
+                if em:
+                    out.append((em.group(1).lstrip("*"), i))
+        sm = re.match(r"^:param\s+(?:[^:]*\s)?([A-Za-z_][A-Za-z0-9_]*)\s*:", stripped)
+        if sm:
+            out.append((sm.group(1), i))
+    return out
+
+
+def _doc_signature_findings(path: Path, tree: ast.Module) -> list[str]:
+    """DOC102 (pydoclint-lite): names documented in an ``Args:`` section or
+    ``:param:`` field that do not exist in the function signature — the
+    docstring-drift half of pydoclint's signature checks (a renamed or
+    removed parameter whose docs weren't updated). The reverse direction
+    (every arg must be documented) is deliberately not enforced: this
+    codebase documents by prose, and the reference's pydoclint config only
+    gates consistency, not completeness."""
+    findings: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        doc = ast.get_docstring(node, clean=True)
+        if not doc:
+            continue
+        a = node.args
+        sig = {arg.arg for arg in [*a.posonlyargs, *a.args, *a.kwonlyargs]}
+        if a.vararg:
+            sig.add(a.vararg.arg)
+        if a.kwarg:
+            sig.add(a.kwarg.arg)
+        for name, _off in _documented_args(doc):
+            if name not in sig:
+                findings.append(
+                    f"{path}:{node.lineno}: DOC102 '{node.name}' documents "
+                    f"parameter '{name}' not present in its signature"
+                )
+    return findings
+
+
+def _return_annotation_findings(path: Path, tree: ast.Module) -> list[str]:
+    """ANN201 subset (mypy-lite): public module-level functions and public
+    methods of public classes must carry a return annotation — the cheapest
+    slice of the reference's ``mypy --strict`` gate that is checkable
+    without a type checker (``disallow_untyped_defs`` on the public
+    surface). ``__init__`` and properties' setters are exempt."""
+    findings: list[str] = []
+
+    def scan(body: list[ast.stmt]) -> None:
+        for node in body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name.startswith("_"):
+                    continue
+                if node.returns is None:
+                    findings.append(
+                        f"{path}:{node.lineno}: ANN201 public '{node.name}' "
+                        "is missing a return annotation"
+                    )
+            elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+                scan(node.body)
+
+    scan(tree.body)
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     """Return a list of "path:line: code message" findings for one file."""
     findings: list[str] = []
@@ -350,6 +448,8 @@ def check_file(path: Path) -> list[str]:
     findings.extend(_unused_local_findings(path, tree))
     if "multimodal_mtrssm_tpu" in path.parts:
         findings.extend(_docstring_findings(path, tree))
+        findings.extend(_return_annotation_findings(path, tree))
+    findings.extend(_doc_signature_findings(path, tree))
 
     is_dunder_init = path.name == "__init__.py"
     used = _used_names(tree) | _exported_names(tree) | _string_annotations(tree)

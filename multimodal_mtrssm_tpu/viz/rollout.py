@@ -28,7 +28,7 @@ from multimodal_mtrssm_tpu.models.state import cat_states
 MAX_EPISODES = 7
 
 
-def compute_reconstructions(model, params, batch, query_length: int, key: jax.Array):
+def compute_reconstructions(model, params, batch, query_length: int, key: jax.Array) -> dict[str, jax.Array]:
     """Posterior + prior reconstructions for a batch (reference
     ``mrssm/callback.py:156-233``).
 

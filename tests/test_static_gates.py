@@ -166,3 +166,98 @@ def test_ast_lint_unused_locals(tmp_path):
         p.write_text(code)
         got = any("F841" in x for x in check_file(p))
         assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
+
+
+def test_ast_lint_doc_signature_consistency(tmp_path):
+    """DOC102 (pydoclint-lite): documented params must exist in the
+    signature — Google ``Args:`` sections and Sphinx ``:param:`` fields;
+    description continuation lines and other sections are not parsed as
+    parameter entries."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expect a DOC102 finding)
+        "google drifted arg": (
+            "def f(x):\n"
+            '    """Do a thing.\n\n    Args:\n        y: the old name.\n    """\n'
+            "    return x\n", True),
+        "google matching arg": (
+            "def f(x):\n"
+            '    """Do.\n\n    Args:\n        x: the input.\n    """\n'
+            "    return x\n", False),
+        "google typed entry": (
+            "def f(x):\n"
+            '    """Do.\n\n    Args:\n        z (int): gone.\n    """\n'
+            "    return x\n", True),
+        "continuation line not an entry": (
+            "def f(x):\n"
+            '    """Do.\n\n    Args:\n        x: maps name: value pairs\n'
+            '            extra: indented continuation, not an entry.\n    """\n'
+            "    return x\n", False),
+        "returns section not parsed": (
+            "def f(x):\n"
+            '    """Do.\n\n    Args:\n        x: in.\n\n    Returns:\n'
+            '        out: a thing called out.\n    """\n'
+            "    return x\n", False),
+        "sphinx drifted param": (
+            "def f(x):\n"
+            '    """Do.\n\n    :param old: renamed away.\n    """\n'
+            "    return x\n", True),
+        "sphinx typed param ok": (
+            "def f(x):\n"
+            '    """Do.\n\n    :param int x: the input.\n    """\n'
+            "    return x\n", False),
+        "varargs and kwargs count": (
+            "def f(*args, **kw):\n"
+            '    """Do.\n\n    Args:\n        *args: extra.\n        **kw: more.\n    """\n'
+            "    return args, kw\n", False),
+        "prose with colon not flagged": (
+            "def f(x):\n"
+            '    """Note: this is prose, not an Args section.\n\n    caveat: still prose.\n    """\n'
+            "    return x\n", False),
+        "method self not required": (
+            "class C:\n"
+            '    """D."""\n\n'
+            "    def m(self, x):\n"
+            '        """Do.\n\n        Args:\n            x: in.\n        """\n'
+            "        return x\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"doc102_{abs(hash(name))}.py"
+        p.write_text(code)
+        got = any("DOC102" in x for x in check_file(p))
+        assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
+
+
+def test_ast_lint_return_annotations(tmp_path):
+    """ANN201 subset: public functions/methods inside the package tree must
+    carry return annotations; private names, nested defs, and code outside
+    the package are exempt."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    pkg = tmp_path / "multimodal_mtrssm_tpu"
+    pkg.mkdir()
+    cases = {
+        # name: (code, expect an ANN201 finding)
+        "public fn unannotated": ("def f():\n    '''d'''\n    return 1\n", True),
+        "public fn annotated": ("def f() -> int:\n    '''d'''\n    return 1\n", False),
+        "private fn exempt": ("def _f():\n    return 1\n", False),
+        "public method unannotated": (
+            "class C:\n    '''d'''\n\n    def m(self):\n        '''d'''\n        return 1\n", True),
+        "dunder init exempt": (
+            "class C:\n    '''d'''\n\n    def __init__(self):\n        pass\n", False),
+        "private class methods exempt": (
+            "class _C:\n    def m(self):\n        return 1\n", False),
+        "nested def exempt": (
+            "def f() -> int:\n    '''d'''\n    def inner():\n        return 1\n    return inner()\n",
+            False),
+    }
+    for name, (code, expect) in cases.items():
+        p = pkg / f"ann201_{abs(hash(name))}.py"
+        p.write_text(code)
+        got = any("ANN201" in x for x in check_file(p))
+        assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
+    # Outside the package tree the rule does not apply.
+    outside = tmp_path / "script.py"
+    outside.write_text("def f():\n    '''d'''\n    return 1\n")
+    assert not any("ANN201" in x for x in check_paths([outside]))
