@@ -164,7 +164,11 @@ class TorchMoPoEMRSSM(nn.Module):
             return (ql.exp() * (ql - pl)).sum((-2, -1))
 
         kl_bt = 0.8 * kl(post.detach(), prior) + 0.2 * kl(post, prior.detach())
-        return recon + kl_bt.sum(-1).mean()
+        kl_total = kl_bt.sum(-1).mean()
+        # Components for the curve-parity harness (benchmarks/curve_parity.py);
+        # scalar forward() return is unchanged for the throughput bench.
+        self.last_metrics = {"recon": float(recon), "kl": float(kl_total)}
+        return recon + kl_total
 
 
 class TorchMTRNN(nn.Module):

@@ -21,7 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
 
 from multimodal_mtrssm_tpu.models import MMTRSSMConfig, MoPoEMMTRSSM
 from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot
-from test_torch_parity import _copy_decoder, _copy_dense, _copy_encoder, _copy_mlp
+from torch_sync import (  # noqa: E402 — needs the benchmarks sys.path entry
+    copy_decoder as _copy_decoder,
+    copy_dense as _copy_dense,
+    copy_encoder as _copy_encoder,
+    copy_mlp as _copy_mlp,
+)
 
 B, T = 2, 30
 
