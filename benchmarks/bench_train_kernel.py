@@ -104,6 +104,9 @@ def main() -> None:
                     help="measure only the shipped default dispatch "
                          "(use_pallas_train='auto') instead of the "
                          "XLA-vs-kernel A/B — for batch-scaling sweeps")
+    ap.add_argument("--stacked", action="store_true",
+                    help="three-way A/B: XLA vs kernel vs the stacked-"
+                         "layout kernel (train_step_stacked.py, mrssm only)")
     args = ap.parse_args()
     global K
     if args.k:
@@ -144,6 +147,10 @@ def main() -> None:
                 "ms_per_step_kernel": round(ms_kernel, 3),
                 "speedup": round(ms_xla / ms_kernel, 3),
             }
+            if args.stacked:
+                ms_stacked = measure(make("stacked"), B, T)
+                row["ms_per_step_stacked"] = round(ms_stacked, 3)
+                row["speedup_stacked_vs_kernel"] = round(ms_kernel / ms_stacked, 3)
         results.append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps({"metric": "train_kernel_ab", "results": results}))

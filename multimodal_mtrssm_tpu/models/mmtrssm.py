@@ -424,6 +424,11 @@ class MoPoEMMTRSSM:
         kw = dict(l_tau=cfg.l_tau, h_tau=cfg.h_tau, ls_class=cfg.ls_class,
                   ls_category=cfg.ls_category, hs_class=cfg.hs_class,
                   hs_category=cfg.hs_category)
+        if mode in ("stacked", "stacked_interpret"):
+            raise ValueError(
+                "use_pallas_train='stacked' is MRSSM-only (the MT kernel has "
+                "no stacked-layout variant); use 'auto'/True for MMTRSSM"
+            )
         if mode == "reference":
             ys = reference_mt_train_recurrence(*args, **kw)
         else:

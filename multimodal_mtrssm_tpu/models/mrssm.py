@@ -92,7 +92,10 @@ class MRSSMConfig:
     #   False       — always the XLA lax.scan path;
     #   "interpret" — kernel in interpreter mode (CPU tests);
     #   "reference" — the kernel's pure-JAX twin (same pre-generated-Gumbel
-    #                 RNG layout, XLA execution; equivalence testing).
+    #                 RNG layout, XLA execution; equivalence testing);
+    #   "stacked"   — the stacked-layout kernel variant (fewer, larger
+    #                 matmuls per step — ops/pallas/train_step_stacked.py);
+    #   "stacked_interpret" — its interpreter mode (CPU tests).
     # RNG NOTE: the kernel path draws its per-step Gumbel noise from two
     # bulk jax.random.gumbel calls instead of per-step key splits — the
     # sampling DISTRIBUTION is identical but the stream differs, so
@@ -372,6 +375,7 @@ class MoPoEMRSSM:
         bulk Gumbel noise (see ``use_pallas_train`` docstring)."""
         from multimodal_mtrssm_tpu.ops.pallas import (
             fused_train_recurrence,
+            fused_train_recurrence_stacked,
             pack_train_params,
             reference_train_recurrence,
         )
@@ -392,6 +396,11 @@ class MoPoEMRSSM:
         if mode == "reference":
             outs = reference_train_recurrence(
                 *args, class_size=cfg.class_size, category_size=cfg.category_size
+            )
+        elif mode in ("stacked", "stacked_interpret"):
+            outs = fused_train_recurrence_stacked(
+                *args, class_size=cfg.class_size, category_size=cfg.category_size,
+                interpret=(mode == "stacked_interpret"),
             )
         else:
             outs = fused_train_recurrence(

@@ -13,6 +13,10 @@ from multimodal_mtrssm_tpu.ops.pallas.train_step import (
     pack_train_params,
     reference_train_recurrence,
 )
+from multimodal_mtrssm_tpu.ops.pallas.train_step_stacked import (
+    fused_train_recurrence_stacked,
+    stack_train_params,
+)
 from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import (
     fits_vmem_mt,
     fused_mt_train_recurrence,
@@ -77,6 +81,10 @@ def resolve_train_kernel_mode(
     - ``False``/``None`` → None.
     - ``"interpret"``/``"reference"`` (debug/test modes) → themselves when
       the shape/config is eligible, else None.
+    - ``"stacked"`` → the stacked-layout kernel variant
+      (``train_step_stacked.py``, MRSSM only) with the same eligibility +
+      single-device guards as ``True``; ``"stacked_interpret"`` is its
+      debug/test mode (behaves like ``"interpret"``).
     - ``"auto"`` → ``"kernel"`` only when eligible AND the family's
       measured-win policy flag is on AND running single-chip on TPU (GSPMD
       cannot partition a bare ``pallas_call`` over a batch-sharded mesh, so
@@ -98,31 +106,32 @@ def resolve_train_kernel_mode(
         n_devices = len(jax.devices())
     if v in (False, None):
         return None
-    if v in ("interpret", "reference"):
+    if v in ("interpret", "reference", "stacked_interpret"):
         return v if eligible else None
     if v == "auto":
         if (eligible and auto_flag and jax.default_backend() == "tpu"
                 and n_devices == 1):
             return "kernel"
         return None
-    if v is True:
+    if v is True or v == "stacked":
         import warnings
 
+        mode = "stacked" if v == "stacked" else "kernel"
         if not eligible:
             warnings.warn(warn_ineligible, stacklevel=4)
             return None
         if n_devices > 1:
             warnings.warn(
-                "use_pallas_train=True ignored on a multi-device mesh: "
+                f"use_pallas_train={v!r} ignored on a multi-device mesh: "
                 "GSPMD cannot partition the fused training kernel over a "
                 "batch-sharded mesh; taking the XLA scan path",
                 stacklevel=4,
             )
             return None
-        return "kernel"
+        return mode
     raise ValueError(
         f"use_pallas_train={v!r} not recognized; expected True, False, None, "
-        "'auto', 'interpret', or 'reference'"
+        "'auto', 'interpret', 'reference', 'stacked', or 'stacked_interpret'"
     )
 
 
@@ -134,6 +143,7 @@ __all__ = [
     "fused_mt_train_recurrence",
     "fused_rollout_transition",
     "fused_train_recurrence",
+    "fused_train_recurrence_stacked",
     "pack_mt_params",
     "pack_mt_train_params",
     "pack_params",
@@ -142,4 +152,5 @@ __all__ = [
     "reference_train_recurrence",
     "resolve_train_kernel_mode",
     "resolve_use_pallas",
+    "stack_train_params",
 ]
