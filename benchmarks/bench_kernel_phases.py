@@ -127,6 +127,9 @@ def _ablated_step(weights, action, a_emb, v_emb, in_deter, in_stoch,
     mixed, _, _ = _mopoe_forward(a_logits, v_logits)
     if phase == "no_post_sample":
         return deter, prior_logits, prior_stoch, mixed, jnp.tanh(mixed)
+    if phase == "no_prior":
+        post_stoch, _ = _st_sample(mixed, g_post, CLASS, CAT)
+        return deter, prior_logits, prior_stoch, mixed, post_stoch
 
     raise ValueError(phase)
 
@@ -183,12 +186,13 @@ def _time(fn, *args) -> float:
     out = None
     for _ in range(WARMUP):
         out = fn(*args)
-    jax.tree.map(lambda x: float(jnp.sum(x)), out)
+    fence = lambda o: float(jnp.sum(jax.tree.leaves(o)[0]))  # noqa: E731
+    fence(out)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn(*args)
-        float(jnp.sum(out[0]))
+        fence(out)
         times.append(time.perf_counter() - t0)
     return statistics.median(times) * 1e3
 
@@ -200,7 +204,14 @@ def main() -> None:
     ap.add_argument("--ts", default="15,30,60")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke mode (no timings of record)")
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--warmup", type=int, default=None)
     args = ap.parse_args()
+    global REPS, WARMUP
+    if args.reps:
+        REPS = args.reps
+    if args.warmup is not None:
+        WARMUP = args.warmup
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()

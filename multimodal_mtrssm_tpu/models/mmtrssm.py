@@ -367,26 +367,29 @@ class MoPoEMMTRSSM:
             fits_vmem_mt,
         )
 
+        # Single-block VMEM fit gates only the "auto" policy (the measured-
+        # win regime); an explicit True runs oversized [T, B] through the
+        # TIME-CHUNKED grid kernels (train_step_mt.py), so the VMEM guard no
+        # longer forces a fallback.
+        single_fit = fits_vmem_mt(
+            horizon, batch,
+            action_size=self.cfg.action_size,
+            obs_embed_size=self.cfg.obs_embed_size,
+            hd_dim=self.cfg.hd_dim,
+            ld_dim=self.cfg.ld_dim,
+            hs_size=self.cfg.hs_dim,
+            ls_size=self.cfg.ls_dim,
+        )
         return resolve_train_kernel_mode(
             self.cfg.use_pallas_train,
             eligible=(
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
-                and fits_vmem_mt(
-                    horizon, batch,
-                    action_size=self.cfg.action_size,
-                    obs_embed_size=self.cfg.obs_embed_size,
-                    hd_dim=self.cfg.hd_dim,
-                    ld_dim=self.cfg.ld_dim,
-                    hs_size=self.cfg.hs_dim,
-                    ls_size=self.cfg.ls_dim,
-                )
             ),
-            auto_flag=AUTO_MT_TRAIN_KERNEL,
+            auto_flag=AUTO_MT_TRAIN_KERNEL and single_fit,
             warn_ineligible=(
                 "use_pallas_train=True ignored: the fused hierarchical training "
-                "kernel requires ELU + float32 and a VMEM-sized [T, B]; taking "
-                "the XLA scan path"
+                "kernel requires ELU + float32; taking the XLA scan path"
             ),
             n_devices=getattr(self, "mesh_devices", None),
         )

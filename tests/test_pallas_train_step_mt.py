@@ -184,5 +184,80 @@ def test_mt_dispatch_eligibility(monkeypatch):
     m_bf16 = MoPoEMMTRSSM(MMTRSSMConfig(compute_dtype=jnp.bfloat16,
                                         use_pallas_train="interpret"))
     assert m_bf16._train_kernel_mode(8, 30) is None
+    # Oversized [T, B] no longer disqualifies the kernel (the time-chunked
+    # grid variants stream residuals through VMEM) — but "auto" still
+    # requires the measured-win single-block regime.
     m_big = MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train="interpret"))
-    assert m_big._train_kernel_mode(4096, 180) is None  # VMEM guard
+    assert m_big._train_kernel_mode(4096, 180) == "interpret"
+    monkeypatch.setattr(jax, "devices", lambda *a: one)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m_auto = MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train="auto"))
+    assert m_auto._train_kernel_mode(4096, 180) is None  # auto: single-fit only
+    assert m_auto._train_kernel_mode(8, 30) == "kernel"
+
+
+# ---------------------------------------------------------------------------
+# Time-chunked grid kernels (oversized [T, B] — VERDICT r4)
+# ---------------------------------------------------------------------------
+
+
+def test_mt_chunked_forward_matches_reference(setup, monkeypatch):
+    """With the VMEM budget shrunk so T=6 splits into multiple chunks
+    (including a PADDED tail chunk), the grid-chunked forward matches the
+    reference exactly."""
+    import multimodal_mtrssm_tpu.ops.pallas.train_step_mt as mt
+
+    _, _, args = setup
+    tc = mt.mt_chunk_len(B)
+    assert tc >= T  # sanity: default budget keeps this shape single-block
+    # Budget for exactly 4 timesteps per chunk → chunks of 4 + padded tail.
+    row = (10 << 20) // tc
+    monkeypatch.setattr(mt, "MT_VMEM_BUDGET_BYTES", row * 4)
+    assert mt.mt_chunk_len(B, mt.MT_VMEM_BUDGET_BYTES) == 4
+    fused = fused_mt_train_recurrence(*args, **HP, interpret=True)
+    ref = reference_mt_train_recurrence(*args, **HP)
+    for i, (a, b) in enumerate(zip(fused, ref)):
+        assert a.shape == b.shape, i
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=f"out[{i}]")
+
+
+def test_mt_chunked_vjp_matches_autodiff(setup, monkeypatch):
+    """The chunked backward (scratch carry across grid steps, revisited
+    weight-grad accumulators, reversed chunk order, zero-padded tail)
+    equals autodiff through the reference for every input."""
+    import multimodal_mtrssm_tpu.ops.pallas.train_step_mt as mt
+
+    _, _, args = setup
+    tc = mt.mt_chunk_len(B)
+    row = (10 << 20) // tc
+    monkeypatch.setattr(mt, "MT_VMEM_BUDGET_BYTES", row * 4)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    dims = (HD, LD, HD, LD, LS, LS, LS, LS, HS, HS, HS, HS)
+    cots = tuple(jax.random.normal(k, (T, B, d)) for k, d in zip(ks, dims))
+
+    def loss_fused(packed, actions, a_emb, v_emb, init6):
+        outs = fused_mt_train_recurrence(packed, actions, a_emb, v_emb,
+                                         init6, args[5], **HP, interpret=True)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+    def loss_ref(packed, actions, a_emb, v_emb, init6):
+        outs = reference_mt_train_recurrence(packed, actions, a_emb, v_emb,
+                                             init6, args[5], **HP)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+    argnums = (0, 1, 2, 3, 4)
+    gf = jax.grad(loss_fused, argnums)(*args[:5])
+    gr = jax.grad(loss_ref, argnums)(*args[:5])
+    for name, a_tree, b_tree in (("packed", gf[0], gr[0]),
+                                 ("init6", gf[4], gr[4])):
+        for i, (a, b) in enumerate(zip(a_tree, b_tree)):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4 * scale,
+                                       err_msg=f"{name}[{i}]")
+    for name, a, b in zip(("actions", "a_emb", "v_emb"), gf[1:4], gr[1:4]):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, err_msg=name)
