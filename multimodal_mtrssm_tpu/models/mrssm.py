@@ -345,27 +345,41 @@ class MoPoEMRSSM:
         from multimodal_mtrssm_tpu.ops.pallas import fits_vmem, resolve_train_kernel_mode
         from multimodal_mtrssm_tpu.ops.pallas.train_step import AUTO_TRAIN_KERNEL
 
-        return resolve_train_kernel_mode(
+        # Single-block VMEM fit gates only the "auto" policy (the measured-
+        # win regime) and the stacked variant (single-block only); an
+        # explicit True runs oversized [T, B] through the TIME-CHUNKED grid
+        # kernels (train_step.py chunked variants).
+        single_fit = fits_vmem(
+            horizon, batch,
+            action_size=self.cfg.action_size,
+            stoch_size=self.cfg.stoch_size,
+            deter_size=self.cfg.deterministic_size,
+            obs_embed_size=self.cfg.obs_embed_size,
+        )
+        mode = resolve_train_kernel_mode(
             self.cfg.use_pallas_train,
             eligible=(
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
-                and fits_vmem(
-                    horizon, batch,
-                    action_size=self.cfg.action_size,
-                    stoch_size=self.cfg.stoch_size,
-                    deter_size=self.cfg.deterministic_size,
-                    obs_embed_size=self.cfg.obs_embed_size,
-                )
             ),
-            auto_flag=AUTO_TRAIN_KERNEL,
+            auto_flag=AUTO_TRAIN_KERNEL and single_fit,
             warn_ineligible=(
                 "use_pallas_train=True ignored: the fused training kernel "
-                "requires ELU + float32 and a VMEM-sized [T, B]; taking the "
-                "XLA scan path"
+                "requires ELU + float32; taking the XLA scan path"
             ),
             n_devices=getattr(self, "mesh_devices", None),
         )
+        if mode in ("stacked", "stacked_interpret") and not single_fit:
+            import warnings
+
+            warnings.warn(
+                "use_pallas_train='stacked' has no time-chunked variant; "
+                "[T, B] exceeds the single-block VMEM budget — dispatching "
+                "the chunked regular kernel instead",
+                stacklevel=3,
+            )
+            mode = "interpret" if mode == "stacked_interpret" else "kernel"
+        return mode
 
     def _rollout_representation_fused(
         self, params, actions, audio_embed, vision_embed, prev_state, key, mode: str

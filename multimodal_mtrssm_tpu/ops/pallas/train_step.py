@@ -54,6 +54,10 @@ from multimodal_mtrssm_tpu.nn.core import Params
 # 18 wv2 [H, S],  19 bv2 [S]     vision_representation layer 1
 N_W = 20
 
+# VMEM budget the single-block/chunked dispatch is sized against (module
+# level so tests can shrink it to force the chunked path on tiny shapes).
+VMEM_BUDGET_BYTES = 10 << 20
+
 
 def pack_train_params(params: Params) -> tuple[jax.Array, ...]:
     """Extract transition + both posterior-head weights from a MoPoEMRSSM
@@ -268,22 +272,18 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    # residual inputs
-    actions_ref, a_emb_ref, v_emb_ref, init_deter_ref, init_stoch_ref,
-    g_prior_ref, g_post_ref, deter_seq_ref, post_stoch_seq_ref,
-    *rest,
-    T: int, class_size: int, category_size: int,
-):
-    w_refs = rest[:N_W]
-    (gd_ref, gpl_ref, gps_ref, gmx_ref, gpo_ref) = rest[N_W : N_W + 5]
-    out_w_refs = rest[N_W + 5 : 2 * N_W + 5]
-    d_actions_ref, d_a_emb_ref, d_v_emb_ref, d_init_deter_ref, d_init_stoch_ref = rest[2 * N_W + 5 :]
-    weights = tuple(r[:] for r in w_refs)
+def _bwd_step(weights, action, a_emb, v_emb, in_deter, in_stoch,
+              g_prior, g_post, gouts_t, carry, class_size, category_size):
+    """One reverse-time BPTT step (recompute + grads). ``in_deter``/
+    ``in_stoch`` are the carry INTO step t (callers pre-shift the stored
+    sequences once in XLA). Returns (new_carry2, (d_action, d_a_emb,
+    d_v_emb), dw20) — callers accumulate the weight contributions."""
     (w1, b1, w2, b2, wih, bih, whh, bhh, wp1, bp1, wp2, bp2,
      wa1, ba1, wa2, ba2, wv1, bv1, wv2, bv2) = weights
+    (gd, gpl, gps, gmx, gpo) = gouts_t
+    d_deter_c, d_stoch_c = carry
     D = whh.shape[0]
-    A = actions_ref.shape[-1]
+    A = action.shape[-1]
     # Contract over the batch axis: [in, B] × [B, out] without materializing
     # transposes (x^T g as dot_general).
     tdot = functools.partial(
@@ -291,93 +291,111 @@ def _bwd_kernel(
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dw = [None] * N_W
+    rec = _forward_step(
+        weights, action, a_emb, v_emb, in_deter, in_stoch,
+        g_prior, g_post, class_size, category_size,
+    )
+
+    # ST posterior sample: output grad + next-step carry, through the
+    # per-block softmax jacobian into the mixed logits.
+    g_s = gpo + d_stoch_c
+    d_mixed = gmx + _block_softmax_vjp(rec["post_probs"], g_s, class_size, category_size)
+    d_a_logits, d_v_logits = _mopoe_backward(
+        d_mixed, rec["mixed"], rec["la"], rec["lv"], rec["a_logits"], rec["v_logits"]
+    )
+
+    # Posterior heads → weight grads + d_emb + deter contribution.
+    def head_bwd(d_logits, h, h_pre, xcat, w_hid, w_out, iw1, ib1, iw2, ib2):
+        dw[iw2] = tdot(h, d_logits)
+        dw[ib2] = jnp.sum(d_logits, axis=0)
+        d_h = _rdot(d_logits, w_out) * _d_elu(h_pre)
+        dw[iw1] = tdot(xcat, d_h)
+        dw[ib1] = jnp.sum(d_h, axis=0)
+        d_xcat = _rdot(d_h, w_hid)
+        return d_xcat[:, :D], d_xcat[:, D:]
+
+    d_deter_a, d_a_emb = head_bwd(
+        d_a_logits, rec["ha"], rec["ha_pre"], rec["xa"], wa1, wa2, 12, 13, 14, 15)
+    d_deter_v, d_v_emb = head_bwd(
+        d_v_logits, rec["hv"], rec["hv_pre"], rec["xv"], wv1, wv2, 16, 17, 18, 19)
+
+    # Prior head: external logit grad + the prior ST sample's probs path.
+    d_prior_logits = gpl + _block_softmax_vjp(
+        rec["prior_probs"], gps, class_size, category_size
+    )
+    dw[10] = tdot(rec["p1"], d_prior_logits)
+    dw[11] = jnp.sum(d_prior_logits, axis=0)
+    d_p1 = _rdot(d_prior_logits, wp2) * _d_elu(rec["p1_pre"])
+    dw[8] = tdot(rec["deter"], d_p1)
+    dw[9] = jnp.sum(d_p1, axis=0)
+    d_deter_p = _rdot(d_p1, wp1)
+
+    # Total gradient into deter_t: output + future carry + in-step heads.
+    g_deter = gd + d_deter_c + d_deter_a + d_deter_v + d_deter_p
+
+    # GRU backward (deter = (1-z)·n + z·in_deter).
+    r_, z_, n_ = rec["r"], rec["z"], rec["n"]
+    gh_n = rec["gh"][:, 2 * D :]
+    d_z = g_deter * (in_deter - n_)
+    d_n = g_deter * (1.0 - z_)
+    d_pre_n = d_n * (1.0 - n_ * n_)
+    d_r = d_pre_n * gh_n
+    d_pre_z = d_z * z_ * (1.0 - z_)
+    d_pre_r = d_r * r_ * (1.0 - r_)
+    d_gi = jnp.concatenate([d_pre_r, d_pre_z, d_pre_n], axis=-1)
+    d_gh = jnp.concatenate([d_pre_r, d_pre_z, d_pre_n * r_], axis=-1)
+    dw[4] = tdot(rec["x2"], d_gi)
+    dw[5] = jnp.sum(d_gi, axis=0)
+    dw[6] = tdot(in_deter, d_gh)
+    dw[7] = jnp.sum(d_gh, axis=0)
+    d_x2 = _rdot(d_gi, wih)
+    d_in_deter = g_deter * z_ + _rdot(d_gh, whh)
+
+    # action_state_projector backward.
+    dw[2] = tdot(rec["h1"], d_x2)
+    dw[3] = jnp.sum(d_x2, axis=0)
+    d_h1 = _rdot(d_x2, w2) * _d_elu(rec["h1_pre"])
+    dw[0] = tdot(rec["x"], d_h1)
+    dw[1] = jnp.sum(d_h1, axis=0)
+    d_x = _rdot(d_h1, w1)
+    new_carry = (d_in_deter, d_x[:, A:])
+    return new_carry, (d_x[:, :A], d_a_emb, d_v_emb), tuple(dw)
+
+
+def _bwd_kernel(
+    # residual inputs: prev_* are the SHIFTED stored sequences (carry INTO
+    # step t — callers pre-shift, so no t==0 branch per iteration)
+    actions_ref, a_emb_ref, v_emb_ref,
+    g_prior_ref, g_post_ref, prev_deter_ref, prev_stoch_ref,
+    *rest,
+    T: int, class_size: int, category_size: int,
+):
+    w_refs = rest[:N_W]
+    gouts = rest[N_W : N_W + 5]
+    out_w_refs = rest[N_W + 5 : 2 * N_W + 5]
+    d_actions_ref, d_a_emb_ref, d_v_emb_ref, d_init_deter_ref, d_init_stoch_ref = rest[2 * N_W + 5 :]
+    weights = tuple(r[:] for r in w_refs)
 
     for r in out_w_refs:
         r[:] = jnp.zeros_like(r)
 
-    init_deter = init_deter_ref[:]
-    init_stoch = init_stoch_ref[:]
-
     def body(i, carry):
-        d_deter_c, d_stoch_c = carry
         t = T - 1 - i
-        prev = jnp.maximum(t - 1, 0)
-        in_deter = jnp.where(t == 0, init_deter, deter_seq_ref[prev])
-        in_stoch = jnp.where(t == 0, init_stoch, post_stoch_seq_ref[prev])
-        rec = _forward_step(
-            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t], in_deter, in_stoch,
-            g_prior_ref[t], g_post_ref[t], class_size, category_size,
+        new_carry, d_ins, dw = _bwd_step(
+            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t],
+            prev_deter_ref[t], prev_stoch_ref[t],
+            g_prior_ref[t], g_post_ref[t],
+            tuple(g[t] for g in gouts), carry, class_size, category_size,
         )
+        for r, contrib in zip(out_w_refs, dw):
+            r[:] += contrib
+        d_actions_ref[t], d_a_emb_ref[t], d_v_emb_ref[t] = d_ins
+        return new_carry
 
-        # ST posterior sample: output grad + next-step carry, through the
-        # per-block softmax jacobian into the mixed logits.
-        g_s = gpo_ref[t] + d_stoch_c
-        d_mixed = gmx_ref[t] + _block_softmax_vjp(rec["post_probs"], g_s, class_size, category_size)
-        d_a_logits, d_v_logits = _mopoe_backward(
-            d_mixed, rec["mixed"], rec["la"], rec["lv"], rec["a_logits"], rec["v_logits"]
-        )
-
-        # Posterior heads → weight grads + d_emb + deter contribution.
-        def head_bwd(d_logits, h, h_pre, xcat, w_hid, w_out, iw1, ib1, iw2, ib2):
-            out_w_refs[iw2][:] += tdot(h, d_logits)
-            out_w_refs[ib2][:] += jnp.sum(d_logits, axis=0)
-            d_h = _rdot(d_logits, w_out) * _d_elu(h_pre)
-            out_w_refs[iw1][:] += tdot(xcat, d_h)
-            out_w_refs[ib1][:] += jnp.sum(d_h, axis=0)
-            d_xcat = _rdot(d_h, w_hid)
-            return d_xcat[:, :D], d_xcat[:, D:]
-
-        d_deter_a, d_a_emb = head_bwd(
-            d_a_logits, rec["ha"], rec["ha_pre"], rec["xa"], wa1, wa2, 12, 13, 14, 15)
-        d_deter_v, d_v_emb = head_bwd(
-            d_v_logits, rec["hv"], rec["hv_pre"], rec["xv"], wv1, wv2, 16, 17, 18, 19)
-        d_a_emb_ref[t] = d_a_emb
-        d_v_emb_ref[t] = d_v_emb
-
-        # Prior head: external logit grad + the prior ST sample's probs path.
-        d_prior_logits = gpl_ref[t] + _block_softmax_vjp(
-            rec["prior_probs"], gps_ref[t], class_size, category_size
-        )
-        out_w_refs[10][:] += tdot(rec["p1"], d_prior_logits)
-        out_w_refs[11][:] += jnp.sum(d_prior_logits, axis=0)
-        d_p1 = _rdot(d_prior_logits, wp2) * _d_elu(rec["p1_pre"])
-        out_w_refs[8][:] += tdot(rec["deter"], d_p1)
-        out_w_refs[9][:] += jnp.sum(d_p1, axis=0)
-        d_deter_p = _rdot(d_p1, wp1)
-
-        # Total gradient into deter_t: output + future carry + in-step heads.
-        g_deter = gd_ref[t] + d_deter_c + d_deter_a + d_deter_v + d_deter_p
-
-        # GRU backward (deter = (1-z)·n + z·in_deter).
-        r_, z_, n_ = rec["r"], rec["z"], rec["n"]
-        gh_n = rec["gh"][:, 2 * D :]
-        d_z = g_deter * (in_deter - n_)
-        d_n = g_deter * (1.0 - z_)
-        d_pre_n = d_n * (1.0 - n_ * n_)
-        d_r = d_pre_n * gh_n
-        d_pre_z = d_z * z_ * (1.0 - z_)
-        d_pre_r = d_r * r_ * (1.0 - r_)
-        d_gi = jnp.concatenate([d_pre_r, d_pre_z, d_pre_n], axis=-1)
-        d_gh = jnp.concatenate([d_pre_r, d_pre_z, d_pre_n * r_], axis=-1)
-        out_w_refs[4][:] += tdot(rec["x2"], d_gi)
-        out_w_refs[5][:] += jnp.sum(d_gi, axis=0)
-        out_w_refs[6][:] += tdot(in_deter, d_gh)
-        out_w_refs[7][:] += jnp.sum(d_gh, axis=0)
-        d_x2 = _rdot(d_gi, wih)
-        d_in_deter = g_deter * z_ + _rdot(d_gh, whh)
-
-        # action_state_projector backward.
-        out_w_refs[2][:] += tdot(rec["h1"], d_x2)
-        out_w_refs[3][:] += jnp.sum(d_x2, axis=0)
-        d_h1 = _rdot(d_x2, w2) * _d_elu(rec["h1_pre"])
-        out_w_refs[0][:] += tdot(rec["x"], d_h1)
-        out_w_refs[1][:] += jnp.sum(d_h1, axis=0)
-        d_x = _rdot(d_h1, w1)
-        d_actions_ref[t] = d_x[:, :A]
-        return d_in_deter, d_x[:, A:]
-
-    zero_d = jnp.zeros_like(init_deter)
-    zero_s = jnp.zeros_like(init_stoch)
+    B = actions_ref.shape[1]
+    zero_d = jnp.zeros((B, d_init_deter_ref.shape[-1]), jnp.float32)
+    zero_s = jnp.zeros((B, d_init_stoch_ref.shape[-1]), jnp.float32)
     d_init_deter, d_init_stoch = jax.lax.fori_loop(0, T, body, (zero_d, zero_s))
     d_init_deter_ref[:] = d_init_deter
     d_init_stoch_ref[:] = d_init_stoch
@@ -397,6 +415,12 @@ def _fwd_call(packed, actions, a_emb, v_emb, init_deter, init_stoch,
     T, B, _ = actions.shape
     D = init_deter.shape[-1]
     S = init_stoch.shape[-1]
+    tc = chunk_len(B, VMEM_BUDGET_BYTES, action_size=actions.shape[-1],
+                   stoch_size=S, deter_size=D, obs_embed_size=a_emb.shape[-1])
+    if tc < T:
+        return _fwd_call_chunked(
+            packed, actions, a_emb, v_emb, init_deter, init_stoch,
+            g_prior, g_post, tc, class_size, category_size, interpret)
     kernel = functools.partial(
         _fwd_kernel, T=T, class_size=class_size, category_size=category_size
     )
@@ -419,6 +443,16 @@ def _bwd_call(packed, actions, a_emb, v_emb, init_deter, init_stoch,
     E = a_emb.shape[-1]
     D = init_deter.shape[-1]
     S = init_stoch.shape[-1]
+    # prev_*[t] = the carry INTO step t (init at t=0, stored seq after).
+    prev_deter = jnp.concatenate([init_deter[None], deter_seq[:-1]], axis=0)
+    prev_stoch = jnp.concatenate([init_stoch[None], post_stoch_seq[:-1]], axis=0)
+    tc = chunk_len(B, VMEM_BUDGET_BYTES, action_size=A, stoch_size=S,
+                   deter_size=D, obs_embed_size=E)
+    if tc < T:
+        return _bwd_call_chunked(
+            packed, actions, a_emb, v_emb, g_prior, g_post,
+            prev_deter, prev_stoch, gouts, tc, class_size, category_size,
+            interpret)
     kernel = functools.partial(
         _bwd_kernel, T=T, class_size=class_size, category_size=category_size
     )
@@ -432,7 +466,7 @@ def _bwd_call(packed, actions, a_emb, v_emb, init_deter, init_stoch,
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         )
     )
-    n_in = 9 + N_W + 5
+    n_in = 7 + N_W + 5
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -440,11 +474,204 @@ def _bwd_call(packed, actions, a_emb, v_emb, init_deter, init_stoch,
         out_specs=tuple(_vmem_spec() for _ in range(N_W + 5)),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        actions, a_emb, v_emb, init_deter, init_stoch, g_prior, g_post,
-        deter_seq, post_stoch_seq, *packed, *gouts,
+        actions, a_emb, v_emb, g_prior, g_post, prev_deter, prev_stoch,
+        *packed, *gouts,
     )
     d_packed = tuple(outs[:N_W])
     d_actions, d_a_emb, d_v_emb, d_init_deter, d_init_stoch = outs[N_W:]
+    return d_packed, d_actions, d_a_emb, d_v_emb, d_init_deter, d_init_stoch
+
+
+# ---------------------------------------------------------------------------
+# Time-chunked variants (same design as train_step_mt.py: one sequential
+# Pallas grid dimension streams [Tc, B, .] blocks through VMEM while the
+# BPTT carry persists in scratch and weight grads accumulate into revisited
+# constant-index output blocks - so oversized [T, B] no longer forces the
+# XLA fallback)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_chunked(
+    actions_ref, a_emb_ref, v_emb_ref, init_deter_ref, init_stoch_ref,
+    g_prior_ref, g_post_ref,
+    *rest,
+    Tc: int, class_size: int, category_size: int,
+):
+    w_refs = rest[:N_W]
+    outs = rest[N_W : N_W + 5]
+    deter_c_ref, stoch_c_ref = rest[N_W + 5 :]  # scratch carries
+    deter_ref, prior_logits_ref, prior_stoch_ref, mixed_ref, post_stoch_ref = outs
+    weights = tuple(r[:] for r in w_refs)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _seed():
+        deter_c_ref[:] = init_deter_ref[:]
+        stoch_c_ref[:] = init_stoch_ref[:]
+
+    def body(t, carry):
+        in_deter, in_stoch = carry
+        rec = _forward_step(
+            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t], in_deter, in_stoch,
+            g_prior_ref[t], g_post_ref[t], class_size, category_size,
+        )
+        deter_ref[t] = rec["deter"]
+        prior_logits_ref[t] = rec["prior_logits"]
+        prior_stoch_ref[t] = rec["prior_stoch"]
+        mixed_ref[t] = rec["mixed"]
+        post_stoch_ref[t] = rec["post_stoch"]
+        return rec["deter"], rec["post_stoch"]
+
+    deter, stoch = jax.lax.fori_loop(
+        0, Tc, body, (deter_c_ref[:], stoch_c_ref[:]))
+    deter_c_ref[:] = deter
+    stoch_c_ref[:] = stoch
+
+
+def _bwd_kernel_chunked(
+    actions_ref, a_emb_ref, v_emb_ref,
+    g_prior_ref, g_post_ref, prev_deter_ref, prev_stoch_ref,
+    *rest,
+    Tc: int, n_chunks: int, class_size: int, category_size: int,
+):
+    w_refs = rest[:N_W]
+    gouts = rest[N_W : N_W + 5]
+    out_w_refs = rest[N_W + 5 : 2 * N_W + 5]
+    (d_actions_ref, d_a_emb_ref, d_v_emb_ref,
+     d_init_deter_ref, d_init_stoch_ref) = rest[2 * N_W + 5 : 2 * N_W + 10]
+    deter_c_ref, stoch_c_ref = rest[2 * N_W + 10 :]  # scratch carries
+    weights = tuple(r[:] for r in w_refs)
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        for r in out_w_refs:
+            r[:] = jnp.zeros_like(r)
+        deter_c_ref[:] = jnp.zeros_like(deter_c_ref)
+        stoch_c_ref[:] = jnp.zeros_like(stoch_c_ref)
+
+    def body(i, carry):
+        t = Tc - 1 - i
+        new_carry, d_ins, dw = _bwd_step(
+            weights, actions_ref[t], a_emb_ref[t], v_emb_ref[t],
+            prev_deter_ref[t], prev_stoch_ref[t],
+            g_prior_ref[t], g_post_ref[t],
+            tuple(go[t] for go in gouts), carry, class_size, category_size,
+        )
+        for r, contrib in zip(out_w_refs, dw):
+            r[:] += contrib
+        d_actions_ref[t], d_a_emb_ref[t], d_v_emb_ref[t] = d_ins
+        return new_carry
+
+    deter, stoch = jax.lax.fori_loop(
+        0, Tc, body, (deter_c_ref[:], stoch_c_ref[:]))
+    deter_c_ref[:] = deter
+    stoch_c_ref[:] = stoch
+
+    @pl.when(g == n_chunks - 1)
+    def _emit_init_grads():
+        d_init_deter_ref[:] = deter_c_ref[:]
+        d_init_stoch_ref[:] = stoch_c_ref[:]
+
+
+def _pad_t(x, T_pad):
+    t = x.shape[0]
+    return x if t == T_pad else jnp.pad(x, ((0, T_pad - t),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _fwd_call_chunked(packed, actions, a_emb, v_emb, init_deter, init_stoch,
+                      g_prior, g_post, tc, class_size, category_size, interpret):
+    T, B, _ = actions.shape
+    D = init_deter.shape[-1]
+    S = init_stoch.shape[-1]
+    n = -(-T // tc)
+    T_pad = n * tc
+    seq_in = tuple(_pad_t(x, T_pad) for x in (actions, a_emb, v_emb, g_prior, g_post))
+    kernel = functools.partial(
+        _fwd_kernel_chunked, Tc=tc, class_size=class_size, category_size=category_size
+    )
+    chunk = lambda x: pl.BlockSpec(  # noqa: E731
+        (tc,) + x.shape[1:], lambda i: (i,) + (0,) * (x.ndim - 1))
+    whole = lambda x: pl.BlockSpec(  # noqa: E731
+        x.shape, lambda i, _nd=x.ndim: (0,) * _nd)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((T_pad, B, d), jnp.float32) for d in (D, S, S, S, S)),
+        in_specs=(
+            [chunk(seq_in[0]), chunk(seq_in[1]), chunk(seq_in[2])]
+            + [whole(init_deter), whole(init_stoch)]
+            + [chunk(seq_in[3]), chunk(seq_in[4])]
+            + [whole(w) for w in packed]
+        ),
+        out_specs=tuple(
+            pl.BlockSpec((tc, B, d), lambda i: (i, 0, 0)) for d in (D, S, S, S, S)),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seq_in[0], seq_in[1], seq_in[2], init_deter, init_stoch,
+      seq_in[3], seq_in[4], *packed)
+    return tuple(o[:T] for o in outs)
+
+
+def _bwd_call_chunked(packed, actions, a_emb, v_emb, g_prior, g_post,
+                      prev_deter, prev_stoch, gouts, tc,
+                      class_size, category_size, interpret):
+    T, B, A = actions.shape
+    E = a_emb.shape[-1]
+    D = prev_deter.shape[-1]
+    S = prev_stoch.shape[-1]
+    n = -(-T // tc)
+    T_pad = n * tc
+    seq_in = tuple(
+        _pad_t(x, T_pad)
+        for x in (actions, a_emb, v_emb, g_prior, g_post, prev_deter, prev_stoch)
+        + tuple(gouts)
+    )
+    # Grid step i processes chunk n-1-i (reverse time; padded-tail chunk
+    # first - its zero cotangents contribute zero, so the carry stays zero
+    # until real steps).
+    kernel = functools.partial(
+        _bwd_kernel_chunked, Tc=tc, n_chunks=n,
+        class_size=class_size, category_size=category_size,
+    )
+    rchunk = lambda x: pl.BlockSpec(  # noqa: E731
+        (tc,) + x.shape[1:], lambda i, _n=n: (_n - 1 - i,) + (0,) * (x.ndim - 1))
+    whole = lambda x: pl.BlockSpec(  # noqa: E731
+        x.shape, lambda i, _nd=x.ndim: (0,) * _nd)
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed)
+        + (jax.ShapeDtypeStruct((T_pad, B, A), jnp.float32),
+           jax.ShapeDtypeStruct((T_pad, B, E), jnp.float32),
+           jax.ShapeDtypeStruct((T_pad, B, E), jnp.float32),
+           jax.ShapeDtypeStruct((B, D), jnp.float32),
+           jax.ShapeDtypeStruct((B, S), jnp.float32))
+    )
+    out_specs = (
+        tuple(whole(w) for w in packed)  # weight grads: revisited accumulators
+        + (rchunk(seq_in[0]), rchunk(seq_in[1]), rchunk(seq_in[2]))
+        + (pl.BlockSpec((B, D), lambda i: (0, 0)),
+           pl.BlockSpec((B, S), lambda i: (0, 0)))
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        out_shape=out_shape,
+        in_specs=(
+            [rchunk(x) for x in seq_in[:7]]
+            + [whole(w) for w in packed]
+            + [rchunk(x) for x in seq_in[7:]]
+        ),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32),
+                        pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*seq_in[:7], *packed, *seq_in[7:])
+    d_packed = tuple(outs[:N_W])
+    d_actions, d_a_emb, d_v_emb = (o[:T] for o in outs[N_W : N_W + 3])
+    d_init_deter, d_init_stoch = outs[N_W + 3 :]
     return d_packed, d_actions, d_a_emb, d_v_emb, d_init_deter, d_init_stoch
 
 
@@ -550,6 +777,28 @@ def fits_vmem(
     lanes = 2 * A + 4 * E + 7 * S + 2 * D + 2 * 128
     B_pad = -(-B // 8) * 8
     return T * B_pad * lanes * 4 <= budget_bytes
+
+
+def chunk_len(
+    B: int,
+    budget_bytes: int = 10 << 20,
+    *,
+    action_size: int = 6,
+    stoch_size: int = 16,
+    deter_size: int = 32,
+    obs_embed_size: int = 64,
+) -> int:
+    """Time-chunk length for the grid-chunked kernels: the largest Tc whose
+    per-grid-step VMEM residency (15 blocked [Tc, B, ·] arrays in the
+    backward — inputs, gumbels, shifted carries, output cotangents, input
+    grads — double-buffered by the pipeline, plus the fits_vmem margin)
+    stays inside the budget. ≥ T means the single-block kernels fit."""
+    pad = lambda d: -(-d // 128) * 128  # noqa: E731
+    A, S = pad(action_size), pad(stoch_size)
+    D, E = pad(deter_size), pad(obs_embed_size)
+    lanes = 2 * A + 4 * E + 7 * S + 2 * D + 2 * 128
+    B_pad = -(-B // 8) * 8
+    return max(1, budget_bytes // (2 * B_pad * lanes * 4))
 
 
 # "auto" dispatch policy for MRSSMConfig(use_pallas_train="auto"): whether

@@ -233,8 +233,23 @@ def test_dispatch_eligibility(monkeypatch):
     assert any("use_pallas_train" in str(w.message) for w in caught)
     m_bf16 = MoPoEMRSSM(MRSSMConfig(compute_dtype=jnp.bfloat16, use_pallas_train="interpret"))
     assert m_bf16._train_kernel_mode(8, 30) is None
+    # Oversized [T, B] no longer disqualifies the kernel (time-chunked grid
+    # variants stream residuals through VMEM) — but "auto" still requires
+    # the measured-win single-block regime, and "stacked" (single-block
+    # only) downgrades to the chunked regular kernel with a warning.
     m_big = MoPoEMRSSM(MRSSMConfig(use_pallas_train="interpret"))
-    assert m_big._train_kernel_mode(4096, 180) is None  # VMEM guard
+    assert m_big._train_kernel_mode(4096, 180) == "interpret"
+    m_big_stacked = MoPoEMRSSM(MRSSMConfig(use_pallas_train="stacked_interpret"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert m_big_stacked._train_kernel_mode(4096, 180) == "interpret"
+    assert any("chunked" in str(w.message) for w in caught)
+    monkeypatch.setattr(jax, "devices", lambda *a: one)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m_auto = MoPoEMRSSM(MRSSMConfig(use_pallas_train="auto"))
+    assert m_auto._train_kernel_mode(4096, 180) is None  # auto: single-fit only
+    assert m_auto._train_kernel_mode(8, 30) == "kernel"
+    monkeypatch.undo()
     # "auto" stays on XLA off-TPU regardless.
     assert _small_model("auto")._train_kernel_mode(8, 30) is None
     # A YAML typo like "false" (quoted) or "atuo" must raise, not silently
@@ -242,3 +257,70 @@ def test_dispatch_eligibility(monkeypatch):
     for bad in ("false", "atuo", "on", 1):
         with pytest.raises(ValueError, match="use_pallas_train"):
             _small_model(bad)._train_kernel_mode(8, 30)
+
+
+# ---------------------------------------------------------------------------
+# Time-chunked grid kernels (oversized [T, B] — round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_forward_matches_reference(setup, monkeypatch):
+    """With the VMEM budget shrunk so T=7 splits into chunks of 3 (with a
+    zero-padded tail), the grid-chunked forward matches the reference."""
+    import multimodal_mtrssm_tpu.ops.pallas.train_step as ts
+
+    _, _, args = setup
+    tc_full = ts.chunk_len(B)
+    assert tc_full >= T  # default budget keeps this shape single-block
+    row = (10 << 20) // tc_full
+    monkeypatch.setattr(ts, "VMEM_BUDGET_BYTES", row * 3)
+    assert ts.chunk_len(B, ts.VMEM_BUDGET_BYTES) == 3
+    fused = fused_train_recurrence(*args, class_size=CLASS, category_size=CAT,
+                                   interpret=True)
+    ref = reference_train_recurrence(*args, class_size=CLASS, category_size=CAT)
+    names = ("deter", "prior_logits", "prior_stoch", "mixed", "post_stoch")
+    for name, a, b in zip(names, fused, ref):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=name)
+
+
+def test_chunked_vjp_matches_autodiff(setup, monkeypatch):
+    """The chunked backward (scratch carry across grid steps, revisited
+    weight-grad accumulators, reversed chunk order, zero-padded tail)
+    equals autodiff through the reference for every input."""
+    import multimodal_mtrssm_tpu.ops.pallas.train_step as ts
+
+    _, _, args = setup
+    row = (10 << 20) // ts.chunk_len(B)
+    monkeypatch.setattr(ts, "VMEM_BUDGET_BYTES", row * 3)
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 5)
+    shapes = ((T, B, D), (T, B, S), (T, B, S), (T, B, S), (T, B, S))
+    cots = tuple(jax.random.normal(k, s) for k, s in zip(ks, shapes))
+
+    def loss_fused(packed, actions, a_emb, v_emb, init_deter, init_stoch):
+        outs = fused_train_recurrence(packed, actions, a_emb, v_emb, init_deter,
+                                      init_stoch, args[6], args[7],
+                                      class_size=CLASS, category_size=CAT,
+                                      interpret=True)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+    def loss_ref(packed, actions, a_emb, v_emb, init_deter, init_stoch):
+        outs = reference_train_recurrence(packed, actions, a_emb, v_emb,
+                                          init_deter, init_stoch, args[6], args[7],
+                                          class_size=CLASS, category_size=CAT)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    gf = jax.grad(loss_fused, argnums)(*args[:6])
+    gr = jax.grad(loss_ref, argnums)(*args[:6])
+    for i, (a, b) in enumerate(zip(gf[0], gr[0])):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4 * scale,
+                                   err_msg=f"packed[{i}]")
+    for name, a, b in zip(("actions", "a_emb", "v_emb", "init_deter", "init_stoch"),
+                          gf[1:], gr[1:]):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4 * scale,
+                                   err_msg=name)
