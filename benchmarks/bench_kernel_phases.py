@@ -181,20 +181,42 @@ def _inputs(B, T, packed):
             jax.random.gumbel(ks[6], (T, B, S)))
 
 
-def _time(fn, *args) -> float:
-    """Median-of-REPS ms per call, host-transfer fenced."""
+def _chained(fn, carry_of, k):
+    """Jit a K-rep chain of ``fn`` with a real data dependency between reps.
+
+    One host fence per K calls amortizes the tunneled backend's ~33 ms
+    per-dispatch round trip to RTT/K — a CONSTANT additive term shared by
+    every variant, so rung deltas and ms(T) slopes are unaffected (the
+    first cut of this bench fenced every rep and measured pure RTT: all
+    variants landed at 31-35 ms regardless of T or ablation).
+
+    ``carry_of(out) -> (deter[B,D], stoch[B,S])`` extracts the next rep's
+    initial state from the previous rep's outputs, forcing sequencing.
+    """
+    def run(packed, actions, a_emb, v_emb, init_d, init_s, gp, gq):
+        def body(carry, _):
+            d, s = carry
+            out = fn(packed, actions, a_emb, v_emb, d, s, gp, gq)
+            return carry_of(out), None
+        (d, s), _ = jax.lax.scan(body, (init_d, init_s), None, length=k)
+        return d, s
+    return jax.jit(run)
+
+
+def _time(run, ins, k) -> float:
+    """Median-of-WINDOWS ms per call; each window = one K-rep chain."""
     out = None
     for _ in range(WARMUP):
-        out = fn(*args)
-    fence = lambda o: float(jnp.sum(jax.tree.leaves(o)[0]))  # noqa: E731
+        out = run(*ins)
+    fence = lambda o: float(jnp.sum(o[0])) + float(jnp.sum(o[1]))  # noqa: E731
     fence(out)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = run(*ins)
         fence(out)
         times.append(time.perf_counter() - t0)
-    return statistics.median(times) * 1e3
+    return statistics.median(times) * 1e3 / k
 
 
 def main() -> None:
@@ -204,14 +226,22 @@ def main() -> None:
     ap.add_argument("--ts", default="15,30,60")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke mode (no timings of record)")
-    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="timing windows per variant (default 5)")
     ap.add_argument("--warmup", type=int, default=None)
+    ap.add_argument("--k", type=int, default=256,
+                    help="chained reps per window (amortizes dispatch RTT)")
     args = ap.parse_args()
     global REPS, WARMUP
-    if args.reps:
-        REPS = args.reps
+    REPS = args.reps if args.reps else 5
     if args.warmup is not None:
         WARMUP = args.warmup
+    else:
+        WARMUP = 2
+    if args.interpret:
+        args.k = 2
+        REPS = 1
+        WARMUP = 1
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -220,13 +250,19 @@ def main() -> None:
     B = args.b
     ts = [int(t) for t in args.ts.split(",")]
     rows = []
+    # Carry extractors: forward variants return (deter, prior_logits,
+    # prior_stoch, mixed, post_stoch) time-major; fwd_bwd returns grads
+    # w.r.t. the 8 inputs (packed, actions, a_emb, v_emb, init_deter,
+    # init_stoch, g_prior, g_post). tanh keeps chained values bounded.
+    fwd_carry = lambda o: (o[0][-1], o[4][-1])  # noqa: E731
+    bwd_carry = lambda g: (jnp.tanh(g[4]), jnp.tanh(g[5]))  # noqa: E731
     for T in ts:
         ins = _inputs(B, T, packed)
         # Shipped forward / stacked forward / backward via vjp.
-        fwd = jax.jit(lambda *a: fused_train_recurrence(
-            *a, class_size=CLASS, category_size=CAT, interpret=args.interpret))
-        stk = jax.jit(lambda *a: fused_train_recurrence_stacked(
-            *a, class_size=CLASS, category_size=CAT, interpret=args.interpret))
+        fwd = lambda *a: fused_train_recurrence(
+            *a, class_size=CLASS, category_size=CAT, interpret=args.interpret)
+        stk = lambda *a: fused_train_recurrence_stacked(
+            *a, class_size=CLASS, category_size=CAT, interpret=args.interpret)
 
         def fwd_bwd(*a):
             outs, vjp = jax.vjp(
@@ -235,14 +271,15 @@ def main() -> None:
                     interpret=args.interpret), *a)
             return vjp(outs)  # cotangents = outputs (arbitrary, well-shaped)
 
-        row = {"B": B, "T": T,
-               "fwd_ms": round(_time(fwd, *ins), 4),
-               "fwd_stacked_ms": round(_time(stk, *ins), 4),
-               "fwd_bwd_ms": round(_time(jax.jit(fwd_bwd), *ins), 4)}
+        row = {"B": B, "T": T, "k": args.k,
+               "fwd_ms": round(_time(_chained(fwd, fwd_carry, args.k), ins, args.k), 4),
+               "fwd_stacked_ms": round(_time(_chained(stk, fwd_carry, args.k), ins, args.k), 4),
+               "fwd_bwd_ms": round(_time(_chained(fwd_bwd, bwd_carry, args.k), ins, args.k), 4)}
         for phase in PHASES:
             call = _make_ablated_call(T, B, 32, 16, 6, 64, phase, args.interpret)
-            f = jax.jit(lambda *a, _c=call: _c(*a[1:], *a[0]))
-            row[f"ablate_{phase}_ms"] = round(_time(f, *ins), 4)
+            f = lambda *a, _c=call: _c(*a[1:], *a[0])
+            row[f"ablate_{phase}_ms"] = round(
+                _time(_chained(f, fwd_carry, args.k), ins, args.k), 4)
         rows.append(row)
         print(json.dumps(row), flush=True)
     # Per-iteration slope + intercept per variant across T.
