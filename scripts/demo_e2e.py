@@ -150,7 +150,16 @@ def main() -> None:
     ap.add_argument("--no-device-resident", action="store_true",
                     help="stream batches from host instead of the "
                          "HBM-resident dataset (bit-equal, slower epochs)")
+    ap.add_argument("--platform", choices=("default", "cpu"), default="default",
+                    help="'cpu' forces the CPU backend (jax.config after import "
+                         "— env vars alone don't override the auto-registered "
+                         "TPU backend); 'default' uses whatever jax resolves")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
