@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--query-length", type=int, default=30)
     ap.add_argument("--n-predictions", type=int, default=10)
     ap.add_argument("--n-frames", type=int, default=10)
+    ap.add_argument("--classify-frame", type=int, default=0,
+                    help="which imagined frame the classifier scores; 0 = "
+                         "reference parity (scores a self-prediction under the "
+                         "reference's same-frame training alignment — near-"
+                         "chance by construction, see BASELINE.md), 1 = the "
+                         "one-word-ahead prediction")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -71,7 +77,7 @@ def main() -> None:
         n_intervals=args.n_intervals, query_length=args.query_length,
         n_predictions=args.n_predictions, n_frames=args.n_frames,
         audio_min=exp.data.audio_min, audio_max=exp.data.audio_max,
-        seed=args.seed,
+        classify_frame=args.classify_frame, seed=args.seed,
     )
     md, js = write_results(results, args.out)
     print(f"mean MR = {results['summary']['mean_matching_rate']:.3f}")

@@ -443,7 +443,7 @@ def test_eval_cli_end_to_end(trained_classifier, tmp_path, monkeypatch):
         "--checkpoint", str(ck), "--test-data", str(tmp_path / "eval"),
         "--classifier", str(tmp_path / "clf.npz"), "--out", str(tmp_path / "results"),
         "--n-intervals", "2", "--query-length", "2", "--n-predictions", "2",
-        "--n-frames", "2",
+        "--n-frames", "2", "--classify-frame", "1",
     ])
     main()
     out_md = list((tmp_path / "results").glob("*.md")) or [p for p in (tmp_path / "results").iterdir()]
