@@ -214,16 +214,115 @@ def bench_http(results: dict) -> None:
         srv.stop()
 
 
+def bench_http_concurrent(results: dict, clients: int = 8,
+                          rounds: int = 20) -> None:
+    """A/B: sustained /imagine+decode throughput under CONCURRENT clients,
+    with and without request coalescing (``batch_window_ms``).
+
+    ``clients`` threads post one npz /imagine each per round, synchronized
+    by a barrier (so the coalescer sees a full burst — the best case the
+    window is designed for; real mixed traffic lands between the two
+    columns). Without coalescing every request pays its own ~2×RTT device
+    round trips serialized on the device lock; with it a round is ONE
+    batched device call. Note the coalesced path buckets T 10→16, so its
+    device call does MORE timesteps per frame — the win reported here is
+    net of that bucketing tax.
+    """
+    import io
+    import threading
+
+    from multimodal_mtrssm_tpu.server import InferenceServer
+
+    model = MoPoEMRSSM(MRSSMConfig())
+    wm = WorldModel(model, model.init(jax.random.PRNGKey(0)))
+    B, T = 1, 10
+    rng = np.random.default_rng(0)
+
+    def to_npz(arrays: dict) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    obs_npz = to_npz({
+        "actions": rng.normal(size=(B, T, 6)).astype(np.float32),
+        "audio": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32),
+        "vision": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32),
+        "seed": 1,
+    })
+
+    for tag, window in (("window0", 0.0), ("window8ms", 8.0)):
+        srv = InferenceServer(wm, port=0, batch_window_ms=window,
+                              batch_max=clients)
+        srv.start()
+        try:
+            def post_npz(route: str, data: bytes) -> bytes:
+                # 600 s: the FIRST imagine+decode compile through the
+                # tunnel has been measured at 246 s — a shorter client
+                # timeout turns warmup into a cascade of broken pipes.
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}{route}", data=data,
+                    headers={"Content-Type": "application/x-npz"},
+                )
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return r.read()
+
+            with np.load(io.BytesIO(post_npz("/observe", obs_npz)),
+                         allow_pickle=False) as z:
+                sid = z["state_id"].item()
+            img_npz = to_npz({
+                "state_id": sid, "actions": np.zeros((B, T, 6), np.float32),
+                "seed": 2, "decode": True,
+            })
+            # Absorb the solo-shape compile before any concurrency.
+            post_npz("/imagine", img_npz)
+
+            barrier = threading.Barrier(clients)
+            warm = 5  # compile the (bucketed) coalesced batch shapes
+            t_start = [0.0]
+
+            def worker(i: int) -> None:
+                for r in range(warm + rounds):
+                    barrier.wait()
+                    if r == warm and i == 0:
+                        t_start[0] = time.perf_counter()
+                    post_npz("/imagine", img_npz)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(clients)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            total = time.perf_counter() - t_start[0]
+            results[f"http/concurrent{clients}_{tag}_req_per_s"] = round(
+                clients * rounds / total, 1
+            )
+            if srv.batcher is not None:
+                sizes = srv.batcher.batch_sizes
+                results[f"http/concurrent{clients}_{tag}_batch_p50"] = (
+                    float(np.median(sizes)) if sizes else 0.0
+                )
+        finally:
+            srv.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--api-only", action="store_true")
     ap.add_argument("--http-only", action="store_true")
+    ap.add_argument("--concurrent-only", action="store_true")
+    ap.add_argument("--clients", type=int, default=8)
     args = ap.parse_args()
     results: dict = {"platform": jax.devices()[0].platform}
+    if args.concurrent_only:
+        bench_http_concurrent(results, clients=args.clients)
+        print(json.dumps(results, indent=2))
+        return
     if not args.http_only:
         bench_api(results)
     if not args.api_only:
         bench_http(results)
+    bench_http_concurrent(results, clients=args.clients)
     print(json.dumps(results, indent=2))
 
 

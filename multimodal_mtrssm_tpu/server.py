@@ -25,14 +25,33 @@ states never leave the device: the server keeps them in a bounded LRU
 store and hands out opaque ids, so a continuation costs one handle
 instead of a host→device round trip of the whole latent.
 
+Request coalescing (``batch_window_ms > 0``): concurrent ``/imagine``
+requests are collected for a short window and executed as ONE batched
+device call — on the tunneled backend each device dispatch costs a
+~3-35 ms round trip, so N coalesced requests pay ~1 RTT instead of N
+(BASELINE.md "batching is the remaining lever"). Heterogeneous requests
+coalesce exactly: different batch sizes concatenate on axis 0, shorter
+action plans zero-pad to the longest — a rollout is a ``lax.scan``, so a
+request's frames/latents are a *prefix* of the padded rollout and slice
+back bit-exactly (pinned by ``tests/test_server.py``'s fake-model
+equality test). Shapes bucket to powers of two so the jit cache sees a
+handful of shapes instead of one per request mix. The one semantic
+change: a coalesced request's samples are drawn from a key folded over
+every request's seed in the batch, so per-``seed`` bit-reproducibility
+holds only for uncoalesced requests (window 0 — the default — keeps
+today's exact semantics). If a coalesced batch fails (e.g. one request's
+action dim is wrong), every request is transparently re-run alone so one
+bad request cannot poison its neighbours.
+
 Run: ``python scripts/serve.py --config configs/mopoe_mrssm.yaml
---checkpoint runs/x/checkpoints [--port 8000]``.
+--checkpoint runs/x/checkpoints [--port 8000] [--batch-window-ms 5]``.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 import uuid
 import zipfile
 from collections import OrderedDict
@@ -70,14 +89,112 @@ class _StateStore:
             return state
 
 
+class _PendingImagine:
+    """One enqueued /imagine request awaiting a coalesced device call."""
+
+    __slots__ = ("state", "actions", "seed", "decode", "raw", "event",
+                 "result", "error")
+
+    def __init__(self, state, actions, seed: int, decode: bool, raw: bool):
+        self.state = state
+        self.actions = actions
+        self.seed = seed
+        self.decode = decode
+        self.raw = raw
+        self.event = threading.Event()
+        self.result: dict | None = None
+        self.error: BaseException | None = None
+
+
+class _ImagineBatcher:
+    """Window-based request coalescer: collect concurrent requests for up
+    to ``window_ms`` (or ``max_batch``), hand them to ``run_batch`` as one
+    list, wake each waiter when its slot is filled."""
+
+    def __init__(self, run_batch, window_ms: float, max_batch: int):
+        self._run_batch = run_batch
+        self._window = window_ms / 1000.0
+        self._max = max_batch
+        self._q: list[_PendingImagine] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        # Telemetry: executed coalesced-batch sizes (tests assert coalescing
+        # actually happened; operators can read it for tuning).
+        self.batch_sizes: list[int] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: _PendingImagine) -> dict:
+        with self._cv:
+            self._q.append(item)
+            self._cv.notify_all()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        assert item.result is not None
+        return item.result
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._q and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    items, self._q = self._q, []
+                else:
+                    deadline = time.monotonic() + self._window
+                    while len(self._q) < self._max:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0 or self._stop:
+                            break
+                        self._cv.wait(remaining)
+                    items, self._q = self._q[:self._max], self._q[self._max:]
+            if items:
+                self.batch_sizes.append(len(items))
+                try:
+                    self._run_batch(items)
+                except BaseException as e:  # noqa: BLE001 — waiters must wake
+                    for it in items:
+                        if it.error is None and it.result is None:
+                            it.error = e
+                finally:
+                    for it in items:
+                        it.event.set()
+            if self._stop and not self._q:
+                return
+
+
+def _pow2(n: int) -> int:
+    """Smallest power of two ≥ n (shape bucketing for the jit cache)."""
+    return 1 << max(0, n - 1).bit_length()
+
+
 class InferenceServer:
     """Serve a ``WorldModel`` over HTTP. ``port=0`` picks a free port
-    (exposed as ``.port`` after construction)."""
+    (exposed as ``.port`` after construction).
+
+    ``batch_window_ms > 0`` enables /imagine request coalescing (module
+    docstring); ``batch_max`` caps requests per coalesced device call and
+    ``batch_bucket`` pads coalesced shapes to powers of two so the jit
+    cache stays small (first compile is ~20-40 s on the tunneled backend —
+    unbounded shape mixes would recompile constantly)."""
 
     def __init__(self, world_model, host: str = "127.0.0.1", port: int = 8000,
-                 state_capacity: int = 64):
+                 state_capacity: int = 64, batch_window_ms: float = 0.0,
+                 batch_max: int = 8, batch_bucket: bool = True):
         self.wm = world_model
         self.states = _StateStore(state_capacity)
+        self._bucket = batch_bucket
+        self.batcher = (
+            _ImagineBatcher(self._run_imagine_batch, batch_window_ms, batch_max)
+            if batch_window_ms > 0 else None
+        )
         # One lock around device work: requests serialize on the chip anyway;
         # this keeps jit-cache/state interactions race-free under the
         # threading server.
@@ -182,17 +299,98 @@ class InferenceServer:
         if state is None:
             raise UnknownStateError(str(req["state_id"]))
         actions = np.asarray(req["actions"], np.float32)
-        key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        seed = int(req.get("seed", 0))
+        decode = bool(req.get("decode", True))
+        if self.batcher is not None and actions.ndim == 3:
+            return self.batcher.submit(
+                _PendingImagine(state, actions, seed, decode, raw)
+            )
+        return self._imagine_one(state, actions, seed, decode, raw)
+
+    def _imagine_one(self, state, actions, seed: int, decode: bool,
+                     raw: bool) -> dict:
+        """Uncoalesced /imagine: one request, one device call (exact
+        per-seed semantics)."""
+        key = jax.random.PRNGKey(seed)
         decoded = None
         with self._device_lock:
             imagined = self.wm.imagine(actions, state, key)
             sid = self.states.put(imagined[:, -1])
             out = {"state_id": sid, "t": int(actions.shape[1])}
-            if req.get("decode", True):
+            if decode:
                 decoded = self.wm.decode(imagined)
         if decoded is not None:
             out["frames"] = _frames_out(decoded, raw)
         return out
+
+    def _run_imagine_batch(self, items: list) -> None:
+        """Execute a coalesced /imagine batch (see module docstring).
+
+        Fills each item's ``result`` or ``error``; on any coalesced-path
+        failure every request re-runs alone so a malformed request cannot
+        poison its neighbours."""
+        if len(items) == 1:
+            it = items[0]
+            try:
+                it.result = self._imagine_one(
+                    it.state, it.actions, it.seed, it.decode, it.raw)
+            except BaseException as e:  # noqa: BLE001 — delivered to waiter
+                it.error = e
+            return
+        try:
+            self._imagine_coalesced(items)
+        except BaseException:  # noqa: BLE001 — per-request fallback
+            for it in items:
+                it.result = it.error = None
+                try:
+                    it.result = self._imagine_one(
+                        it.state, it.actions, it.seed, it.decode, it.raw)
+                except BaseException as e:  # noqa: BLE001
+                    it.error = e
+
+    def _imagine_coalesced(self, items: list) -> None:
+        """One device call for N requests: concat batches, zero-pad action
+        plans to the longest (scan-prefix ⇒ exact slice-back), bucket the
+        joint shape to powers of two, fold every seed into one key."""
+        from multimodal_mtrssm_tpu.models.state import cat_states
+
+        bs = [it.actions.shape[0] for it in items]
+        ts = [it.actions.shape[1] for it in items]
+        a_dim = items[0].actions.shape[2]
+        b_tot, t_max = sum(bs), max(ts)
+        if self._bucket:
+            b_tot, t_max = _pow2(b_tot), _pow2(t_max)
+        actions = np.zeros((b_tot, t_max, a_dim), np.float32)
+        off = 0
+        offsets = []
+        for it in items:
+            offsets.append(off)
+            actions[off:off + it.actions.shape[0], :it.actions.shape[1]] = it.actions
+            off += it.actions.shape[0]
+        state = cat_states([it.state for it in items], axis=0)
+        if b_tot > off:  # bucket padding: repeat the last latent row
+            state = jax.tree.map(lambda a: _pad_rows(a, b_tot - off), state)
+        key = jax.random.PRNGKey(items[0].seed)
+        for it in items[1:]:
+            key = jax.random.fold_in(key, it.seed)
+        host_frames = None
+        with self._device_lock:
+            imagined = self.wm.imagine(actions, state, key)
+            for it, o, b, t in zip(items, offsets, bs, ts):
+                last = imagined[o:o + b, t - 1]
+                it.result = {"state_id": self.states.put(last), "t": t}
+            if any(it.decode for it in items):
+                decoded = self.wm.decode(imagined)
+                host_frames = {k: np.asarray(v, np.float32)
+                               for k, v in decoded.items()}
+        if host_frames is not None:
+            # Host-side slicing/serialization outside the device lock.
+            for it, o, b, t in zip(items, offsets, bs, ts):
+                if it.decode:
+                    it.result["frames"] = _frames_out(
+                        {k: v[o:o + b, :t] for k, v in host_frames.items()},
+                        it.raw,
+                    )
 
     # ---- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -204,10 +402,23 @@ class InferenceServer:
         self.httpd.serve_forever()
 
     def stop(self) -> None:
-        self.httpd.shutdown()
+        # shutdown() blocks on the serve loop's acknowledgement, so only
+        # call it if a serve loop is actually running (start() was called —
+        # tests exercise the coalescer on a never-started server).
+        if self._thread is not None:
+            self.httpd.shutdown()
         self.httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.stop()
         if self._thread is not None:
             self._thread.join(timeout=5)
+
+
+def _pad_rows(a, pad: int):
+    """Append ``pad`` repeats of the last row along axis 0 (device-side)."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad, *a.shape[1:]))])
 
 
 def _frames_out(decoded: dict, raw: bool) -> dict:
@@ -262,6 +473,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--use-pallas", default="auto", choices=["auto", "true", "false"])
     ap.add_argument("--mesh", action="store_true",
                     help="batch-parallel serving over all devices (data mesh)")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent /imagine requests arriving "
+                         "within this window into one device call (0 = off; "
+                         "coalesced samples are not per-seed reproducible — "
+                         "module docstring)")
+    ap.add_argument("--batch-max", type=int, default=8,
+                    help="max requests per coalesced device call")
     args = ap.parse_args(argv)
 
     use_pallas = {"auto": "auto", "true": True, "false": False}[args.use_pallas]
@@ -272,7 +490,9 @@ def main(argv: list[str] | None = None) -> None:
         mesh = make_mesh()
     wm = WorldModel.from_checkpoint(args.config, args.checkpoint,
                                     use_pallas=use_pallas, mesh=mesh)
-    server = InferenceServer(wm, host=args.host, port=args.port)
+    server = InferenceServer(wm, host=args.host, port=args.port,
+                             batch_window_ms=args.batch_window_ms,
+                             batch_max=args.batch_max)
     print(f"serving {type(wm.model).__name__} on http://{args.host}:{server.port} "
           "(/healthz /observe /imagine)")
     try:

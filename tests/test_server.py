@@ -140,6 +140,154 @@ def test_npz_binary_framing_matches_json(server):
     )
 
 
+class _ArithmeticWM:
+    """Deterministic fake world model for coalescing-exactness tests.
+
+    ``imagine``: latent[b] + cumsum_t(sum_a(actions)) — the key is ignored,
+    so a coalesced request MUST reproduce its solo result bit-exactly, and
+    zero-padded action tails cannot leak into the prefix (cumsum prefix
+    property, same as the real ``lax.scan`` rollout). ``decode``: ×2.
+    """
+
+    params = {}
+
+    def imagine(self, actions, state, key):
+        import jax.numpy as jnp
+
+        a = jnp.cumsum(jnp.sum(jnp.asarray(actions), axis=-1), axis=1)
+        return jnp.asarray(state)[:, None] + a[..., None]
+
+    def decode(self, state):
+        return {"recon/x": np.asarray(state) * 2.0}
+
+
+def _pending(state, actions, seed=0, decode=True, raw=True):
+    from multimodal_mtrssm_tpu.server import _PendingImagine
+
+    return _PendingImagine(state, np.asarray(actions, np.float32), seed,
+                           decode, raw)
+
+
+@pytest.fixture()
+def arith_server():
+    srv = InferenceServer(_ArithmeticWM(), port=0, batch_window_ms=50.0)
+    yield srv
+    srv.stop()
+
+
+def test_coalesced_imagine_exact_pad_slice(arith_server):
+    """Coalesced heterogeneous requests (different B and T, pow2 bucket
+    padding engaged) slice back bit-exactly to their solo results."""
+    srv = arith_server
+    rng = np.random.default_rng(0)
+    specs = [(2, 3), (1, 5), (3, 2)]  # (B, T) per request — ΣB=6→pad 8, Tmax 5→8
+    items = []
+    for i, (b, t) in enumerate(specs):
+        state = rng.normal(size=(b, 4)).astype(np.float32)
+        items.append(_pending(state, rng.normal(size=(b, t, 6)), seed=i))
+    srv._run_imagine_batch(items)
+    for it, (b, t) in zip(items, specs):
+        assert it.error is None
+        expect = np.asarray(it.state)[:, None] + np.cumsum(
+            it.actions.sum(-1), axis=1)[..., None]
+        got = np.asarray(it.result["frames"]["recon/x"])
+        assert got.shape == (b, t, 4)
+        np.testing.assert_allclose(got, 2.0 * expect, rtol=1e-6)
+        # Continuation latent stored at THIS request's final step (t-1).
+        cont = np.asarray(srv.states.get(it.result["state_id"]))
+        np.testing.assert_allclose(cont, expect[:, -1], rtol=1e-6)
+        assert it.result["t"] == t
+
+
+def test_coalesced_batch_failure_falls_back_per_request(arith_server):
+    """One malformed request (state batch ≠ actions batch) must not poison
+    the coalesced batch: good requests still succeed, the bad one errors."""
+    srv = arith_server
+    rng = np.random.default_rng(1)
+    good1 = _pending(rng.normal(size=(2, 4)).astype(np.float32),
+                     rng.normal(size=(2, 3, 6)))
+    bad = _pending(rng.normal(size=(2, 4)).astype(np.float32),
+                   rng.normal(size=(3, 3, 6)))  # 3 action rows, 2 latents
+    good2 = _pending(rng.normal(size=(1, 4)).astype(np.float32),
+                     rng.normal(size=(1, 2, 6)))
+    srv._run_imagine_batch([good1, bad, good2])
+    for it in (good1, good2):
+        assert it.error is None and it.result is not None
+        expect = np.asarray(it.state)[:, None] + np.cumsum(
+            it.actions.sum(-1), axis=1)[..., None]
+        np.testing.assert_allclose(
+            np.asarray(it.result["frames"]["recon/x"]), 2.0 * expect, rtol=1e-6)
+    assert bad.error is not None
+
+
+@pytest.fixture(scope="module")
+def server_batched():
+    enc = EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2),
+                        paddings=(1, 1), num_residual_blocks=0, coord_conv=False)
+    model = MoPoEMRSSM(MRSSMConfig(audio_encoder=enc, vision_encoder=enc,
+                                   init_proj_cells=16))
+    wm = WorldModel(model, model.init(jax.random.PRNGKey(0)), use_pallas=False)
+    srv = InferenceServer(wm, port=0, batch_window_ms=200.0, batch_max=8)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_http_concurrent_imagine_coalesces(server_batched):
+    """Concurrent /imagine requests with different horizons coalesce into
+    one device call; each response keeps its own shape, chains, and the
+    decode=False request stays frame-free."""
+    import threading
+
+    srv = server_batched
+    B, T = 2, 3
+    rng = np.random.default_rng(3)
+    out = _post(srv, "/observe", {
+        "actions": rng.normal(size=(B, T, 6)).tolist(),
+        "audio": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).tolist(),
+        "vision": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).tolist(),
+        "seed": 1,
+    })
+    sid = out["state_id"]
+    # Warm the jit cache for the coalesced shape class first (one solo call)
+    # so the concurrent burst is not serialized behind 3 distinct compiles.
+    _post(srv, "/imagine", {"state_id": sid,
+                            "actions": rng.normal(size=(B, 2, 6)).tolist()})
+
+    plans = [(2, True), (4, True), (3, False)]
+    results: list = [None] * len(plans)
+    barrier = threading.Barrier(len(plans))
+
+    def worker(i: int, t: int, decode: bool) -> None:
+        barrier.wait()
+        results[i] = _post(srv, "/imagine", {
+            "state_id": sid, "seed": 10 + i, "decode": decode,
+            "actions": rng.normal(size=(B, t, 6)).tolist(),
+        })
+
+    threads = [threading.Thread(target=worker, args=(i, t, d))
+               for i, (t, d) in enumerate(plans)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    ids = set()
+    for (t, decode), res in zip(plans, results):
+        assert res is not None and res["t"] == t
+        ids.add(res["state_id"])
+        if decode:
+            frames = np.asarray(res["frames"]["recon/vision"])
+            assert frames.shape == (B, t, 32, 32, 1)
+        else:
+            assert "frames" not in res
+    assert len(ids) == len(plans)
+    assert max(srv.batcher.batch_sizes) >= 2  # coalescing actually happened
+    # Chaining from a coalesced continuation latent works.
+    im2 = _post(srv, "/imagine", {"state_id": results[0]["state_id"],
+                                  "actions": rng.normal(size=(B, 2, 6)).tolist()})
+    assert im2["t"] == 2
+
+
 def test_npz_bad_body_and_unknown_state(server):
     """Binary framing keeps the JSON error contract: errors arrive as JSON.
 
