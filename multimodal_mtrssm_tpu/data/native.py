@@ -61,7 +61,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def affine_of(transform) -> tuple[float, float] | None:
+def affine_of(transform: object) -> tuple[float, float] | None:
     """(scale, shift) if ``transform`` is one of the framework's affine
     normalizers (y = x*scale + shift), else None."""
     from multimodal_mtrssm_tpu.data.transforms import (

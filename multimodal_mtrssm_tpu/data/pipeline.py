@@ -28,6 +28,10 @@ from typing import Callable, Iterator
 import jax
 import numpy as np
 
+# device_put / sharding target for host->device staging: a jax.Device, a
+# Sharding, or None (default device).
+Placement = jax.Device | jax.sharding.Sharding | None
+
 from multimodal_mtrssm_tpu.data import episodes as ep
 from multimodal_mtrssm_tpu.data.transforms import (
     Identity,
@@ -329,7 +333,7 @@ class EpisodeDataModule:
             out.append(idx[n_full * bs :])
         return out
 
-    def train_batches(self, epoch: int, device=None, skip: int = 0) -> Iterator[Batch]:
+    def train_batches(self, epoch: int, device: Placement = None, skip: int = 0) -> Iterator[Batch]:
         """Shuffled train batches for one epoch.
 
         ``skip``: drop the first N batches AFTER generating them (the RNG
@@ -353,7 +357,8 @@ class EpisodeDataModule:
         return _device_prefetch(batches, device)
 
     def train_batches_chunked(
-        self, epoch: int, k: int, device=None, stacked_device=None, skip: int = 0
+        self, epoch: int, k: int, device: Placement = None,
+        stacked_device: Placement = None, skip: int = 0
     ) -> Iterator[tuple[str, Batch]]:
         """Shuffled train batches grouped for the multi-step-scan train path.
 
@@ -382,7 +387,7 @@ class EpisodeDataModule:
         return self._chunked_stream(groups, bs, rng, k, device, stacked_device, skip)
 
     def val_batches_chunked(
-        self, k: int, device=None, stacked_device=None
+        self, k: int, device: Placement = None, stacked_device: Placement = None
     ) -> Iterator[tuple[str, Batch]]:
         """Validation counterpart of ``train_batches_chunked``: same batches
         as ``val_batches`` (identical noise draws and order), grouped into
@@ -616,7 +621,7 @@ class EpisodeDataModule:
 
         return gen()
 
-    def val_batches(self, device=None) -> Iterator[Batch]:
+    def val_batches(self, device: Placement = None) -> Iterator[Batch]:
         """Deterministic validation batches (noise still applied to inputs,
         matching the reference's val DataLoader which reuses the same
         input transforms, ``mrssm/dataset.py:168-183``)."""
@@ -663,7 +668,8 @@ def _place_batch(b: Batch, sharding) -> Batch:
         return jax.device_put(b)
 
 
-def _device_prefetch(batches: Iterator[Batch], device, depth: int = 2) -> Iterator[Batch]:
+def _device_prefetch(batches: Iterator[Batch], device: Placement,
+                     depth: int = 2) -> Iterator[Batch]:
     """Host→device double buffering: a daemon thread stages `depth` batches
     ahead so transfers overlap compute."""
     return _prefetch_iter((_place_batch(b, device) for b in batches), depth)

@@ -168,7 +168,7 @@ def load_classifier(path: str | Path) -> Params:
 def load_or_train_classifier(
     ckpt_path: str | Path,
     mnist_root: str | Path | None = None,
-    **train_kwargs,
+    **train_kwargs: object,
 ) -> Params:
     """Load ``ckpt_path`` if present; otherwise train on local MNIST and save."""
     ckpt_path = _npz_path(ckpt_path)

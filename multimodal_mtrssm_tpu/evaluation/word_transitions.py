@@ -44,6 +44,7 @@ from multimodal_mtrssm_tpu.data.transforms import (
 # validates ndim, which this module's former local copy silently skipped).
 from multimodal_mtrssm_tpu.data.episodes import _to_nhwc
 from multimodal_mtrssm_tpu.evaluation.classifier import recognize_digits
+from multimodal_mtrssm_tpu.nn.core import Params
 
 WORD_SET = list(range(10))
 
@@ -217,9 +218,9 @@ def select_intervals_for_word(
 
 
 def generate_predictions_with_classifier(
-    model,
-    params,
-    classifier_params,
+    model: object,
+    params: Params,
+    classifier_params: Params,
     interval: dict,
     key: jax.Array,
     n_predictions: int = 10,
@@ -324,9 +325,9 @@ _predict_digits_pallas_jit = jax.jit(_predict_digits_pallas, static_argnums=(0, 
 
 
 def generate_predictions_batched(
-    model,
-    params,
-    classifier_params,
+    model: object,
+    params: Params,
+    classifier_params: Params,
     intervals: list[dict],
     key: jax.Array,
     n_predictions: int = 10,
@@ -373,7 +374,8 @@ def generate_predictions_batched(
 # ---------------------------------------------------------------------------
 
 
-def compute_prediction_distribution(predicted_words: list[int], word_set=WORD_SET) -> dict:
+def compute_prediction_distribution(predicted_words: list[int],
+                                    word_set: list[int] = WORD_SET) -> dict:
     """q(w|wa) over classified samples, failure mass in "wf" (reference :375-401)."""
     total = len(predicted_words)
     if total == 0:
@@ -387,7 +389,8 @@ def compute_prediction_distribution(predicted_words: list[int], word_set=WORD_SE
     return dist
 
 
-def compute_true_distribution(word: int, test_data: list[dict], word_set=WORD_SET) -> dict:
+def compute_true_distribution(word: int, test_data: list[dict],
+                              word_set: list[int] = WORD_SET) -> dict:
     """p(w|wa) from deduped label sequences, skipping -1 silence (reference :404-458)."""
     next_counts: dict[int, int] = defaultdict(int)
     total = 0
@@ -412,13 +415,15 @@ def compute_true_distribution(word: int, test_data: list[dict], word_set=WORD_SE
     return dist
 
 
-def compute_matching_rate(q_dist: dict, p_dist: dict, word_set=WORD_SET) -> float:
+def compute_matching_rate(q_dist: dict, p_dist: dict,
+                          word_set: list[int] = WORD_SET) -> float:
     """MR = sum_w min(q, p) + min(q_wf, p_wf) (reference :461-489)."""
     mr = sum(min(q_dist.get(w, 0.0), p_dist.get(w, 0.0)) for w in word_set)
     return mr + min(q_dist.get("wf", 0.0), p_dist.get("wf", 0.0))
 
 
-def compute_baselines(p_dist: dict, word_set=WORD_SET, n_random_trials: int = 100, seed: int = 0) -> dict:
+def compute_baselines(p_dist: dict, word_set: list[int] = WORD_SET,
+                      n_random_trials: int = 100, seed: int = 0) -> dict:
     """Uniform / peak-one-hot / random-one-hot MR baselines (reference :492-538)."""
     n = len(word_set)
     uniform = {w: 1.0 / n for w in word_set} | {"wf": 0.0}
@@ -443,9 +448,9 @@ def compute_baselines(p_dist: dict, word_set=WORD_SET, n_random_trials: int = 10
 
 
 def evaluate_word_transitions(
-    model,
-    params,
-    classifier_params,
+    model: object,
+    params: Params,
+    classifier_params: Params,
     test_data: list[dict],
     *,
     n_intervals: int = 6,
@@ -455,7 +460,7 @@ def evaluate_word_transitions(
     audio_min: float = -80.0,
     audio_max: float = 0.0,
     seed: int = 0,
-    word_set=WORD_SET,
+    word_set: list[int] = WORD_SET,
     batched: bool = True,
     use_pallas: bool | str = "auto",
     classify_frame: int = 0,

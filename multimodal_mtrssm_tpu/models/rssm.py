@@ -129,7 +129,8 @@ class RSSM:
         dist = self._dist(logits)
         return State(deter=deter, stoch=dist.rsample(key), distribution=dist)
 
-    def rollout_representation(self, params, actions, obs, prev_state, key) -> tuple[State, State]:
+    def rollout_representation(self, params: Params, actions: jax.Array, obs: jax.Array,
+                               prev_state: State, key: jax.Array) -> tuple[State, State]:
         embed = self.encode_observation(params, obs)
         return self._rollout_from_embed(params, actions, embed, prev_state, key)
 
@@ -163,7 +164,8 @@ class RSSM:
         posterior = State(deter=tm(deter), stoch=tm(post_stoch), distribution=self._dist(tm(post_logits)))
         return posterior, prior
 
-    def rollout_transition(self, params, actions, prev_state, key) -> State:
+    def rollout_transition(self, params: Params, actions: jax.Array,
+                           prev_state: State, key: jax.Array) -> State:
         T = actions.shape[1]
         step_keys = jax.random.split(key, T)
 

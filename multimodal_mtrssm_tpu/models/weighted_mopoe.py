@@ -15,6 +15,7 @@ Everything else (PoE term, sampling, ELBO) is inherited from MoPoE-MRSSM.
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -77,7 +78,8 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         return mopoe_mix_log_probs(a_logits, v_logits, log_weights=log_w), (jnp.exp(log_w),)
 
     def rollout_representation_with_weights(
-        self, params, actions, audio_obs, vision_obs, prev_state, key
+        self, params: Params, actions: jax.Array, audio_obs: jax.Array,
+        vision_obs: jax.Array, prev_state: State, key: jax.Array
     ) -> tuple[State, State, jax.Array]:
         """Like the base rollout, additionally returning the learned subset
         weights over time (``weights_timeseries`` [B, T, 3] — the quantity
@@ -89,7 +91,8 @@ class WeightedMoPoEMRSSM(MoPoEMRSSM):
         return posterior, prior, weights
 
 
-def plot_weights_timeseries(weights: jax.Array, out_path, episode: int = 0) -> object:
+def plot_weights_timeseries(weights: jax.Array, out_path: str | Path,
+                            episode: int = 0) -> object:
     """Plot one episode's learned subset weights over time (the chart the
     reference's dead ``LogWeightedMoPoEWeights`` was meant to draw,
     reference ``mopoe_mrssm/callback.py:71-163``)."""

@@ -22,7 +22,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from multimodal_mtrssm_tpu.nn.core import (
 # ---------------------------------------------------------------------------
 
 
-def cast_conv_in(model_cfg, x: jax.Array) -> jax.Array:
+def cast_conv_in(model_cfg: object, x: jax.Array) -> jax.Array:
     """Cast a conv-stack input to the model's ``conv_dtype`` (weights follow
     the input dtype inside this module). The single home of the
     mixed-precision cast policy — every encoder/decoder call site in every
@@ -52,7 +52,7 @@ def cast_conv_in(model_cfg, x: jax.Array) -> jax.Array:
     return x if cd is None else x.astype(cd)
 
 
-def cast_conv_out(model_cfg, x: jax.Array) -> jax.Array:
+def cast_conv_out(model_cfg: object, x: jax.Array) -> jax.Array:
     """Cast a conv-stack output back to the model compute dtype (see
     ``cast_conv_in``)."""
     cd = getattr(model_cfg, "conv_dtype", None)
@@ -126,7 +126,7 @@ def conv_transpose_apply(
     return y + params["b"].astype(x.dtype)
 
 
-def coord_channels(batch: int, h: int, w: int, dtype) -> jax.Array:
+def coord_channels(batch: int, h: int, w: int, dtype: jnp.dtype) -> jax.Array:
     """CoordConv coordinate feature maps in [-1, 1], shape [batch, h, w, 2]."""
     ys = jnp.linspace(-1.0, 1.0, h, dtype=dtype)
     xs = jnp.linspace(-1.0, 1.0, w, dtype=dtype)
@@ -150,7 +150,8 @@ def residual_block_init(key: jax.Array, channels: int, intermediate: int) -> Par
     }
 
 
-def residual_block_apply(params: Params, x: jax.Array, act) -> jax.Array:
+def residual_block_apply(params: Params, x: jax.Array,
+                         act: Callable[[jax.Array], jax.Array]) -> jax.Array:
     """Apply a residual block: act(x + conv(act(conv(x))))."""
     y = conv_apply(params["conv1"], x, stride=1, padding=1)
     y = act(y)

@@ -71,7 +71,7 @@ def resolve_use_pallas(use_pallas: bool | str, kind: str, batch: int, horizon: i
 
 
 def resolve_train_kernel_mode(
-    v, *, eligible: bool, auto_flag: bool, warn_ineligible: str,
+    v: bool | str | None, *, eligible: bool, auto_flag: bool, warn_ineligible: str,
     n_devices: int | None = None,
 ) -> str | None:
     """Resolve a ``use_pallas_train`` flag to a concrete mode (None = XLA

@@ -730,8 +730,9 @@ def fused_train_recurrence(
 
 
 def reference_train_recurrence(
-    packed, actions, a_emb, v_emb, init_deter, init_stoch, g_prior, g_post,
-    class_size: int = 4, category_size: int = 4,
+    packed: jax.Array, actions: jax.Array, a_emb: jax.Array, v_emb: jax.Array,
+    init_deter: jax.Array, init_stoch: jax.Array, g_prior: jax.Array,
+    g_post: jax.Array, class_size: int = 4, category_size: int = 4,
 ) -> tuple:
     """Pure-JAX twin of the kernel (same math, ``lax.scan``): the
     equivalence/grad oracle for the tests, differentiable by autodiff."""

@@ -654,8 +654,10 @@ def fused_mt_train_recurrence(
 
 
 def reference_mt_train_recurrence(
-    packed, actions, a_emb, v_emb, init6, gumbels,
-    l_tau=2.0, h_tau=4.0, ls_class=4, ls_category=4, hs_class=2, hs_category=8,
+    packed: jax.Array, actions: jax.Array, a_emb: jax.Array, v_emb: jax.Array,
+    init6: tuple, gumbels: tuple,
+    l_tau: float = 2.0, h_tau: float = 4.0, ls_class: int = 4,
+    ls_category: int = 4, hs_class: int = 2, hs_category: int = 8,
 ) -> tuple:
     """Pure-JAX twin (same math via ``lax.scan``): the equivalence/grad
     oracle, with the ST estimator re-injected for autodiff."""

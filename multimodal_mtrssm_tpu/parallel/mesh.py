@@ -115,7 +115,7 @@ def shard_batch(batch: tuple, mesh: Mesh, axis_name: str = DATA_AXIS) -> tuple:
     return tuple(jax.device_put(x, sharding) for x in batch)
 
 
-def replicate(tree, mesh: Mesh) -> Any:
+def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.device_put(tree, sharding)

@@ -24,6 +24,10 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Client-facing entries accept host or device arrays.
+ArrayLike = jax.Array | np.ndarray
 
 from multimodal_mtrssm_tpu.models.state import MTState, State
 
@@ -125,7 +129,8 @@ class WorldModel:
     # ---- construction ------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, config_path: str | Path, checkpoint_dir: str | Path,
-                        use_pallas: bool | str = "auto", mesh=None) -> "WorldModel":
+                        use_pallas: bool | str = "auto",
+                        mesh: jax.sharding.Mesh | None = None) -> "WorldModel":
         from multimodal_mtrssm_tpu.train.checkpoint import CheckpointManager
         from multimodal_mtrssm_tpu.train.config import load_experiment
 
@@ -153,7 +158,8 @@ class WorldModel:
         )
         return posterior, prior
 
-    def observe(self, actions, audio_obs, vision_obs, key) -> tuple[Any, Any]:
+    def observe(self, actions: ArrayLike, audio_obs: ArrayLike,
+                vision_obs: ArrayLike, key: jax.Array) -> tuple[Any, Any]:
         """Filter observations → (posterior, prior) latent sequences [B, T]."""
         b = _batch_len(actions)
         pad = self._pad_amount(b)
@@ -260,7 +266,8 @@ class WorldModel:
             )
         return self.model.rollout_transition(params, actions, prev_state, key)
 
-    def imagine(self, actions, prev_state, key) -> Any:
+    def imagine(self, actions: ArrayLike, prev_state: Any,
+                key: jax.Array) -> Any:
         """Prior-only rollout from ``prev_state`` under an action plan."""
         b = _batch_len(actions)
         pad = self._pad_amount(b)
@@ -269,7 +276,7 @@ class WorldModel:
         )
         return out[:b] if pad else out
 
-    def decode(self, state) -> dict[str, jax.Array]:
+    def decode(self, state: Any) -> dict[str, jax.Array]:
         """Reconstruct both modalities from latents."""
         b = jax.tree_util.tree_leaves(state)[0].shape[0]
         pad = self._pad_amount(b)
@@ -279,7 +286,8 @@ class WorldModel:
         return out
 
     # ---- convenience ---------------------------------------------------------
-    def imagine_frames(self, actions, prev_state, key) -> dict[str, jax.Array]:
+    def imagine_frames(self, actions: ArrayLike, prev_state: Any,
+                       key: jax.Array) -> dict[str, jax.Array]:
         """Imagine and decode in one call → dict of [B, T, H, W, C] frames."""
         return self.decode(self.imagine(actions, prev_state, key))
 

@@ -109,7 +109,8 @@ class MetricLogger:
         except Exception:  # combined charts are optional, never fail a run
             pass
 
-    def log_video(self, key: str, gif_path, fps: float = 10.0, step: int | None = None) -> None:
+    def log_video(self, key: str, gif_path: str | Path, fps: float = 10.0,
+                  step: int | None = None) -> None:
         """Mirror a rendered rollout GIF to W&B (reference
         ``logger.log_video(format="gif")``, ``callback.py:426-502``).
         Always a no-op on the file itself — GIFs are written locally by the
@@ -122,7 +123,8 @@ class MetricLogger:
         except Exception:  # mirroring must never fail a run
             pass
 
-    def log_image(self, key: str, png_path, step: int | None = None) -> None:
+    def log_image(self, key: str, png_path: str | Path,
+                  step: int | None = None) -> None:
         """Mirror a rendered chart PNG to W&B (reference combined
         ``line_series`` charts, ``callback.py:66-123``)."""
         if self._wandb is None:

@@ -54,7 +54,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     shard_pad: int = 1,
-    moment_sharding=None,
+    moment_sharding: object = None,
 ) -> FusedAdamW:
     """See :class:`FusedAdamW`.
 
@@ -111,7 +111,8 @@ def make_optimizer(
     return FusedAdamW(init=init, update=update)
 
 
-def shard_opt_state(state: FusedAdamWState, mesh, axis_name: str = "data") -> FusedAdamWState:
+def shard_opt_state(state: FusedAdamWState, mesh: object,
+                    axis_name: str = "data") -> FusedAdamWState:
     """Place the moment vectors sharded across the mesh (ZeRO-1); the tiny
     count/lr scalars stay replicated. Requires the optimizer was built with
     ``shard_pad=mesh size``."""

@@ -18,12 +18,14 @@ vectors on device so one host transfer serves K steps.
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 
-def one_update(model, optimizer, params, opt_state, batch, key) -> tuple:
+def one_update(model: Any, optimizer: Any, params: Any, opt_state: Any,
+               batch: tuple, key: jax.Array) -> tuple:
     """One optimizer step at an already-folded per-step key."""
 
     def loss_fn(p):
@@ -36,7 +38,7 @@ def one_update(model, optimizer, params, opt_state, batch, key) -> tuple:
     return params, opt_state, metrics
 
 
-def make_train_step(model, optimizer) -> Callable:
+def make_train_step(model: Any, optimizer: Any) -> Callable:
     """(params, opt_state, batch, key, step) → (params, opt_state, metrics)."""
 
     def train_step(params, opt_state, batch, key, step):
@@ -48,7 +50,7 @@ def make_train_step(model, optimizer) -> Callable:
     return train_step
 
 
-def make_train_scan(model, optimizer) -> Callable:
+def make_train_scan(model: Any, optimizer: Any) -> Callable:
     """K train steps in one dispatch: scan over the leading axis of a
     [K, B, ...] batch stack. Per-step math/RNG identical to
     ``make_train_step(...)(…, step0 + i)``."""

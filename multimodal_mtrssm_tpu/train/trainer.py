@@ -678,7 +678,7 @@ class Trainer:
         return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
 
     # ---- inference helpers -------------------------------------------------
-    def load_best_params(self, params_template) -> Any:
+    def load_best_params(self, params_template: Any) -> Any:
         """Reference ``load_best_model_checkpoint`` (``callback.py:505-539``):
         load the best ckpt, falling back to the given params on failure."""
         try:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+from typing import Any
 
 import jax
 import numpy as np
@@ -34,17 +35,17 @@ def seed_everything(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def count_params(tree) -> int:
+def count_params(tree: Any) -> int:
     """Total number of scalar parameters in a pytree."""
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
 
 
-def tree_size_bytes(tree) -> int:
+def tree_size_bytes(tree: Any) -> int:
     """Total bytes of all arrays in a pytree."""
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def describe_params(tree, prefix: str = "") -> str:
+def describe_params(tree: Any, prefix: str = "") -> str:
     """Human-readable parameter summary (name, shape, count) for debugging."""
     lines = []
 

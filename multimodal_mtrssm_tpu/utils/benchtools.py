@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import statistics
 import time
+from typing import Any, Callable
 
 import jax
 
@@ -48,7 +49,8 @@ def best_window(times: list[float]) -> float:
     return min(t for t in times if t > 0.25 * med)
 
 
-def timeit_fenced(fn, *args, warmup: int = MIN_WARMUP_ITERS, windows: int = 5,
+def timeit_fenced(fn: Callable[..., Any], *args: Any,
+                  warmup: int = MIN_WARMUP_ITERS, windows: int = 5,
                   iters: int = 10) -> float:
     """Seconds per call of ``fn(*args)`` under the full timing policy.
 

@@ -428,6 +428,73 @@ def _return_annotation_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+def _arg_annotation_findings(path: Path, tree: ast.Module) -> list[str]:
+    """ANN001 subset (mypy-lite): every parameter of a public module-level
+    function or public method of a public class must carry a type
+    annotation (``disallow_untyped_defs`` over arguments — the companion
+    of ANN201's return-annotation rule, same scoping). ``self``/``cls``
+    are exempt; ``*args``/``**kwargs`` are not."""
+    findings: list[str] = []
+
+    def scan(body: list[ast.stmt]) -> None:
+        for node in body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name.startswith("_"):
+                    continue
+                a = node.args
+                missing = [
+                    x.arg for x in a.posonlyargs + a.args + a.kwonlyargs
+                    if x.annotation is None and x.arg not in ("self", "cls")
+                ]
+                missing += [
+                    f"*{v.arg}" for v in (a.vararg, a.kwarg)
+                    if v is not None and v.annotation is None
+                ]
+                if missing:
+                    findings.append(
+                        f"{path}:{node.lineno}: ANN001 public '{node.name}' "
+                        f"has unannotated parameter(s): {', '.join(missing)}"
+                    )
+            elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+                scan(node.body)
+
+    scan(tree.body)
+    return findings
+
+
+def _return_value_findings(path: Path, tree: ast.Module) -> list[str]:
+    """RET-none (mypy-lite): a function annotated ``-> None`` must not
+    ``return <value>`` — the annotation and the body disagree, and mypy
+    would reject it. Applies to EVERY function (private and nested too):
+    a wrong ``-> None`` is a latent bug wherever it appears."""
+    findings: list[str] = []
+    stack: list[ast.AST] = []
+
+    def visit(node: ast.AST) -> None:
+        is_fn = isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        if is_fn:
+            stack.append(node)
+        elif isinstance(node, ast.Return) and stack:
+            fn = stack[-1]
+            r = fn.returns
+            annotated_none = isinstance(r, ast.Constant) and r.value is None
+            returns_value = node.value is not None and not (
+                isinstance(node.value, ast.Constant) and node.value.value is None
+            )
+            if annotated_none and returns_value:
+                findings.append(
+                    f"{path}:{node.lineno}: RET-none '{fn.name}' is annotated "
+                    "'-> None' but returns a value"
+                )
+        for child in ast.iter_child_nodes(node):
+            visit(child)
+        if is_fn:
+            stack.pop()
+
+    visit(tree)
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     """Return a list of "path:line: code message" findings for one file."""
     findings: list[str] = []
@@ -449,6 +516,8 @@ def check_file(path: Path) -> list[str]:
     if "multimodal_mtrssm_tpu" in path.parts:
         findings.extend(_docstring_findings(path, tree))
         findings.extend(_return_annotation_findings(path, tree))
+        findings.extend(_arg_annotation_findings(path, tree))
+        findings.extend(_return_value_findings(path, tree))
     findings.extend(_doc_signature_findings(path, tree))
 
     is_dunder_init = path.name == "__init__.py"

@@ -11,6 +11,7 @@ At the final epoch, repeat with the best checkpoint (reference
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Any
 
 import jax
 import numpy as np
@@ -40,7 +41,7 @@ class LogRSSMOutput:
             return
         self._render(trainer, params, f"epoch_{epoch:04d}", epoch)
 
-    def on_train_end(self, trainer, best_params) -> None:
+    def on_train_end(self, trainer: Any, best_params: Any) -> None:
         """Final render with the best checkpoint, also after early stopping
         (reference ``callback.py:194-210``)."""
         self._render(trainer, best_params, "final_best", seed=0)
@@ -97,7 +98,7 @@ LogMoPoEMRSSMOutput = LogRSSMOutput
 LogMoPoEMMTRSSMOutput = LogRSSMOutput
 
 
-def make_viz_callback(exp) -> LogRSSMOutput:
+def make_viz_callback(exp: Any) -> LogRSSMOutput:
     """Build the viz callback from an ``Experiment``'s ``VizConfig``."""
     v = exp.viz
     return LogRSSMOutput(v.every_n_epochs, v.indices, v.query_length, v.fps)

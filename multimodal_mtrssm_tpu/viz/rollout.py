@@ -18,6 +18,7 @@ only uint8 frame assembly and GIF encoding run on host.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Any
 
 import jax
 import numpy as np
@@ -28,7 +29,8 @@ from multimodal_mtrssm_tpu.models.state import cat_states
 MAX_EPISODES = 7
 
 
-def compute_reconstructions(model, params, batch, query_length: int, key: jax.Array) -> dict[str, jax.Array]:
+def compute_reconstructions(model: Any, params: Any, batch: tuple,
+                            query_length: int, key: jax.Array) -> dict[str, jax.Array]:
     """Posterior + prior reconstructions for a batch (reference
     ``mrssm/callback.py:156-233``).
 
@@ -142,9 +144,9 @@ def render_episode_gif(
 
 
 def log_rollout_gifs(
-    model,
-    params,
-    batch,
+    model: Any,
+    params: Any,
+    batch: tuple,
     out_dir: Path | str,
     query_length: int,
     fps: float,

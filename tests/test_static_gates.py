@@ -261,3 +261,78 @@ def test_ast_lint_return_annotations(tmp_path):
     outside = tmp_path / "script.py"
     outside.write_text("def f():\n    '''d'''\n    return 1\n")
     assert not any("ANN201" in x for x in check_paths([outside]))
+
+
+def test_ast_lint_arg_annotations(tmp_path):
+    """ANN001 subset: every parameter of a public function/method inside
+    the package tree must carry an annotation; self/cls are exempt,
+    *args/**kwargs are not; private names and code outside the package
+    are exempt."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    pkg = tmp_path / "multimodal_mtrssm_tpu"
+    pkg.mkdir()
+    cases = {
+        # name: (code, expect an ANN001 finding)
+        "unannotated arg": ("def f(x) -> int:\n    '''d'''\n    return x\n", True),
+        "annotated arg": ("def f(x: int) -> int:\n    '''d'''\n    return x\n", False),
+        "kwonly unannotated": (
+            "def f(*, x=1) -> int:\n    '''d'''\n    return x\n", True),
+        "vararg unannotated": (
+            "def f(*args) -> int:\n    '''d'''\n    return 0\n", True),
+        "kwarg annotated": (
+            "def f(**kw: object) -> int:\n    '''d'''\n    return 0\n", False),
+        "self exempt": (
+            "class C:\n    '''d'''\n\n    def m(self, x: int) -> int:\n"
+            "        '''d'''\n        return x\n", False),
+        "method arg unannotated": (
+            "class C:\n    '''d'''\n\n    def m(self, x) -> int:\n"
+            "        '''d'''\n        return x\n", True),
+        "private fn exempt": ("def _f(x):\n    return x\n", False),
+        "nested def exempt": (
+            "def f(x: int) -> int:\n    '''d'''\n    def inner(y):\n"
+            "        return y\n    return inner(x)\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = pkg / f"ann001_{abs(hash(name))}.py"
+        p.write_text(code)
+        got = any("ANN001" in x for x in check_file(p))
+        assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
+    # Outside the package tree the rule does not apply.
+    outside = tmp_path / "script.py"
+    outside.write_text("def f(x) -> int:\n    '''d'''\n    return x\n")
+    assert not any("ANN001" in x for x in check_paths([outside]))
+
+
+def test_ast_lint_return_value_consistency(tmp_path):
+    """RET-none: a function annotated ``-> None`` must not return a value —
+    enforced everywhere in the package, including private and nested
+    functions (a wrong ``-> None`` is a latent bug anywhere)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    pkg = tmp_path / "multimodal_mtrssm_tpu"
+    pkg.mkdir()
+    cases = {
+        # name: (code, expect a RET-none finding)
+        "none fn returns value": (
+            "def f(x: int) -> None:\n    '''d'''\n    return x\n", True),
+        "none fn bare return": (
+            "def f(x: int) -> None:\n    '''d'''\n    return\n", False),
+        "none fn returns None": (
+            "def f(x: int) -> None:\n    '''d'''\n    return None\n", False),
+        "int fn returns value": (
+            "def f(x: int) -> int:\n    '''d'''\n    return x\n", False),
+        "private none fn returns value": (
+            "def _f(x):\n    def g() -> None:\n        return x\n    return g\n",
+            True),
+        "nested fn returns into outer -> None": (
+            "def f(x: int) -> None:\n    '''d'''\n"
+            "    def g() -> int:\n        return x\n    g()\n", False),
+        "unannotated fn exempt": (
+            "def _f(x):\n    return x\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = pkg / f"retnone_{abs(hash(name))}.py"
+        p.write_text(code)
+        got = any("RET-none" in x for x in check_file(p))
+        assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
