@@ -44,10 +44,15 @@ import numpy as np
 T = 30  # torch_reference_bench hard-codes the reference horizon
 
 
-def _jax_side(params_key, epochs, episodes, batch, data):
+def _jax_side(model_name, params_key, epochs, episodes, batch, data):
     """Train the JAX model with expectation-sampling; returns (init params as
     numpy tree, per-epoch metric list)."""
-    from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+    from multimodal_mtrssm_tpu.models import (
+        MMTRSSMConfig,
+        MoPoEMMTRSSM,
+        MoPoEMRSSM,
+        MRSSMConfig,
+    )
     from multimodal_mtrssm_tpu.ops.distributions import MultiOneHot
     from multimodal_mtrssm_tpu.train.optim import make_optimizer
     from multimodal_mtrssm_tpu.train.steps import make_train_step
@@ -56,7 +61,9 @@ def _jax_side(params_key, epochs, episodes, batch, data):
     orig = MultiOneHot.rsample
     MultiOneHot.rsample = lambda self, key: self.probs()
     try:
-        model = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False))
+        model = (MoPoEMRSSM(MRSSMConfig(use_pallas_train=False))
+                 if model_name == "mrssm"
+                 else MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train=False)))
         params = model.init(jax.random.PRNGKey(params_key))
         init_np = jax.tree.map(np.asarray, params)
         optimizer = make_optimizer()
@@ -85,22 +92,32 @@ def _jax_side(params_key, epochs, episodes, batch, data):
         MultiOneHot.rsample = orig
 
 
-def _torch_side(init_np, epochs, episodes, batch, data):
+def _torch_side(model_name, init_np, epochs, episodes, batch, data):
     """Train the torch twin from the same init; returns per-epoch metrics."""
     import torch
-    from torch_reference_bench import TorchMoPoEMRSSM
-    from torch_sync import sync_mrssm
+    from torch_reference_bench import TorchMoPoEMMTRSSM, TorchMoPoEMRSSM
+    from torch_sync import sync_mmtrssm, sync_mrssm
 
     torch.set_num_threads(1)
 
-    def expectation(logits):
-        b = logits.shape[:-1]
-        probs = torch.softmax(logits.view(*b, 4, 4), dim=-1)
-        return probs.reshape(*b, 16)
+    if model_name == "mrssm":
+        def expectation(logits):
+            b = logits.shape[:-1]
+            probs = torch.softmax(logits.view(*b, 4, 4), dim=-1)
+            return probs.reshape(*b, 16)
 
-    TorchMoPoEMRSSM._rsample = staticmethod(expectation)
-    tm = TorchMoPoEMRSSM()
-    sync_mrssm(tm, init_np)
+        TorchMoPoEMRSSM._rsample = staticmethod(expectation)
+        tm = TorchMoPoEMRSSM()
+        sync_mrssm(tm, init_np)
+    else:
+        def expectation_mt(logits, classes, cats):
+            b = logits.shape[:-1]
+            probs = torch.softmax(logits.view(*b, classes, cats), dim=-1)
+            return probs.reshape(*b, classes * cats)
+
+        TorchMoPoEMMTRSSM._rsample = staticmethod(expectation_mt)
+        tm = TorchMoPoEMMTRSSM()
+        sync_mmtrssm(tm, init_np)
     opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, betas=(0.9, 0.999),
                             eps=1e-8, weight_decay=0.01)
 
@@ -131,6 +148,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--episodes", type=int, default=16)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--model", default="mrssm", choices=["mrssm", "mmtrssm"])
     ap.add_argument("--out", default=None, help="write the full JSON here")
     args = ap.parse_args()
 
@@ -144,9 +162,11 @@ def main() -> None:
     )
 
     t0 = time.time()
-    init_np, jax_hist = _jax_side(0, args.epochs, args.episodes, args.batch, data)
+    init_np, jax_hist = _jax_side(args.model, 0, args.epochs, args.episodes,
+                                  args.batch, data)
     t1 = time.time()
-    torch_hist = _torch_side(init_np, args.epochs, args.episodes, args.batch, data)
+    torch_hist = _torch_side(args.model, init_np, args.epochs, args.episodes,
+                             args.batch, data)
     t2 = time.time()
 
     rows = []
@@ -157,6 +177,7 @@ def main() -> None:
         print(json.dumps(row), flush=True)
 
     summary = {
+        "model": args.model,
         "epochs": args.epochs,
         "max_rel_loss_gap": max(r["rel_gap"]["loss"] for r in rows),
         "final_rel_loss_gap": rows[-1]["rel_gap"]["loss"],

@@ -277,6 +277,9 @@ class TorchMoPoEMMTRSSM(nn.Module):
 
         kl_l = balanced(l_post_all, l_prior_all, 4, 4).sum(-1).mean()
         kl_h = balanced(h_post_all, h_prior_all, 2, 8).sum(-1).mean()
+        # Same keys as the JAX shared_step: "kl" is the low-level KL, the
+        # weighted high-level KL folds into the loss (mmtrssm.py:556-558).
+        self.last_metrics = {"recon": float(recon), "kl": float(kl_l)}
         return recon + kl_l + self.w_kl_h * kl_h
 
 

@@ -90,3 +90,23 @@ def sync_mrssm(tm, params) -> None:
         tm.gru.weight_hh.copy_(_t(gru["w_hh"]).T)
         tm.gru.bias_ih.copy_(_t(gru["b_ih"]))
         tm.gru.bias_hh.copy_(_t(gru["b_hh"]))
+
+
+def sync_mmtrssm(tm, params) -> None:
+    """Copy every weight of a JAX MoPoE-MMTRSSM param dict into a
+    ``TorchMoPoEMMTRSSM`` twin — the same wiring the single-step golden
+    test uses (tests/test_torch_parity_mmtrssm.py)."""
+    copy_encoder(tm.audio_encoder, params["audio_encoder"])
+    copy_encoder(tm.vision_encoder, params["vision_encoder"])
+    copy_decoder(tm.audio_decoder, params["audio_decoder"])
+    copy_decoder(tm.vision_decoder, params["vision_decoder"])
+    copy_mlp(tm.l_prior, params["l_prior"])
+    copy_mlp(tm.h_prior, params["h_prior"])
+    copy_mlp(tm.h_posterior, params["h_posterior"])
+    copy_mlp(tm.audio_rep, params["audio_representation"])
+    copy_mlp(tm.vision_rep, params["vision_representation"])
+    copy_mlp(tm.init_proj, params["init_proj"])
+    copy_dense(tm.l_rnn.d2h, params["l_rnn"]["d2h"])
+    copy_dense(tm.l_rnn.in2h, params["l_rnn"]["input2h"])
+    copy_dense(tm.h_rnn.d2h, params["h_rnn"]["d2h"])
+    copy_dense(tm.h_rnn.in2h, params["h_rnn"]["input2h"])
