@@ -193,6 +193,123 @@ def decoder_apply_s2d(params, cfg: DecoderConfig, f: jax.Array) -> jax.Array:
     return activation(cfg.out_activation_name)(x)
 
 
+def _k3s2_to_k2s1(w: jax.Array) -> jax.Array:
+    """Rearrange a k3 s2 p1 kernel ([3,3,C,C']) into a k2 s1 kernel
+    ([2,2,4C,C'], padding ((1,0),(1,0))) over the s2d(2) input grid.
+
+    Output pixel (i,j) of the shipped conv reads natural rows 2i+dy,
+    dy∈{−1,0,1}; natural row 2(i−1+cy)+py (s2d cell tap cy∈{0,1}, phase
+    py∈{0,1}) gives dy = 2cy+py−2 — (cy,py)=(0,0) falls outside the k3
+    window and stays zero, the other three map 1:1. The contracting dim
+    becomes 2·2·4C (e.g. 128 exactly for C=8) instead of 3·3·C padded to
+    a lane tile."""
+    k, _, cin, cout = w.shape
+    assert k == 3
+    wp = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for cy in range(2):
+        for py in range(2):
+            dy = 2 * cy + py - 2
+            if not -1 <= dy <= 1:
+                continue
+            for cx in range(2):
+                for px in range(2):
+                    dx = 2 * cx + px - 2
+                    if not -1 <= dx <= 1:
+                        continue
+                    ch = (py * 2 + px) * cin
+                    wp = wp.at[cy, cx, ch:ch + cin].set(w[dy + 1, dx + 1])
+    return wp
+
+
+def _deconv_phase_weights(w: jax.Array) -> jax.Array:
+    """Generalize :func:`_deconv3_phase_weights` to any out_ch: a k4 s2 p1
+    deconv kernel ([4,4,C,C']) becomes a k3 s1 conv kernel ([3,3,C,4C'])
+    whose output's ``depth_to_space`` equals the deconv output."""
+    k, _, cin, cout = w.shape
+    assert k == 4
+    wp = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for r in range(2):
+        for c in range(2):
+            ph = (r * 2 + c) * cout
+            for dy in (-1, 0, 1):
+                ky = r + 1 - 2 * dy
+                if not 0 <= ky < 4:
+                    continue
+                for dx in (-1, 0, 1):
+                    kx = c + 1 - 2 * dx
+                    if not 0 <= kx < 4:
+                        continue
+                    wp = wp.at[dy + 1, dx + 1, :, ph:ph + cout].set(w[ky, kx])
+    return wp
+
+
+def encoder_apply_s2d_chain(params, cfg: EncoderConfig, xs: jax.Array) -> jax.Array:
+    """Chained-s2d encoder: every mid-stack conv also runs on an s2d(2)
+    input grid (k2 s1 via :func:`_k3s2_to_k2s1`), so conv2 reads 32 lanes
+    instead of 8 and conv3 reads 64 instead of 16 — attacking the
+    mid-stack padding residual the boundary-only variant left on the
+    table (BASELINE.md roofline re-read). Same params, same math."""
+    act = activation(cfg.activation_name)
+    w1 = params["convs"][0]["w"].astype(xs.dtype)
+    b1 = params["convs"][0]["b"].astype(xs.dtype)
+    h, w = cfg.in_hw
+    coords = coord_channels(1, h, w, xs.dtype)
+    coord_map = jax.lax.conv_general_dilated(
+        coords, w1[:, :, 1:], window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        xs, _conv1_s2d_weights(w1), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = act(x + coord_map + b1)
+    for conv in params["convs"][1:]:
+        wk = _k3s2_to_k2s1(conv["w"].astype(x.dtype))
+        x = jax.lax.conv_general_dilated(
+            space_to_depth(x), wk, window_strides=(1, 1),
+            padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = act(x + conv["b"].astype(x.dtype))
+    if "res_proj" in params:
+        x = act(conv_apply(params["res_proj"], x, stride=1, padding=0))
+    for block in params.get("res_blocks", []):
+        x = residual_block_apply(block, x, act)
+    x = x.reshape((x.shape[0], -1))
+    linears = params["linears"]
+    for i, lin in enumerate(linears):
+        x = dense_apply(lin, x)
+        if i < len(linears) - 1:
+            x = act(x)
+    return activation(cfg.out_activation_name)(x)
+
+
+def decoder_apply_phase_chain(params, cfg: DecoderConfig, f: jax.Array) -> jax.Array:
+    """All-phase decoder: EVERY deconv runs as a k3 s1 phase conv
+    (:func:`_deconv_phase_weights`) + ``depth_to_space`` — no
+    input-dilated transposed convs anywhere, fuller output lanes
+    (deconv1 writes 128 phase channels instead of 32). Returns the s2d
+    form of the final frame (``depth_to_space`` of it equals
+    ``decoder_apply``)."""
+    act = activation(cfg.activation_name)
+    x = f
+    for lin in params["linears"]:
+        x = act(dense_apply(lin, x))
+    c, h, w = cfg.conv_in_shape
+    x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1)
+    if "res_proj" in params:
+        x = act(conv_apply(params["res_proj"], x, stride=1, padding=0))
+    for block in params.get("res_blocks", []):
+        x = residual_block_apply(block, x, act)
+    deconvs = params["deconvs"]
+    for i, dk in enumerate(deconvs):
+        wp = _deconv_phase_weights(dk["w"]).astype(x.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, wp, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # Phase-major channel blocks ⇒ the deconv bias tiles 4×.
+        x = x + jnp.tile(dk["b"].astype(x.dtype).reshape(-1), 4)
+        if i < len(deconvs) - 1:
+            x = act(depth_to_space(x))
+    return activation(cfg.out_activation_name)(x)
+
+
 def _time_chained(run, ins, k, reps=5, warmup=2) -> float:
     out = None
     for _ in range(warmup):
@@ -215,6 +332,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=16, help="chained reps per window")
     ap.add_argument("--check-only", action="store_true")
     args = ap.parse_args()
+    if args.check_only:
+        # Exactness only — never claim the (single-tenant) chip for it.
+        jax.config.update("jax_platforms", "cpu")
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -234,9 +354,16 @@ def main() -> None:
     d_base = decoder_apply(dparams, dcfg, feats)
     d_s2d = depth_to_space(decoder_apply_s2d(dparams, dcfg, feats))
     dec_gap = float(jnp.max(jnp.abs(d_base - d_s2d)))
-    print(json.dumps({"enc_max_abs_gap": enc_gap, "dec_max_abs_gap": dec_gap}),
-          flush=True)
+    e_chain = encoder_apply_s2d_chain(eparams, ecfg, space_to_depth(x))
+    enc_chain_gap = float(jnp.max(jnp.abs(e_base - e_chain)))
+    d_chain = depth_to_space(decoder_apply_phase_chain(dparams, dcfg, feats))
+    dec_chain_gap = float(jnp.max(jnp.abs(d_base - d_chain)))
+    print(json.dumps({"enc_max_abs_gap": enc_gap, "dec_max_abs_gap": dec_gap,
+                      "enc_chain_max_abs_gap": enc_chain_gap,
+                      "dec_chain_max_abs_gap": dec_chain_gap}), flush=True)
     assert enc_gap < 1e-5 and dec_gap < 1e-5, "s2d re-expression is not exact"
+    assert enc_chain_gap < 1e-5 and dec_chain_gap < 1e-5, \
+        "chained s2d re-expression is not exact"
     if args.check_only:
         return
 
@@ -275,12 +402,20 @@ def main() -> None:
         "dec_s2d": chain(lambda v: jnp.sum(
             ((decoder_apply_s2d(dparams, dcfg, v) - big_ts) ** 2)
             .astype(jnp.float32)), big_f),
+        "enc_chain": chain(lambda v: jnp.sum(
+            encoder_apply_s2d_chain(eparams, ecfg, v)
+            .astype(jnp.float32)), big_xs),
+        "dec_chain": chain(lambda v: jnp.sum(
+            ((decoder_apply_phase_chain(dparams, dcfg, v) - big_ts) ** 2)
+            .astype(jnp.float32)), big_f),
     }
     row = {"frames": n, "dtype": args.dtype, "k": args.k}
     for name, (run, ins) in variants.items():
         row[f"{name}_ms"] = round(_time_chained(run, ins, args.k), 4)
     row["enc_speedup"] = round(row["enc_base_ms"] / row["enc_s2d_ms"], 3)
     row["dec_speedup"] = round(row["dec_base_ms"] / row["dec_s2d_ms"], 3)
+    row["enc_chain_speedup"] = round(row["enc_base_ms"] / row["enc_chain_ms"], 3)
+    row["dec_chain_speedup"] = round(row["dec_base_ms"] / row["dec_chain_ms"], 3)
     print(json.dumps(row), flush=True)
 
 
