@@ -364,13 +364,14 @@ class MoPoEMMTRSSM:
         from multimodal_mtrssm_tpu.ops.pallas import resolve_train_kernel_mode
         from multimodal_mtrssm_tpu.ops.pallas.train_step_mt import (
             AUTO_MT_TRAIN_KERNEL,
+            AUTO_MT_TRAIN_KERNEL_CHUNKED,
             fits_vmem_mt,
         )
 
-        # Single-block VMEM fit gates only the "auto" policy (the measured-
-        # win regime); an explicit True runs oversized [T, B] through the
-        # TIME-CHUNKED grid kernels (train_step_mt.py), so the VMEM guard no
-        # longer forces a fallback.
+        # "auto" and an explicit True both run oversized [T, B] through the
+        # TIME-CHUNKED grid kernels (train_step_mt.py) — measured-win policy
+        # per regime: AUTO_MT_TRAIN_KERNEL (single-block) /
+        # AUTO_MT_TRAIN_KERNEL_CHUNKED (chunked, 2026-08-19 B=32 A/B).
         single_fit = fits_vmem_mt(
             horizon, batch,
             action_size=self.cfg.action_size,
@@ -386,7 +387,8 @@ class MoPoEMMTRSSM:
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
             ),
-            auto_flag=AUTO_MT_TRAIN_KERNEL and single_fit,
+            auto_flag=AUTO_MT_TRAIN_KERNEL
+            and (single_fit or AUTO_MT_TRAIN_KERNEL_CHUNKED),
             warn_ineligible=(
                 "use_pallas_train=True ignored: the fused hierarchical training "
                 "kernel requires ELU + float32; taking the XLA scan path"

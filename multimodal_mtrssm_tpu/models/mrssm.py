@@ -343,12 +343,16 @@ class MoPoEMRSSM:
         the single-program VMEM budget (``fits_vmem``). The dispatch ladder
         itself is shared (``ops.pallas.resolve_train_kernel_mode``)."""
         from multimodal_mtrssm_tpu.ops.pallas import fits_vmem, resolve_train_kernel_mode
-        from multimodal_mtrssm_tpu.ops.pallas.train_step import AUTO_TRAIN_KERNEL
+        from multimodal_mtrssm_tpu.ops.pallas.train_step import (
+            AUTO_TRAIN_KERNEL,
+            AUTO_TRAIN_KERNEL_CHUNKED,
+        )
 
-        # Single-block VMEM fit gates only the "auto" policy (the measured-
-        # win regime) and the stacked variant (single-block only); an
-        # explicit True runs oversized [T, B] through the TIME-CHUNKED grid
-        # kernels (train_step.py chunked variants).
+        # Single-block VMEM fit gates the stacked variant (single-block
+        # only); "auto" and an explicit True run oversized [T, B] through
+        # the TIME-CHUNKED grid kernels (train_step.py chunked variants) —
+        # measured-win policy per regime: AUTO_TRAIN_KERNEL (single-block)
+        # / AUTO_TRAIN_KERNEL_CHUNKED (chunked, 2026-08-19 B=128 A/B).
         single_fit = fits_vmem(
             horizon, batch,
             action_size=self.cfg.action_size,
@@ -362,7 +366,7 @@ class MoPoEMRSSM:
                 self.cfg.activation_name == "ELU"
                 and self.cfg.compute_dtype == jnp.float32
             ),
-            auto_flag=AUTO_TRAIN_KERNEL and single_fit,
+            auto_flag=AUTO_TRAIN_KERNEL and (single_fit or AUTO_TRAIN_KERNEL_CHUNKED),
             warn_ineligible=(
                 "use_pallas_train=True ignored: the fused training kernel "
                 "requires ELU + float32; taking the XLA scan path"

@@ -808,3 +808,11 @@ def chunk_len(
 # 2026-08-17, 1× v5e, full train step in the K=32-scan harness —
 # B=8 T=30: XLA 2.071 ms/step, kernel 1.835 ms/step (1.13×).
 AUTO_TRAIN_KERNEL = True
+
+# Whether "auto" also dispatches shapes PAST the single-block VMEM fit
+# through the time-chunked grid kernels (the [Tc, B, ·] streaming fwd/bwd
+# variants above). Measured 2026-08-19, 1× v5e, bf16 convs, full train
+# step: B=128 T=30 XLA 12.341 → chunked kernel 11.714 ms/step (1.054×) —
+# a win at the first shape the single-block guard rejects, so "auto" no
+# longer forfeits the kernel at production batch.
+AUTO_TRAIN_KERNEL_CHUNKED = True

@@ -741,11 +741,14 @@ def mt_chunk_len(
 
 # "auto" dispatch policy (set from benchmarks/bench_train_kernel.py --model
 # mmtrssm measurements; BASELINE.md records them): B=8 2.687→1.986 ms/step
-# (1.35×), B=16 1.32×, and the VMEM guard above already excludes the
-# neutral B=32 shape — so auto dispatches wherever the kernel is eligible.
-# Shapes past the single-block guard now run through the TIME-CHUNKED grid
-# kernels when explicitly requested (use_pallas_train=True); "auto" keeps
-# requiring the measured-win single-block regime until the chunked path is
-# benchmarked on hardware (models/mmtrssm.py threads fits_vmem_mt into the
-# auto flag).
+# (1.35×), B=16 1.32×.
 AUTO_MT_TRAIN_KERNEL = True
+
+# Whether "auto" also dispatches shapes past the single-block VMEM fit
+# through the time-chunked grid kernels. Measured 2026-08-19, 1× v5e, bf16
+# convs, full train step at the first guard-rejected shape: B=32 T=30 XLA
+# 4.442 → chunked kernel 3.547 ms/step (**1.252×**) — the round-3 "VMEM
+# guard → XLA fallback, 0.99×" regression is gone, so "auto" now keeps the
+# kernel everywhere it is eligible (models/mmtrssm.py threads this with
+# fits_vmem_mt into the auto flag).
+AUTO_MT_TRAIN_KERNEL_CHUNKED = True

@@ -344,7 +344,11 @@ class Trainer:
         ``checkpoints/<name>`` path. A full-state checkpoint (params +
         optimizer + scheduler counters) resumes exactly; a params-only
         checkpoint (e.g. ``best``) warm-starts the weights with a fresh
-        optimizer/scheduler from epoch 0."""
+        optimizer/scheduler from epoch 0.
+
+        Returns params/opt_state/history/best_val plus ``preempted``:
+        True when a SIGTERM stopped the run early (a resume checkpoint
+        was saved; rerun with ``resume=True`` to continue)."""
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         key, k_init = jax.random.split(key)
@@ -675,7 +679,13 @@ class Trainer:
         except Exception:  # chart rendering must never fail a run
             pass
         self.logger.close()
-        return {"params": params, "opt_state": opt_state, "history": history, "best_val": best_val}
+        # "preempted" lets orchestration (and tests) distinguish a completed
+        # fit from one a SIGTERM stopped early — a preempted run returns a
+        # shorter history that is otherwise indistinguishable from a small
+        # max_epochs (observed 2026-08-19: a stray environment SIGTERM turned
+        # a numerics-comparison test failure into a head-scratcher).
+        return {"params": params, "opt_state": opt_state, "history": history,
+                "best_val": best_val, "preempted": preempt.flagged}
 
     # ---- inference helpers -------------------------------------------------
     def load_best_params(self, params_template: Any) -> Any:

@@ -234,8 +234,7 @@ def test_dispatch_eligibility(monkeypatch):
     m_bf16 = MoPoEMRSSM(MRSSMConfig(compute_dtype=jnp.bfloat16, use_pallas_train="interpret"))
     assert m_bf16._train_kernel_mode(8, 30) is None
     # Oversized [T, B] no longer disqualifies the kernel (time-chunked grid
-    # variants stream residuals through VMEM) — but "auto" still requires
-    # the measured-win single-block regime, and "stacked" (single-block
+    # variants stream residuals through VMEM); "stacked" (single-block
     # only) downgrades to the chunked regular kernel with a warning.
     m_big = MoPoEMRSSM(MRSSMConfig(use_pallas_train="interpret"))
     assert m_big._train_kernel_mode(4096, 180) == "interpret"
@@ -247,7 +246,9 @@ def test_dispatch_eligibility(monkeypatch):
     monkeypatch.setattr(jax, "devices", lambda *a: one)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     m_auto = MoPoEMRSSM(MRSSMConfig(use_pallas_train="auto"))
-    assert m_auto._train_kernel_mode(4096, 180) is None  # auto: single-fit only
+    # AUTO_TRAIN_KERNEL_CHUNKED (2026-08-19 B=128 A/B): "auto" keeps the
+    # kernel past the single-block VMEM fit via the time-chunked grid.
+    assert m_auto._train_kernel_mode(4096, 180) == "kernel"
     assert m_auto._train_kernel_mode(8, 30) == "kernel"
     monkeypatch.undo()
     # "auto" stays on XLA off-TPU regardless.

@@ -185,14 +185,15 @@ def test_mt_dispatch_eligibility(monkeypatch):
                                         use_pallas_train="interpret"))
     assert m_bf16._train_kernel_mode(8, 30) is None
     # Oversized [T, B] no longer disqualifies the kernel (the time-chunked
-    # grid variants stream residuals through VMEM) — but "auto" still
-    # requires the measured-win single-block regime.
+    # grid variants stream residuals through VMEM).
     m_big = MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train="interpret"))
     assert m_big._train_kernel_mode(4096, 180) == "interpret"
     monkeypatch.setattr(jax, "devices", lambda *a: one)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     m_auto = MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train="auto"))
-    assert m_auto._train_kernel_mode(4096, 180) is None  # auto: single-fit only
+    # AUTO_MT_TRAIN_KERNEL_CHUNKED (2026-08-19 B=32 A/B): "auto" keeps the
+    # kernel past the single-block VMEM fit via the time-chunked grid.
+    assert m_auto._train_kernel_mode(4096, 180) == "kernel"
     assert m_auto._train_kernel_mode(8, 30) == "kernel"
 
 

@@ -197,6 +197,12 @@ def test_fit_zero1_hybrid_mesh_matches_replicated(tmp_path):
     assert np.isfinite(out_z["history"][-1]["train/loss"])
 
     _, out_r = run("repl")
+    # A stray SIGTERM (e.g. from the CI harness) gracefully preempts a fit
+    # mid-run; that must surface as THIS clear message, not as a numerics
+    # mismatch between a 1-epoch and a 2-epoch run (seen 2026-08-19).
+    assert not out_z["preempted"] and not out_r["preempted"], \
+        "a run was preempted by SIGTERM mid-test; rerun"
+    assert len(out_z["history"]) == len(out_r["history"]) == 2
     # f32 moment math reassociates across shards; losses agree tightly.
     np.testing.assert_allclose(
         out_z["history"][-1]["train/loss"], out_r["history"][-1]["train/loss"], rtol=1e-4
@@ -246,6 +252,7 @@ def test_preemption_sigterm_saves_exact_resume(tmp_path):
     trainer = Trainer(model, dm, cfg, callbacks=[PreemptAfterEpoch1()])
     out = trainer.fit()
     # Signal lands during epoch 2's batch loop → epochs 0..1 complete.
+    assert out["preempted"]
     assert len(out["history"]) == 2
     assert trainer.ckpt.exists("last")
     # default SIGTERM disposition restored after fit
