@@ -18,6 +18,11 @@ no network, so this module implements the always-runnable subset natively:
 - F841: function locals assigned by a simple ``x = expr`` and never loaded
   (conservative: skips underscore names, unpacking, aug/annotated assigns,
   and dynamic-scope functions),
+- B006 (bugbear-lite): mutable argument defaults (list/dict/set literals,
+  comprehensions, and mutable-constructor calls) — evaluated once and
+  shared across calls,
+- B008 (bugbear-lite): any other call in an argument default — evaluated
+  once at def time, not per call,
 - D103 subset (pydoclint-lite): public module-level functions and classes
   inside the package must carry docstrings,
 - DOC102 (pydoclint-lite): parameters documented in an ``Args:`` section or
@@ -495,6 +500,70 @@ def _return_value_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+_MUTABLE_CALLS = frozenset({"list", "dict", "set", "bytearray"})
+_MUTABLE_COLLECTIONS_ATTRS = frozenset({"defaultdict", "deque", "Counter", "OrderedDict"})
+
+
+def _is_mutable_ctor_call(d: ast.expr) -> bool:
+    """A call to a mutable builtin / ``collections`` constructor."""
+    if not isinstance(d, ast.Call):
+        return False
+    f = d.func
+    if isinstance(f, ast.Name) and f.id in _MUTABLE_CALLS:
+        return True
+    return isinstance(f, ast.Attribute) and f.attr in _MUTABLE_COLLECTIONS_ATTRS
+
+
+def _mutable_default_findings(path: Path, tree: ast.Module) -> list[str]:
+    """B006 (flake8-bugbear): mutable argument defaults. A ``def f(x=[])``
+    default is evaluated ONCE and shared across calls — mutations leak
+    between invocations. Flags list/dict/set literals and comprehensions,
+    and calls to the mutable builtins / ``collections`` constructors."""
+    findings: list[str] = []
+
+    def is_mutable(d: ast.expr) -> bool:
+        if isinstance(d, (ast.List, ast.Dict, ast.Set, ast.ListComp, ast.DictComp, ast.SetComp)):
+            return True
+        return _is_mutable_ctor_call(d)
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            a = node.args
+            name = getattr(node, "name", "<lambda>")
+            for d in list(a.defaults) + [k for k in a.kw_defaults if k is not None]:
+                if is_mutable(d):
+                    findings.append(
+                        f"{path}:{d.lineno}: B006 '{name}' has a mutable "
+                        "argument default (shared across calls); use None "
+                        "and fill in the body"
+                    )
+    return findings
+
+
+def _call_default_findings(path: Path, tree: ast.Module) -> list[str]:
+    """B008 (flake8-bugbear): any function call in an argument default is
+    evaluated ONCE at def time, not per call — surprising for defaults that
+    look dynamic (``def f(t=time.time())``). B006 handles the mutable
+    constructors; this flags the rest. (E731 is deliberately NOT enforced:
+    pyproject.toml ignores it — short lambdas are idiomatic jit-local
+    helpers in this codebase.)"""
+    findings: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            name = getattr(node, "name", "<lambda>")
+            a = node.args
+            for d in list(a.defaults) + [k for k in a.kw_defaults if k is not None]:
+                for sub in ast.walk(d):
+                    if isinstance(sub, ast.Call) and not _is_mutable_ctor_call(sub):
+                        findings.append(
+                            f"{path}:{sub.lineno}: B008 '{name}' calls "
+                            f"'{ast.unparse(sub.func)}' in an argument default "
+                            "(evaluated once at def time)"
+                        )
+                        break
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     """Return a list of "path:line: code message" findings for one file."""
     findings: list[str] = []
@@ -510,6 +579,8 @@ def check_file(path: Path) -> list[str]:
                 f"{path}:{lineno}: E501 line too long ({len(line)} > {MAX_LINE_LENGTH})"
             )
     findings.extend(_comparison_findings(path, tree))
+    findings.extend(_mutable_default_findings(path, tree))
+    findings.extend(_call_default_findings(path, tree))
     findings.extend(_escape_findings(path, src))
     findings.extend(_undefined_findings(path, tree))
     findings.extend(_unused_local_findings(path, tree))

@@ -336,3 +336,49 @@ def test_ast_lint_return_value_consistency(tmp_path):
         p.write_text(code)
         got = any("RET-none" in x for x in check_file(p))
         assert got == expect, f"{name}: expected {expect}, findings={check_file(p)}"
+
+
+def test_ast_lint_mutable_and_call_defaults(tmp_path):
+    """B006 (mutable argument default — shared across calls) and B008 (any
+    other call in a default — evaluated once at def time). E731 is
+    deliberately absent: pyproject.toml ignores it (jit-local lambdas)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expected code or None)
+        "list literal default": ("def f(x=[]):\n    return x\n", "B006"),
+        "dict literal default": ("def f(x={}):\n    return x\n", "B006"),
+        "set literal default": ("def f(x={1}):\n    return x\n", "B006"),
+        "comprehension default": ("def f(x=[i for i in range(3)]):\n    return x\n", "B006"),
+        "list() call default": ("def f(x=list()):\n    return x\n", "B006"),
+        "defaultdict default": (
+            "import collections\n"
+            "def f(x=collections.defaultdict(int)):\n    return x\n", "B006"),
+        "kwonly mutable default": ("def f(*, x=[]):\n    return x\n", "B006"),
+        "lambda mutable default": ("g = lambda x=[]: x\n", "B006"),
+        "time.time() default": (
+            "import time\n"
+            "def f(t=time.time()):\n    return t\n", "B008"),
+        "nested call default": (
+            "import time\n"
+            "def f(t=(1, time.time())):\n    return t\n", "B008"),
+        "none default ok": ("def f(x=None):\n    return x\n", None),
+        "tuple literal ok": ("def f(x=(1, 2)):\n    return x\n", None),
+        "frozen constant ok": ("def f(x=3, y='s'):\n    return x, y\n", None),
+        "lambda assignment not flagged (E731 ignored)": (
+            "f = lambda x: x + 1\n", None),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"bdef_{abs(hash(name))}.py"
+        p.write_text(code)
+        findings = check_file(p)
+        if expect is None:
+            assert not any(("B006" in x or "B008" in x) for x in findings), (name, findings)
+        else:
+            assert any(expect in x for x in findings), (name, expect, findings)
+
+    # A mutable-constructor call is B006's finding alone, not also B008.
+    p = tmp_path / "bdef_no_double.py"
+    p.write_text("def f(x=list()):\n    return x\n")
+    fs = check_file(p)
+    assert any("B006" in x for x in fs) and not any("B008" in x for x in fs), fs
