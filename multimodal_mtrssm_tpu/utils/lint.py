@@ -14,7 +14,11 @@ no network, so this module implements the always-runnable subset natively:
 - W605: invalid escape sequences in non-raw string literals,
 - F821: names that resolve to no binding in any enclosing scope
   (pyflakes-lite static scope analysis — catches the NameError-on-a-rare-
-  path class of bug; files with ``import *`` are skipped),
+  path class of bug; files with ``import *`` are skipped). Includes
+  string forward-reference annotations (``x: "Foo"``): the string is
+  parsed and its names resolved in the same scope stack, with pyflakes'
+  rule that strings inside ``Literal[...]``/``Annotated[...]`` subscripts
+  are values, not type names,
 - F841: function locals assigned by a simple ``x = expr`` and never loaded
   (conservative: skips underscore names, unpacking, aug/annotated assigns,
   and dynamic-scope functions),
@@ -229,6 +233,34 @@ def _target_names(t: ast.AST) -> set[str]:
     return out
 
 
+def _ann_forward_refs(ann: ast.expr) -> list[ast.Constant]:
+    """Constant-str nodes in an annotation expression that are forward
+    references. Strings inside ``Literal[...]`` / ``Annotated[...]``
+    subscript slices are runtime values, not type names (pyflakes' rule),
+    and are skipped — ``Annotated`` conservatively skips its whole slice
+    (its first element is a type, but metadata strings dominate in
+    practice and a miss is safer than a false positive)."""
+    _VALUE_SUBSCRIPTS = ("Literal", "Annotated")
+    out: list[ast.Constant] = []
+
+    def visit(e: ast.AST, in_value_ctx: bool) -> None:
+        if isinstance(e, ast.Constant):
+            if isinstance(e.value, str) and not in_value_ctx:
+                out.append(e)
+            return
+        if isinstance(e, ast.Subscript):
+            base = e.value
+            base_name = base.attr if isinstance(base, ast.Attribute) else getattr(base, "id", None)
+            visit(base, in_value_ctx)
+            visit(e.slice, in_value_ctx or base_name in _VALUE_SUBSCRIPTS)
+            return
+        for child in ast.iter_child_nodes(e):
+            visit(child, in_value_ctx)
+
+    visit(ann, False)
+    return out
+
+
 def _undefined_findings(path: Path, tree: ast.Module) -> list[str]:
     """F821: Name loads that no enclosing scope binds. Class scopes are
     invisible to nested functions (Python scoping); comprehensions and
@@ -261,11 +293,42 @@ def _undefined_findings(path: Path, tree: ast.Module) -> list[str]:
                     return True
             return name in _BUILTINS
 
+        def check_ann_strings(ann: ast.expr) -> None:
+            """F821 inside string forward-reference annotations: parse each
+            string and resolve its names in this scope stack (recursing into
+            nested strings, e.g. ``"Optional['Foo']"``)."""
+            for const in _ann_forward_refs(ann):
+                try:
+                    sub = ast.parse(const.value, mode="eval")
+                except SyntaxError:
+                    findings.append(
+                        f"{path}:{const.lineno}: F821 forward reference "
+                        f"{const.value!r} is not a valid expression"
+                    )
+                    continue
+                for inner in ast.walk(sub.body):
+                    if isinstance(inner, ast.Name) and isinstance(inner.ctx, ast.Load):
+                        if not resolvable(inner.id):
+                            findings.append(
+                                f"{path}:{const.lineno}: F821 undefined name "
+                                f"'{inner.id}' (in string annotation)"
+                            )
+                check_ann_strings(sub.body)
+
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.returns:
+            # Evaluated in the enclosing scope at runtime; the function's own
+            # stack is a superset, so checking here cannot false-positive.
+            check_ann_strings(node.returns)
+
         def walk(n: ast.AST) -> None:
             for child in ast.iter_child_nodes(n):
                 if isinstance(child, _SCOPE_NODES):
                     check(child, new_stack)
                     continue
+                if isinstance(child, ast.arg) and child.annotation is not None:
+                    check_ann_strings(child.annotation)
+                elif isinstance(child, ast.AnnAssign):
+                    check_ann_strings(child.annotation)
                 if isinstance(child, ast.Name) and isinstance(child.ctx, ast.Load):
                     if not resolvable(child.id):
                         findings.append(

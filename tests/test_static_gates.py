@@ -382,3 +382,47 @@ def test_ast_lint_mutable_and_call_defaults(tmp_path):
     p.write_text("def f(x=list()):\n    return x\n")
     fs = check_file(p)
     assert any("B006" in x for x in fs) and not any("B008" in x for x in fs), fs
+
+
+def test_ast_lint_string_annotation_forward_refs(tmp_path):
+    """F821 inside string forward-reference annotations: the string is
+    parsed and resolved in the same scope stack. Strings in Literal[...]
+    and Annotated[...] slices are values, not type names (pyflakes rule);
+    forward refs to names bound later in the module resolve."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expect an F821 finding?)
+        "string arg annotation undef": (
+            'def _f(x: "Undefined") -> None:\n    return None\n', True),
+        "string return annotation undef": (
+            'def _f(x: int) -> "Nope":\n    return x\n', True),
+        "annassign string undef": ('x: "Missing" = 1\n', True),
+        "forward ref to later class": (
+            'def _f(s: "State") -> "State":\n    return s\n'
+            'class State:\n    """D."""\n', False),
+        "string inside subscript": (
+            "from typing import Optional\n"
+            'def _f(x: Optional["Foo"]) -> None:\n    return None\n', True),
+        "Literal strings are values": (
+            "from typing import Literal\n"
+            'def _f(x: Literal["a", "b"]) -> None:\n    return None\n', False),
+        "Annotated metadata skipped": (
+            "from typing import Annotated\n"
+            'def _f(x: Annotated[int, "units: m/s"]) -> None:\n    return None\n', False),
+        "nested forward ref": (
+            "from typing import Optional\n"
+            'class Foo:\n    """D."""\n'
+            "x: \"Optional['Bar']\" = None\n", True),
+        "unparseable forward ref": ('x: "not a type!!" = 1\n', True),
+        "dotted string ref resolves": (
+            "import numpy as np\n" 'x: "np.ndarray" = None\n', False),
+        "method ref to own class": (
+            'class State:\n    """D."""\n\n'
+            '    def clone(self) -> "State":\n        return self\n', False),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"fref_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "F821" in f]
+        assert bool(fs) == expect, (name, fs)
