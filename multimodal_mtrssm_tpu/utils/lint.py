@@ -27,6 +27,10 @@ no network, so this module implements the always-runnable subset natively:
   shared across calls,
 - B008 (bugbear-lite): any other call in an argument default — evaluated
   once at def time, not per call,
+- CALL101/102/103 (mypy ``call-arg``-lite): calls to same-module,
+  undecorated, uniquely-bound module-level functions are checked against
+  the callee's signature — too many positional args, unknown keyword,
+  and missing required parameter (the TypeError-on-call class of bug),
 - D103 subset (pydoclint-lite): public module-level functions and classes
   inside the package must carry docstrings,
 - DOC102 (pydoclint-lite): parameters documented in an ``Args:`` section or
@@ -563,6 +567,87 @@ def _return_value_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
+    """CALL101/102/103 (mypy ``call-arg``-lite): every call whose target is a
+    module-level, undecorated function bound exactly once in the file is
+    checked against that signature:
+
+    - CALL101: more positional arguments than the callee accepts (no
+      ``*args``),
+    - CALL102: a keyword the callee has no parameter for (no ``**kwargs``;
+      positional-only parameters are correctly NOT keyword-addressable),
+    - CALL103: a required parameter (positional without default, or
+      keyword-only without default) that the call never supplies.
+
+    Conservative by construction: any rebinding of the name anywhere in the
+    file (assignment, import, nested def/class, ``del``), a decorator on the
+    callee (it may change the signature), or ``*``/``**`` unpacking at the
+    call site disqualifies the check — so a finding is a genuine TypeError
+    waiting on that call path.
+    """
+    # Candidate callees: plain module-level functions without decorators.
+    fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
+    bind_counts: dict[str, int] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and not node.decorator_list:
+            fns[node.name] = node
+    for node in ast.walk(tree):
+        name: str | None = None
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            name = node.name
+        elif isinstance(node, ast.Name) and isinstance(node.ctx, (ast.Store, ast.Del)):
+            name = node.id
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for a in node.names:
+                nm = (a.asname or a.name).split(".")[0]
+                bind_counts[nm] = bind_counts.get(nm, 0) + 1
+        if name is not None:
+            bind_counts[name] = bind_counts.get(name, 0) + 1
+
+    findings: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
+            continue
+        fn = fns.get(node.func.id)
+        if fn is None or bind_counts.get(node.func.id, 0) != 1:
+            continue
+        if any(isinstance(a, ast.Starred) for a in node.args) or any(
+            k.arg is None for k in node.keywords
+        ):
+            continue  # *args / **kwargs at the call site: not statically knowable
+        a = fn.args
+        pos_params = [p.arg for p in [*a.posonlyargs, *a.args]]
+        kw_addressable = {p.arg for p in a.args} | {p.arg for p in a.kwonlyargs}
+        npos = len(node.args)
+        supplied_kw = {k.arg for k in node.keywords}
+        if npos > len(pos_params) and a.vararg is None:
+            findings.append(
+                f"{path}:{node.lineno}: CALL101 call to '{fn.name}' passes "
+                f"{npos} positional arguments, signature takes {len(pos_params)}"
+            )
+        if a.kwarg is None:
+            for k in node.keywords:
+                if k.arg not in kw_addressable:
+                    findings.append(
+                        f"{path}:{node.lineno}: CALL102 call to '{fn.name}' "
+                        f"passes unknown keyword '{k.arg}'"
+                    )
+        required_pos = pos_params[: len(pos_params) - len(a.defaults)]
+        for i, pname in enumerate(required_pos):
+            if i >= npos and pname not in supplied_kw:
+                findings.append(
+                    f"{path}:{node.lineno}: CALL103 call to '{fn.name}' is "
+                    f"missing required argument '{pname}'"
+                )
+        for p, d in zip(a.kwonlyargs, a.kw_defaults):
+            if d is None and p.arg not in supplied_kw:
+                findings.append(
+                    f"{path}:{node.lineno}: CALL103 call to '{fn.name}' is "
+                    f"missing required keyword-only argument '{p.arg}'"
+                )
+    return findings
+
+
 _MUTABLE_CALLS = frozenset({"list", "dict", "set", "bytearray"})
 _MUTABLE_COLLECTIONS_ATTRS = frozenset({"defaultdict", "deque", "Counter", "OrderedDict"})
 
@@ -644,6 +729,7 @@ def check_file(path: Path) -> list[str]:
     findings.extend(_comparison_findings(path, tree))
     findings.extend(_mutable_default_findings(path, tree))
     findings.extend(_call_default_findings(path, tree))
+    findings.extend(_call_signature_findings(path, tree))
     findings.extend(_escape_findings(path, src))
     findings.extend(_undefined_findings(path, tree))
     findings.extend(_unused_local_findings(path, tree))

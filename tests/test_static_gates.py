@@ -426,3 +426,45 @@ def test_ast_lint_string_annotation_forward_refs(tmp_path):
         p.write_text(code)
         fs = [f for f in check_file(p) if "F821" in f]
         assert bool(fs) == expect, (name, fs)
+
+
+def test_ast_lint_call_signature_consistency(tmp_path):
+    """CALL101/102/103 (mypy call-arg-lite): calls to same-module,
+    undecorated, uniquely-bound module-level functions must match the
+    callee's signature. Rebinding, decorators, and */** unpacking at the
+    call site disqualify the check (conservative)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    helper = 'def _g(a, b, c=1, *, kw=None):\n    return (a, b, c, kw)\n'
+    cases = {
+        # name: (code, expected code or None)
+        "too many positional": (helper + "_g(1, 2, 3, 4)\n", "CALL101"),
+        "unknown keyword": (helper + "_g(1, 2, oops=3)\n", "CALL102"),
+        "posonly addressed by keyword": (
+            "def _p(a, /, b):\n    return (a, b)\n_p(a=1, b=2)\n", "CALL102"),
+        "missing required": (helper + "_g(1)\n", "CALL103"),
+        "missing required kwonly": (
+            "def _k(a, *, kw):\n    return (a, kw)\n_k(1)\n", "CALL103"),
+        "exact call ok": (helper + "_g(1, 2)\n", None),
+        "kw for positional ok": (helper + "_g(1, b=2, kw=3)\n", None),
+        "vararg absorbs extras": (
+            "def _v(a, *rest):\n    return (a, rest)\n_v(1, 2, 3)\n", None),
+        "kwarg absorbs unknowns": (
+            "def _w(a, **kw):\n    return (a, kw)\n_w(1, zzz=2)\n", None),
+        "star unpack skipped": (helper + "xs = [1]\n_g(*xs)\n", None),
+        "dstar unpack skipped": (helper + "d = {'a': 1}\n_g(**d)\n", None),
+        "decorated callee skipped": (
+            "import functools\n@functools.lru_cache\ndef _d(a):\n    return a\n_d(1, 2, 3)\n", None),
+        "rebound name skipped": (
+            helper + "_g = print\n_g(1, 2, 3, 4, 5)\n", None),
+        "shadowed in nested scope skipped": (
+            helper + "def _h():\n    _g = max\n    return _g(1, 2, 3, 4, 5)\n", None),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"call_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "CALL" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
