@@ -31,6 +31,14 @@ no network, so this module implements the always-runnable subset natively:
   undecorated, uniquely-bound module-level functions are checked against
   the callee's signature — too many positional args, unknown keyword,
   and missing required parameter (the TypeError-on-call class of bug),
+- CALL104 (mypy ``arg-type``-lite): literal arguments on those same calls
+  are type-checked against simple builtin parameter annotations
+  (``int``/``str``/``float``/``bool``/``bytes``/``complex``, optionally
+  ``| None``/``Optional``), numeric tower included,
+- RET201/RET202 (mypy ``return``-lite): a function annotated with a
+  value-requiring return type must not fall off the end of its body
+  (conservative path-termination analysis) and must not contain a bare
+  ``return``; generators, stubs and overload/abstract defs exempt,
 - D103 subset (pydoclint-lite): public module-level functions and classes
   inside the package must carry docstrings,
 - DOC102 (pydoclint-lite): parameters documented in an ``Args:`` section or
@@ -567,6 +575,34 @@ def _return_value_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+def _module_call_candidates(
+    tree: ast.Module,
+) -> tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef], dict[str, int]]:
+    """Module-level undecorated functions by name, plus per-name bind counts
+    across the whole file (a name bound more than once — or shadowed by an
+    import, class, assignment or ``del`` — is not statically resolvable to
+    its ``def``). Shared by the CALL1xx signature checks and the CALL104
+    literal-argument type check."""
+    fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
+    bind_counts: dict[str, int] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and not node.decorator_list:
+            fns[node.name] = node
+    for node in ast.walk(tree):
+        name: str | None = None
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            name = node.name
+        elif isinstance(node, ast.Name) and isinstance(node.ctx, (ast.Store, ast.Del)):
+            name = node.id
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for a in node.names:
+                nm = (a.asname or a.name).split(".")[0]
+                bind_counts[nm] = bind_counts.get(nm, 0) + 1
+        if name is not None:
+            bind_counts[name] = bind_counts.get(name, 0) + 1
+    return fns, bind_counts
+
+
 def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
     """CALL101/102/103 (mypy ``call-arg``-lite): every call whose target is a
     module-level, undecorated function bound exactly once in the file is
@@ -585,25 +621,7 @@ def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
     call site disqualifies the check — so a finding is a genuine TypeError
     waiting on that call path.
     """
-    # Candidate callees: plain module-level functions without decorators.
-    fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
-    bind_counts: dict[str, int] = {}
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and not node.decorator_list:
-            fns[node.name] = node
-    for node in ast.walk(tree):
-        name: str | None = None
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            name = node.name
-        elif isinstance(node, ast.Name) and isinstance(node.ctx, (ast.Store, ast.Del)):
-            name = node.id
-        elif isinstance(node, (ast.Import, ast.ImportFrom)):
-            for a in node.names:
-                nm = (a.asname or a.name).split(".")[0]
-                bind_counts[nm] = bind_counts.get(nm, 0) + 1
-        if name is not None:
-            bind_counts[name] = bind_counts.get(name, 0) + 1
-
+    fns, bind_counts = _module_call_candidates(tree)
     findings: list[str] = []
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
@@ -646,6 +664,299 @@ def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
                     f"missing required keyword-only argument '{p.arg}'"
                 )
     return findings
+
+
+# Simple builtin annotations CALL104 understands, with the literal types
+# each accepts (mypy's numeric tower: bool ≤ int ≤ float ≤ complex).
+_SIMPLE_TYPE_ACCEPTS: dict[str, tuple[type, ...]] = {
+    "bool": (bool,),
+    "int": (bool, int),
+    "float": (bool, int, float),
+    "complex": (bool, int, float, complex),
+    "str": (str,),
+    "bytes": (bytes,),
+}
+
+
+def _annotation_accepts(ann: ast.expr | None) -> tuple[tuple[type, ...], bool, str] | None:
+    """Decode a parameter annotation into (accepted literal types,
+    accepts_None, display name) — or None when the annotation is absent or
+    not a form CALL104 can check soundly (subscripts, ``Any``, ``object``,
+    custom classes, string forward refs all return None)."""
+    if ann is None:
+        return None
+    if isinstance(ann, ast.Constant) and ann.value is None:  # ``x: None``
+        return (), True, "None"
+    if isinstance(ann, ast.Name):
+        accepts = _SIMPLE_TYPE_ACCEPTS.get(ann.id)
+        return (accepts, False, ann.id) if accepts else None
+    if isinstance(ann, ast.BinOp) and isinstance(ann.op, ast.BitOr):  # ``T | U``
+        left = _annotation_accepts(ann.left)
+        right = _annotation_accepts(ann.right)
+        if left is None or right is None:
+            return None
+        return (
+            tuple({*left[0], *right[0]}),
+            left[1] or right[1],
+            f"{left[2]} | {right[2]}",
+        )
+    if isinstance(ann, ast.Subscript):  # ``Optional[T]`` only
+        base = ann.value
+        base_name = base.attr if isinstance(base, ast.Attribute) else getattr(base, "id", None)
+        if base_name == "Optional":
+            inner = _annotation_accepts(ann.slice)
+            if inner is None:
+                return None
+            return inner[0], True, f"Optional[{inner[2]}]"
+    return None
+
+
+def _literal_type_findings(path: Path, tree: ast.Module) -> list[str]:
+    """CALL104 (mypy ``arg-type``-lite): when a call to a same-module,
+    uniquely-bound, undecorated function passes a LITERAL constant for a
+    parameter annotated with a simple builtin type (``int``/``str``/
+    ``float``/``bool``/``bytes``/``complex``, optionally ``| None`` /
+    ``Optional[...]``), the literal's type must be acceptable for the
+    annotation — mypy's numeric tower included (a bool literal satisfies
+    ``int``, an int literal satisfies ``float``). Anything the checker
+    cannot decode soundly (non-literal arguments, subscripted or custom
+    annotations, ``Any``, forward-ref strings, ``*``/``**`` call sites,
+    rebound names) is skipped, so a finding is a genuine ``arg-type``
+    error on that call."""
+    fns, bind_counts = _module_call_candidates(tree)
+    findings: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
+            continue
+        fn = fns.get(node.func.id)
+        if fn is None or bind_counts.get(node.func.id, 0) != 1:
+            continue
+        if any(isinstance(a, ast.Starred) for a in node.args) or any(
+            k.arg is None for k in node.keywords
+        ):
+            continue
+        a = fn.args
+        pos_params = [*a.posonlyargs, *a.args]
+        by_name = {p.arg: p for p in [*pos_params, *a.kwonlyargs]}
+        pairs: list[tuple[ast.arg, ast.expr]] = []
+        for i, arg_node in enumerate(node.args):
+            if i < len(pos_params):
+                pairs.append((pos_params[i], arg_node))
+        for kw in node.keywords:
+            param = by_name.get(kw.arg)
+            if param is not None:
+                pairs.append((param, kw.value))
+        for param, value in pairs:
+            if not isinstance(value, ast.Constant) or value.value is Ellipsis:
+                continue
+            spec = _annotation_accepts(param.annotation)
+            if spec is None:
+                continue
+            accepts, accepts_none, display = spec
+            v = value.value
+            ok = (v is None and accepts_none) or (
+                v is not None and isinstance(v, accepts)
+                # isinstance(True, (int,)) is True — restrict bool to
+                # annotations that listed bool explicitly.
+                and not (isinstance(v, bool) and bool not in accepts)
+            )
+            if not ok:
+                lit = "None" if v is None else type(v).__name__
+                findings.append(
+                    f"{path}:{node.lineno}: CALL104 call to '{fn.name}' passes "
+                    f"a {lit} literal for parameter '{param.arg}: {display}'"
+                )
+    return findings
+
+
+def _has_own_scope_node(fn: ast.AST, kinds: tuple[type, ...]) -> bool:
+    """Whether any node of the given kinds appears in ``fn``'s own scope
+    (not inside nested function/lambda/class scopes)."""
+    found = False
+
+    def visit(n: ast.AST) -> None:
+        nonlocal found
+        for child in ast.iter_child_nodes(n):
+            if found:
+                return
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                  ast.Lambda, ast.ClassDef)):
+                continue
+            if isinstance(child, kinds):
+                found = True
+                return
+            visit(child)
+
+    visit(fn)
+    return found
+
+
+def _has_loop_break(body: list[ast.stmt]) -> bool:
+    """Whether a ``break`` in this loop body binds to THIS loop — nested
+    loops own their breaks, and nested function scopes cannot break out."""
+    found = False
+
+    def visit(n: ast.AST) -> None:
+        nonlocal found
+        for child in ast.iter_child_nodes(n):
+            if found:
+                return
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda,
+                                  ast.ClassDef, ast.For, ast.AsyncFor, ast.While)):
+                continue
+            if isinstance(child, ast.Break):
+                found = True
+                return
+            visit(child)
+
+    for s in body:
+        visit(ast.Module(body=[s], type_ignores=[]))
+    return found
+
+
+def _terminates(stmts: list[ast.stmt]) -> bool:
+    """Whether control flow can NEVER fall off the end of this statement
+    list — every path ends in ``return``/``raise`` (or loops forever).
+    Conservative: unknown constructs report False (may fall through)."""
+    for s in stmts:
+        if isinstance(s, (ast.Return, ast.Raise)):
+            return True
+        if isinstance(s, ast.If):
+            if s.orelse and _terminates(s.body) and _terminates(s.orelse):
+                return True
+        elif isinstance(s, ast.While):
+            infinite = isinstance(s.test, ast.Constant) and bool(s.test.value)
+            if infinite and not _has_loop_break(s.body):
+                return True
+            if s.orelse and _terminates(s.orelse) and not _has_loop_break(s.body):
+                return True
+        elif isinstance(s, (ast.For, ast.AsyncFor)):
+            if s.orelse and _terminates(s.orelse) and not _has_loop_break(s.body):
+                return True
+        elif isinstance(s, ast.Try):
+            if s.finalbody and _terminates(s.finalbody):
+                return True
+            normal = _terminates(s.orelse) if s.orelse else _terminates(s.body)
+            if normal and all(_terminates(h.body) for h in s.handlers):
+                return True
+        elif isinstance(s, (ast.With, ast.AsyncWith)):
+            if _terminates(s.body):
+                return True
+        elif isinstance(s, ast.Match):
+            wildcard = bool(s.cases) and isinstance(
+                s.cases[-1].pattern, ast.MatchAs
+            ) and s.cases[-1].pattern.pattern is None and s.cases[-1].guard is None
+            if wildcard and all(_terminates(c.body) for c in s.cases):
+                return True
+    return False
+
+
+_NORETURN_NAMES = frozenset({"NoReturn", "Never"})
+_UNCHECKABLE_RETURN_NAMES = frozenset({"Any", "object"})
+_RET_SKIP_DECORATORS = frozenset({"overload", "abstractmethod", "abstractproperty"})
+
+
+def _returns_requires_value(ann: ast.expr) -> bool:
+    """Whether a return annotation definitely requires a value on every
+    path (mypy's "Missing return statement" precondition). ``None``,
+    ``NoReturn``/``Never``, ``Any``/``object``, ``Optional[...]``,
+    ``... | None`` and string forward refs all report False (bare
+    fall-through is, or may be, legal for them)."""
+    if isinstance(ann, ast.Constant):
+        return False  # ``-> None`` or a string forward ref
+    if isinstance(ann, ast.Name):
+        return ann.id not in _NORETURN_NAMES | _UNCHECKABLE_RETURN_NAMES
+    if isinstance(ann, ast.Attribute):
+        return ann.attr not in _NORETURN_NAMES | _UNCHECKABLE_RETURN_NAMES
+    if isinstance(ann, ast.BinOp) and isinstance(ann.op, ast.BitOr):
+        return _returns_requires_value(ann.left) and _returns_requires_value(ann.right)
+    if isinstance(ann, ast.Subscript):
+        base = ann.value
+        base_name = base.attr if isinstance(base, ast.Attribute) else getattr(base, "id", None)
+        if base_name == "Optional":
+            return False
+        if base_name == "Union":
+            elts = ann.slice.elts if isinstance(ann.slice, ast.Tuple) else [ann.slice]
+            return all(_returns_requires_value(e) for e in elts)
+        return True  # list[int], dict[...], Callable[...], ...
+    return False  # anything else: not statically decidable
+
+
+def _is_stub_body(body: list[ast.stmt]) -> bool:
+    """Docstring + ``pass``/``...`` only — a protocol/overload stub."""
+    rest = body[1:] if (
+        body and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant) and isinstance(body[0].value.value, str)
+    ) else body
+    return all(
+        isinstance(s, ast.Pass)
+        or (isinstance(s, ast.Expr) and isinstance(s.value, ast.Constant)
+            and s.value.value is Ellipsis)
+        for s in rest
+    )
+
+
+def _missing_return_findings(path: Path, tree: ast.Module) -> list[str]:
+    """RET201/RET202 (mypy ``return``-lite): a function whose return
+    annotation definitely requires a value (``-> int``, ``-> list[str]``,
+    a custom class — NOT ``None``/``Optional``/``Any``/``NoReturn``/
+    forward-ref strings) must
+
+    - RET201: not be able to fall off the end of its body (every path
+      ends in ``return``/``raise``, via the same conservative
+      path-termination analysis mypy performs), and
+    - RET202: not contain a bare ``return`` (mypy: "Return value
+      expected").
+
+    Generators (``yield`` in the function's own scope), stub bodies
+    (docstring + ``pass``/``...``) and ``@overload``/``@abstractmethod``
+    functions are exempt."""
+    findings: list[str] = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if fn.returns is None or not _returns_requires_value(fn.returns):
+            continue
+        skip = any(
+            (isinstance(d, ast.Name) and d.id in _RET_SKIP_DECORATORS)
+            or (isinstance(d, ast.Attribute) and d.attr in _RET_SKIP_DECORATORS)
+            for d in fn.decorator_list
+        )
+        if skip or _is_stub_body(fn.body):
+            continue
+        if _has_own_scope_node(fn, (ast.Yield, ast.YieldFrom)):
+            continue
+        if not _terminates(fn.body):
+            findings.append(
+                f"{path}:{fn.lineno}: RET201 '{fn.name}' is annotated "
+                f"'-> {ast.unparse(fn.returns)}' but control flow can fall "
+                "off the end of its body (implicit None)"
+            )
+        for node in _own_scope_nodes(fn, (ast.Return,)):
+            if node.value is None:
+                findings.append(
+                    f"{path}:{node.lineno}: RET202 '{fn.name}' is annotated "
+                    f"'-> {ast.unparse(fn.returns)}' but has a bare 'return'"
+                )
+    return findings
+
+
+def _own_scope_nodes(fn: ast.AST, kinds: tuple[type, ...]) -> list[ast.AST]:
+    """Nodes of the given kinds in ``fn``'s own scope (nested function/
+    lambda/class scopes excluded)."""
+    out: list[ast.AST] = []
+
+    def visit(n: ast.AST) -> None:
+        for child in ast.iter_child_nodes(n):
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                  ast.Lambda, ast.ClassDef)):
+                continue
+            if isinstance(child, kinds):
+                out.append(child)
+            visit(child)
+
+    visit(fn)
+    return out
 
 
 _MUTABLE_CALLS = frozenset({"list", "dict", "set", "bytearray"})
@@ -730,6 +1041,8 @@ def check_file(path: Path) -> list[str]:
     findings.extend(_mutable_default_findings(path, tree))
     findings.extend(_call_default_findings(path, tree))
     findings.extend(_call_signature_findings(path, tree))
+    findings.extend(_literal_type_findings(path, tree))
+    findings.extend(_missing_return_findings(path, tree))
     findings.extend(_escape_findings(path, src))
     findings.extend(_undefined_findings(path, tree))
     findings.extend(_unused_local_findings(path, tree))

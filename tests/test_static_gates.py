@@ -468,3 +468,121 @@ def test_ast_lint_call_signature_consistency(tmp_path):
             assert not fs, (name, fs)
         else:
             assert any(expect in f for f in fs), (name, expect, fs)
+
+
+def test_ast_lint_literal_arg_types(tmp_path):
+    """CALL104 (mypy arg-type-lite): literal arguments to same-module calls
+    are checked against simple builtin parameter annotations, with mypy's
+    numeric tower (bool <= int <= float <= complex). Non-literal args and
+    annotations the checker cannot decode soundly are skipped."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        # name: (code, expect CALL104 or None)
+        "str for int": ("def _f(x: int):\n    return x\n_f('a')\n", "CALL104"),
+        "int for str": ("def _f(x: str):\n    return x\n_f(3)\n", "CALL104"),
+        "float for int": ("def _f(x: int):\n    return x\n_f(1.5)\n", "CALL104"),
+        "None for int": ("def _f(x: int):\n    return x\n_f(None)\n", "CALL104"),
+        "int for bool": ("def _f(x: bool):\n    return x\n_f(1)\n", "CALL104"),
+        "str by keyword": ("def _f(a, x: int = 0):\n    return x\n_f(1, x='a')\n", "CALL104"),
+        "str for optional int": (
+            "def _f(x: int | None):\n    return x\n_f('a')\n", "CALL104"),
+        "int for int ok": ("def _f(x: int):\n    return x\n_f(3)\n", None),
+        "bool for int ok": ("def _f(x: int):\n    return x\n_f(True)\n", None),
+        "int for float ok": ("def _f(x: float):\n    return x\n_f(3)\n", None),
+        "None for optional ok": (
+            "from typing import Optional\ndef _f(x: Optional[int]):\n    return x\n_f(None)\n",
+            None),
+        "None for pipe-none ok": (
+            "def _f(x: int | None):\n    return x\n_f(None)\n", None),
+        "custom annotation skipped": (
+            "class C:\n    pass\ndef _f(x: C):\n    return x\n_f(3)\n", None),
+        "subscript annotation skipped": (
+            "def _f(x: list[int]):\n    return x\n_f(3)\n", None),
+        "forward-ref string skipped": (
+            "def _f(x: 'int'):\n    return x\n_f('a')\n", None),
+        "non-literal arg skipped": (
+            "def _f(x: int):\n    return x\ny = 'a'\n_f(y)\n", None),
+        "rebound callee skipped": (
+            "def _f(x: int):\n    return x\n_f = print\n_f('a')\n", None),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"lit_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "CALL104" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
+
+
+def test_ast_lint_missing_return(tmp_path):
+    """RET201/RET202 (mypy return-lite): a function annotated with a
+    value-requiring return type must not fall off the end of its body
+    (RET201) or contain a bare return (RET202). Optional/None/Any/NoReturn
+    annotations, generators, stubs and @overload/@abstractmethod are
+    exempt."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    cases = {
+        "falls off end": ("def _f(x) -> int:\n    y = x + 1\n", "RET201"),
+        "if without else": (
+            "def _f(x) -> int:\n    if x:\n        return 1\n", "RET201"),
+        "loop may not run": (
+            "def _f(xs) -> int:\n    for x in xs:\n        return x\n", "RET201"),
+        "while-true with break": (
+            "def _f(x) -> int:\n    while True:\n        if x:\n            break\n", "RET201"),
+        "bare return": (
+            "def _f(x) -> int:\n    if x:\n        return\n    return 1\n", "RET202"),
+        "custom class falls off": (
+            "class C:\n    pass\ndef _f(x) -> C:\n    x += 1\n", "RET201"),
+        "subscript ann falls off": (
+            "def _f(x) -> list[int]:\n    x += 1\n", "RET201"),
+        "if/else both return ok": (
+            "def _f(x) -> int:\n    if x:\n        return 1\n    else:\n        return 2\n", None),
+        "tail return ok": (
+            "def _f(x) -> int:\n    if x:\n        return 1\n    return 2\n", None),
+        "raise tail ok": (
+            "def _f(x) -> int:\n    if x:\n        return 1\n    raise ValueError(x)\n", None),
+        "while-true no break ok": (
+            "def _f(x) -> int:\n    while True:\n        if x:\n            return 1\n", None),
+        "nested loop break stays inner ok": (
+            "def _f(xs) -> int:\n    while True:\n        for x in xs:\n            break\n", None),
+        "try/finally returns ok": (
+            "def _f(x) -> int:\n    try:\n        x += 1\n    finally:\n        return x\n", None),
+        "try body and handler return ok": (
+            "def _f(x) -> int:\n    try:\n        return x\n    except ValueError:\n"
+            "        return 0\n", None),
+        "try handler falls through": (
+            "def _f(x) -> int:\n    try:\n        return x\n    except ValueError:\n"
+            "        pass\n", "RET201"),
+        "optional exempt": ("def _f(x) -> int | None:\n    x += 1\n", None),
+        "none exempt": ("def _f(x) -> None:\n    x += 1\n", None),
+        "noreturn exempt": (
+            "from typing import NoReturn\ndef _f(x) -> NoReturn:\n    raise ValueError(x)\n",
+            None),
+        "any exempt": ("from typing import Any\ndef _f(x) -> Any:\n    x += 1\n", None),
+        "forward-ref string exempt": ("def _f(x) -> 'int':\n    x += 1\n", None),
+        "generator exempt": (
+            "from typing import Iterator\ndef _f(x) -> Iterator[int]:\n    yield x\n", None),
+        "stub body exempt": ("def _f(x) -> int:\n    ...\n", None),
+        "overload exempt": (
+            "from typing import overload\n@overload\ndef _f(x: int) -> int:\n    ...\n", None),
+        "abstractmethod exempt": (
+            "import abc\nclass C(abc.ABC):\n    @abc.abstractmethod\n"
+            "    def f(self) -> int:\n        pass\n", None),
+        "unannotated exempt": ("def _f(x):\n    x += 1\n", None),
+        "match with wildcard ok": (
+            "def _f(x) -> int:\n    match x:\n        case 1:\n            return 1\n"
+            "        case _:\n            return 0\n", None),
+        "match without wildcard": (
+            "def _f(x) -> int:\n    match x:\n        case 1:\n            return 1\n", "RET201"),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"ret_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "RET20" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
