@@ -107,6 +107,12 @@ def main() -> None:
     ap.add_argument("--stacked", action="store_true",
                     help="three-way A/B: XLA vs kernel vs the stacked-"
                          "layout kernel (train_step_stacked.py, mrssm only)")
+    ap.add_argument("--conv-layout", choices=("nhwc", "s2d"), default="nhwc",
+                    help="conv-stack layout (s2d = the exact space-to-depth "
+                         "re-expression, nn/conv.py)")
+    ap.add_argument("--layout-ab", action="store_true",
+                    help="A/B the shipped default dispatch with "
+                         "conv_layout nhwc vs s2d at each shape")
     args = ap.parse_args()
     global K
     if args.k:
@@ -116,12 +122,30 @@ def main() -> None:
     enable_compilation_cache()
     results = []
     conv_dtype = jnp.bfloat16 if args.conv_dtype == "bfloat16" else None
-    make = (lambda up: MoPoEMRSSM(MRSSMConfig(use_pallas_train=up, conv_dtype=conv_dtype))) \
+    make = (lambda up, layout=args.conv_layout: MoPoEMRSSM(MRSSMConfig(
+        use_pallas_train=up, conv_dtype=conv_dtype, conv_layout=layout))) \
         if args.model == "mrssm" else \
-        (lambda up: MoPoEMMTRSSM(MMTRSSMConfig(use_pallas_train=up, conv_dtype=conv_dtype)))
+        (lambda up, layout=args.conv_layout: MoPoEMMTRSSM(MMTRSSMConfig(
+            use_pallas_train=up, conv_dtype=conv_dtype, conv_layout=layout)))
     for shape in args.shapes.split(","):
         B, T = (int(v) for v in shape.split("x"))
-        if args.default_only:
+        if args.layout_ab:
+            if args.k is None:
+                from multimodal_mtrssm_tpu.train.trainer import (
+                    SPD_CHUNK_BUDGET_BYTES,
+                    SPD_MAX_STEPS,
+                )
+
+                nbytes = 4 * B * T * (4 * 32 * 32 + 2 * 6)
+                K = max(1, min(SPD_MAX_STEPS, SPD_CHUNK_BUDGET_BYTES // nbytes))
+            ms_nhwc = measure(make("auto", "nhwc"), B, T)
+            ms_s2d = measure(make("auto", "s2d"), B, T)
+            row = {"model": args.model, "B": B, "T": T, "K": K,
+                   "conv_dtype": args.conv_dtype,
+                   "ms_per_step_nhwc": round(ms_nhwc, 3),
+                   "ms_per_step_s2d": round(ms_s2d, 3),
+                   "speedup_s2d": round(ms_nhwc / ms_s2d, 3)}
+        elif args.default_only:
             if args.k is None:
                 # Trainer._resolve_spd auto formula (shared constants) on this
                 # shape's batch bytes (== EpisodeDataModule.batch_nbytes: four

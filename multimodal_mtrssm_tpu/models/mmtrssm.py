@@ -89,6 +89,10 @@ class MMTRSSMConfig:
     # knob as ``MRSSMConfig.conv_dtype``: bf16 convs, f32 recurrence (keeps
     # the fused hierarchical training kernel eligible).
     conv_dtype: Any = None
+    # Conv-stack layout ("nhwc" | "s2d") — same exact-re-expression knob as
+    # ``MRSSMConfig.conv_layout`` (see its comment; pinned by
+    # tests/test_s2d_layout.py).
+    conv_layout: str = "nhwc"
 
     @property
     def hs_dim(self) -> int:
@@ -116,6 +120,13 @@ class MoPoEMMTRSSM:
         # Device count of the mesh this model trains on; the Trainer sets it
         # after resolving its mesh (None = consult the global backend).
         self.mesh_devices: int | None = None
+        from multimodal_mtrssm_tpu.models.mrssm import _resolve_conv_layout
+
+        self._use_s2d = _resolve_conv_layout(
+            self.cfg.conv_layout,
+            (self.cfg.audio_encoder, self.cfg.vision_encoder),
+            (self.cfg.decoder_cfg("audio"), self.cfg.decoder_cfg("vision")),
+        )
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -172,8 +183,13 @@ class MoPoEMMTRSSM:
     def _encode_embeds(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array):
         """Raw (conv-dtype) encoder outputs for both modalities (see the
         MRSSM counterpart — single home of the encoder call pair)."""
-        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
-        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        enc = encoder_apply
+        if self._use_s2d:
+            from multimodal_mtrssm_tpu.nn.conv import encoder_apply_s2d
+
+            enc = encoder_apply_s2d
+        a = enc(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
+        v = enc(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
         return a, v
 
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
@@ -509,6 +525,36 @@ class MoPoEMMTRSSM:
             ),
         }
 
+    def _decode_for_loss(
+        self,
+        params: Params,
+        posterior: MTState,
+        audio_target: jax.Array,
+        vision_target: jax.Array,
+    ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+        """(reconstructions, targets) for the training NLL — see the MRSSM
+        counterpart: s2d layout decodes depth-to-space phases against
+        s2d'd targets (the NLL sums over event dims, so the loss is a
+        permutation-identical sum)."""
+        if not self._use_s2d:
+            recons = self.decode_state(params, posterior)
+            return recons, {"recon/audio": audio_target, "recon/vision": vision_target}
+        from multimodal_mtrssm_tpu.nn.conv import decoder_apply_s2d, space_to_depth
+
+        feature = self._conv_in(posterior.feature)
+        recons = {
+            "recon/audio": self._conv_out(
+                decoder_apply_s2d(params["audio_decoder"], self.cfg.decoder_cfg("audio"), feature)
+            ),
+            "recon/vision": self._conv_out(
+                decoder_apply_s2d(params["vision_decoder"], self.cfg.decoder_cfg("vision"), feature)
+            ),
+        }
+        return recons, {
+            "recon/audio": space_to_depth(audio_target),
+            "recon/vision": space_to_depth(vision_target),
+        }
+
     def compute_reconstruction_loss(
         self, reconstructions: dict[str, jax.Array], targets: dict[str, jax.Array]
     ) -> dict[str, jax.Array]:
@@ -544,8 +590,7 @@ class MoPoEMMTRSSM:
             params, action_input.astype(dt), self._conv_out(a_raw), self._conv_out(v_raw),
             init, k_roll,
         )
-        recons = self.decode_state(params, posterior)
-        targets = {"recon/audio": batch[4], "recon/vision": batch[5]}
+        recons, targets = self._decode_for_loss(params, posterior, batch[4], batch[5])
         loss_dict = self.compute_reconstruction_loss(recons, targets)
         kl_l = jnp.mean(jnp.sum(
             kl_balanced(posterior.distribution_l, prior.distribution_l, use_balancing=cfg.use_kl_balancing),

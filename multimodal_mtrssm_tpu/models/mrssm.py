@@ -113,6 +113,18 @@ class MRSSMConfig:
     # kernel. Embeddings/reconstructions are cast back to compute_dtype at
     # the conv boundary; the ELBO ops upcast to f32 internally regardless.
     conv_dtype: Any = None
+    # Conv-stack layout: "nhwc" (canonical) or "s2d" — the space-to-depth
+    # exact re-expression of the toy-width conv stacks (nn/conv.py): every
+    # k3 s2 conv reads 4× the input lanes and the last deconv emits
+    # depth-to-space phases, recovering part of the 128-lane padding waste
+    # the roofline analysis measured (BASELINE.md; isolated conv win
+    # 1.05-1.11× on-chip, exact to ≤3e-8). Same params, same math (pinned
+    # by tests/test_s2d_layout.py): encoders switch layout everywhere, the
+    # TRAINING loss compares phase reconstructions against s2d'd targets,
+    # and decode_state/viz/eval/serving always emit canonical frames.
+    # Requires the stacks to be s2d-eligible (the default config is);
+    # construction raises otherwise.
+    conv_layout: str = "nhwc"
 
     @property
     def stoch_size(self) -> int:
@@ -127,6 +139,34 @@ class MRSSMConfig:
         return cfg if cfg is not None else DecoderConfig(in_features=self.feature_size)
 
 
+def _resolve_conv_layout(
+    layout: str,
+    encoder_cfgs: tuple[EncoderConfig, ...],
+    decoder_cfgs: tuple[DecoderConfig, ...],
+) -> bool:
+    """Validate a ``conv_layout`` config value against the model's conv
+    stacks. Returns True when the s2d layout is enabled; raises when it is
+    requested but some stack cannot be re-expressed exactly (a silent
+    fallback would misreport what the benchmark measured)."""
+    if layout == "nhwc":
+        return False
+    if layout != "s2d":
+        raise ValueError(f"conv_layout must be 'nhwc' or 's2d', got {layout!r}")
+    from multimodal_mtrssm_tpu.nn.conv import (
+        decoder_s2d_applicable,
+        encoder_s2d_applicable,
+    )
+
+    bad = [f"encoder[{i}]" for i, c in enumerate(encoder_cfgs) if not encoder_s2d_applicable(c)]
+    bad += [f"decoder[{i}]" for i, c in enumerate(decoder_cfgs) if not decoder_s2d_applicable(c)]
+    if bad:
+        raise ValueError(
+            "conv_layout='s2d' requires every conv stack to be s2d-eligible "
+            f"(k3 s2 p1 convs / k4 s2 p1 last deconv, even spatial dims); not: {bad}"
+        )
+    return True
+
+
 class MoPoEMRSSM:
     """Functional MoPoE-MRSSM: static config + pure methods over a param pytree."""
 
@@ -135,6 +175,11 @@ class MoPoEMRSSM:
         # Device count of the mesh this model trains on; the Trainer sets it
         # after resolving its mesh (None = consult the global backend).
         self.mesh_devices: int | None = None
+        self._use_s2d = _resolve_conv_layout(
+            self.cfg.conv_layout,
+            (self.cfg.audio_encoder, self.cfg.vision_encoder),
+            (self.decoder_cfg("audio"), self.decoder_cfg("vision")),
+        )
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -197,8 +242,13 @@ class MoPoEMRSSM:
         the rollouts, and ``shared_step`` (which reuses one pass for both
         the initial state and the recurrence instead of re-encoding
         frame 0)."""
-        a = encoder_apply(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
-        v = encoder_apply(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
+        enc = encoder_apply
+        if self._use_s2d:
+            from multimodal_mtrssm_tpu.nn.conv import encoder_apply_s2d
+
+            enc = encoder_apply_s2d
+        a = enc(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
+        v = enc(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
         return a, v
 
     def encode_observation(self, params: Params, audio_obs: jax.Array, vision_obs: jax.Array) -> jax.Array:
@@ -466,6 +516,38 @@ class MoPoEMRSSM:
             ),
         }
 
+    def _decode_for_loss(
+        self,
+        params: Params,
+        posterior: State,
+        audio_target: jax.Array,
+        vision_target: jax.Array,
+    ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+        """(reconstructions, targets) for the training NLL. Canonical
+        layout: ``decode_state`` frames vs raw targets. s2d layout: the
+        last deconv emits depth-to-space phases and the targets are
+        s2d'd to match — the Gaussian NLL sums over the event dims, so
+        the loss is identical (a spatial permutation of the summands)
+        without ever materializing the full-res frames."""
+        if not self._use_s2d:
+            recons = self.decode_state(params, posterior)
+            return recons, {"recon/audio": audio_target, "recon/vision": vision_target}
+        from multimodal_mtrssm_tpu.nn.conv import decoder_apply_s2d, space_to_depth
+
+        feature = self._conv_in(posterior.feature)
+        recons = {
+            "recon/audio": self._conv_out(
+                decoder_apply_s2d(params["audio_decoder"], self.decoder_cfg("audio"), feature)
+            ),
+            "recon/vision": self._conv_out(
+                decoder_apply_s2d(params["vision_decoder"], self.decoder_cfg("vision"), feature)
+            ),
+        }
+        return recons, {
+            "recon/audio": space_to_depth(audio_target),
+            "recon/vision": space_to_depth(vision_target),
+        }
+
     def compute_reconstruction_loss(
         self, reconstructions: dict[str, jax.Array], targets: dict[str, jax.Array]
     ) -> dict[str, jax.Array]:
@@ -510,8 +592,7 @@ class MoPoEMRSSM:
             params, action_input.astype(dt), self._conv_out(a_raw), self._conv_out(v_raw),
             init, k_roll,
         )
-        recons = self.decode_state(params, posterior)
-        targets = {"recon/audio": batch[4], "recon/vision": batch[5]}
+        recons, targets = self._decode_for_loss(params, posterior, batch[4], batch[5])
         loss_dict = self.compute_reconstruction_loss(recons, targets)
         # KL over time: .independent(1) sums KL across T, then batch-mean
         # (reference core.py:212-218 via distribution_extension.kl_divergence).

@@ -333,6 +333,263 @@ def decoder_init(key: jax.Array, cfg: DecoderConfig) -> Params:
     return params
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth (s2d) conv layout — exact re-expression of the same math
+# ---------------------------------------------------------------------------
+#
+# The toy-width conv stacks are HBM-layout-bound on TPU: NHWC activations
+# with 1-32 channels pad to the 128-lane register tile, and the measured
+# counter-experiments (benchmarks/bench_s2d.py, 2026-08-19 on-chip, exact to
+# ≤3e-8) put the recoverable share at encoder 1.106× / last-deconv 1.056× of
+# conv time at B·T=3840 bf16. The transforms below are those experiments
+# productized: every k3 s2 p1 conv runs as a small-kernel s1 conv over the
+# space-to-depth(2) grid of its input (4× the lanes), and the last k4 s2 p1
+# deconv emits the four depth-to-space phases directly. Same parameters,
+# same math — the rearranged kernels are pure gathers of the shipped ones,
+# so gradients flow back to the canonical layout and checkpoints/eval/viz
+# are layout-agnostic. Opt in per model via ``conv_layout="s2d"``.
+
+
+def space_to_depth(x: jax.Array, r: int = 2) -> jax.Array:
+    """[..., H, W, C] → [..., H/r, W/r, C·r²]; channel index = (cy·r + cx)·C + c."""
+    *lead, h, w, c = x.shape
+    x = x.reshape(*lead, h // r, r, w // r, r, c)
+    nd = len(lead)
+    perm = (*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return x.transpose(perm).reshape(*lead, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jax.Array, r: int = 2) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    *lead, h, w, rc = x.shape
+    c = rc // (r * r)
+    x = x.reshape(*lead, h, w, r, r, c)
+    nd = len(lead)
+    perm = (*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return x.transpose(perm).reshape(*lead, h * r, w * r, c)
+
+
+def _entry_s2d_index_maps() -> tuple:
+    """Static index/mask tensors mapping a k3 s2 p1 entry kernel (single
+    image channel) onto a k3 s1 kernel over the s2d(2) grid's 4 image
+    channels. Output pixel (i,j) of the shipped conv reads input rows
+    2i+di, di∈{−1,0,1}; on the s2d grid row 2p+cy that is dy=(di−cy)/2,
+    valid when di−cy is even and |dy|≤1."""
+    import numpy as np
+
+    iy = np.zeros((3, 3, 4), np.int32)
+    ix = np.zeros((3, 3, 4), np.int32)
+    valid = np.zeros((3, 3, 4), bool)
+    for cy in range(2):
+        for cx in range(2):
+            ch = cy * 2 + cx
+            for dy in (-1, 0, 1):
+                di = 2 * dy + cy
+                if not -1 <= di <= 1:
+                    continue
+                for dx in (-1, 0, 1):
+                    dj = 2 * dx + cx
+                    if not -1 <= dj <= 1:
+                        continue
+                    iy[dy + 1, dx + 1, ch] = di + 1
+                    ix[dy + 1, dx + 1, ch] = dj + 1
+                    valid[dy + 1, dx + 1, ch] = True
+    return iy, ix, valid
+
+
+def conv1_s2d_weights(w: jax.Array) -> jax.Array:
+    """Rearrange a k3 s2 p1 entry kernel's IMAGE channel ([3,3,·,out] —
+    channel 0; CoordConv channels are folded into a bias map by the caller)
+    into a [3,3,4,out] k3 s1 kernel over the s2d(2) grid, as ONE gather
+    (trace-time-constant indices) so the per-step cost inside jit is a
+    single tiny gather, not a scatter chain."""
+    iy, ix, valid = _entry_s2d_index_maps()
+    gathered = w[jnp.asarray(iy), jnp.asarray(ix), 0]  # [3,3,4,out]
+    return jnp.where(jnp.asarray(valid)[..., None], gathered, 0)
+
+
+def _k3s2_index_maps() -> tuple:
+    """Static maps for :func:`k3s2_to_k2s1_weights`: (cy,cx,phase) →
+    source tap (dy+1, dx+1), phase = py·2+px, dy = 2·cy+py−2."""
+    import numpy as np
+
+    iy = np.zeros((2, 2, 4), np.int32)
+    ix = np.zeros((2, 2, 4), np.int32)
+    valid = np.zeros((2, 2, 4), bool)
+    for cy in range(2):
+        for py in range(2):
+            dy = 2 * cy + py - 2
+            if not -1 <= dy <= 1:
+                continue
+            for cx in range(2):
+                for px in range(2):
+                    dx = 2 * cx + px - 2
+                    if not -1 <= dx <= 1:
+                        continue
+                    ph = py * 2 + px
+                    iy[cy, cx, ph] = dy + 1
+                    ix[cy, cx, ph] = dx + 1
+                    valid[cy, cx, ph] = True
+    return iy, ix, valid
+
+
+def k3s2_to_k2s1_weights(w: jax.Array) -> jax.Array:
+    """Rearrange a k3 s2 p1 kernel ([3,3,C,C']) into a k2 s1 kernel
+    ([2,2,4C,C'], padding ((1,0),(1,0))) over the s2d(2) input grid — the
+    mid-stack half of the chained-s2d encoder. The contracting dim becomes
+    2·2·4C (128 exactly for C=8) instead of 3·3·C padded to a lane tile."""
+    iy, ix, valid = _k3s2_index_maps()
+    g = w[jnp.asarray(iy), jnp.asarray(ix)]  # [2,2,4,C,C']
+    g = jnp.where(jnp.asarray(valid)[..., None, None], g, 0)
+    return g.reshape(2, 2, 4 * w.shape[2], w.shape[3])
+
+
+def _deconv_phase_index_maps() -> tuple:
+    """Static maps for :func:`deconv_phase_weights`: (dy+1, dx+1, phase) →
+    source tap (ky, kx), phase = r·2+c, ky = r+1−2·dy."""
+    import numpy as np
+
+    iy = np.zeros((3, 3, 4), np.int32)
+    ix = np.zeros((3, 3, 4), np.int32)
+    valid = np.zeros((3, 3, 4), bool)
+    for r in range(2):
+        for c in range(2):
+            ph = r * 2 + c
+            for dy in (-1, 0, 1):
+                ky = r + 1 - 2 * dy
+                if not 0 <= ky < 4:
+                    continue
+                for dx in (-1, 0, 1):
+                    kx = c + 1 - 2 * dx
+                    if not 0 <= kx < 4:
+                        continue
+                    iy[dy + 1, dx + 1, ph] = ky
+                    ix[dy + 1, dx + 1, ph] = kx
+                    valid[dy + 1, dx + 1, ph] = True
+    return iy, ix, valid
+
+
+def deconv_phase_weights(w: jax.Array) -> jax.Array:
+    """Rearrange a k4 s2 p1 deconv kernel ([4,4,C,C'], stored HWIO,
+    unflipped) into a k3 s1 conv kernel ([3,3,C,4C']) whose output's
+    ``depth_to_space`` equals the deconv output — phase blocks are
+    channel-major (phase·C' + c')."""
+    iy, ix, valid = _deconv_phase_index_maps()
+    g = w[jnp.asarray(iy), jnp.asarray(ix)]  # [3,3,4,C,C']
+    g = jnp.where(jnp.asarray(valid)[..., None, None], g, 0)
+    # [3,3,4,C,C'] → [3,3,C,4,C'] → [3,3,C,4C']
+    return g.transpose(0, 1, 3, 2, 4).reshape(3, 3, w.shape[2], 4 * w.shape[3])
+
+
+def encoder_s2d_applicable(cfg: EncoderConfig) -> bool:
+    """Whether :func:`encoder_apply_s2d` can re-express this encoder
+    exactly: single image channel, every conv k3 s2 p1, and spatial dims
+    even at every stage (the default 32×32 Audio-MNIST stack qualifies)."""
+    n = len(cfg.channels)
+    h, w = cfg.in_hw
+    return (
+        cfg.in_channels == 1
+        and all(k == 3 for k in cfg.kernel_sizes)
+        and all(s == 2 for s in cfg.strides)
+        and all(p == 1 for p in cfg.paddings)
+        and h % (2 ** n) == 0
+        and w % (2 ** n) == 0
+    )
+
+
+def decoder_s2d_applicable(cfg: DecoderConfig) -> bool:
+    """Whether :func:`decoder_apply_s2d` applies: the LAST deconv (the only
+    transformed layer — the measured win lives in the 1-channel boundary,
+    BASELINE.md roofline) must be k4 s2 p1 without output padding."""
+    return (
+        cfg.kernel_sizes[-1] == 4
+        and cfg.strides[-1] == 2
+        and cfg.paddings[-1] == 1
+        and cfg.output_paddings[-1] == 0
+    )
+
+
+def encoder_apply_s2d(params: Params, cfg: EncoderConfig, x: jax.Array) -> jax.Array:
+    """:func:`encoder_apply` in the chained-s2d layout — bit-identical math
+    on the same params (pinned by ``tests/test_s2d_layout.py``), but every
+    conv reads 4× the input lanes: the entry conv runs k3 s1 on the
+    s2d(2)'d input with the CoordConv contribution folded into a
+    precomputed bias map (coordinate channels are constant, so their conv
+    response is input-independent), and each mid-stack k3 s2 conv runs as
+    k2 s1 over its input's s2d grid. Callers pass NATURAL [..., H, W, C]
+    inputs; guard with :func:`encoder_s2d_applicable`."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    x = x.reshape((-1, h, w, c))
+    act = activation(cfg.activation_name)
+    w1 = params["convs"][0]["w"].astype(x.dtype)
+    b1 = params["convs"][0]["b"].astype(x.dtype)
+    x = space_to_depth(x)
+    y = jax.lax.conv_general_dilated(
+        x, conv1_s2d_weights(w1), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if cfg.coord_conv:
+        coords = coord_channels(1, h, w, x.dtype)
+        coord_map = jax.lax.conv_general_dilated(
+            coords, w1[:, :, 1:], window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + coord_map
+    x = act(y + b1)
+    for conv in params["convs"][1:]:
+        wk = k3s2_to_k2s1_weights(conv["w"].astype(x.dtype))
+        x = jax.lax.conv_general_dilated(
+            space_to_depth(x), wk, window_strides=(1, 1),
+            padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = act(x + conv["b"].astype(x.dtype))
+    if "res_proj" in params:
+        x = act(conv_apply(params["res_proj"], x, stride=1, padding=0))
+    for block in params.get("res_blocks", []):
+        x = residual_block_apply(block, x, act)
+    x = x.reshape((x.shape[0], -1))
+    linears = params["linears"]
+    for i, lin in enumerate(linears):
+        x = dense_apply(lin, x)
+        if i < len(linears) - 1:
+            x = act(x)
+    x = activation(cfg.out_activation_name)(x)
+    return x.reshape((*lead, x.shape[-1]))
+
+
+def decoder_apply_s2d(params: Params, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
+    """:func:`decoder_apply` emitting the LAST layer's depth-to-space
+    phases [..., H/2, W/2, 4·C_out] instead of [..., H, W, C_out]
+    (``depth_to_space`` of the result equals ``decoder_apply`` exactly —
+    pinned by ``tests/test_s2d_layout.py``). The Gaussian NLL sums over
+    the event dims, so training losses can be computed against
+    ``space_to_depth``'d targets without ever materializing the full-res
+    frame. Guard with :func:`decoder_s2d_applicable`."""
+    lead = x.shape[:-1]
+    x = x.reshape((-1, x.shape[-1]))
+    act = activation(cfg.activation_name)
+    for lin in params["linears"]:
+        x = act(dense_apply(lin, x))
+    c, h, w = cfg.conv_in_shape
+    x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1)
+    if "res_proj" in params:
+        x = act(conv_apply(params["res_proj"], x, stride=1, padding=0))
+    for block in params.get("res_blocks", []):
+        x = residual_block_apply(block, x, act)
+    deconvs = params["deconvs"]
+    for i, (dc, s, p, op) in enumerate(
+        zip(deconvs[:-1], cfg.strides, cfg.paddings, cfg.output_paddings)
+    ):
+        x = act(conv_transpose_apply(dc, x, stride=s, padding=p, output_padding=op))
+    last = deconvs[-1]
+    x = jax.lax.conv_general_dilated(
+        x, deconv_phase_weights(last["w"]).astype(x.dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # Phase-major channel blocks ⇒ the deconv bias tiles 4× over phases.
+    x = x + jnp.tile(last["b"].astype(x.dtype).reshape(-1), 4)
+    x = activation(cfg.out_activation_name)(x)
+    return x.reshape((*lead, *x.shape[1:]))
+
+
 def decoder_apply(params: Params, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
     """Decode ``[..., in_features]`` → ``[..., H, W, C_out]``."""
     lead = x.shape[:-1]

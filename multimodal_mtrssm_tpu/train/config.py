@@ -289,9 +289,12 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         kl_coeff=float(margs.get("kl_coeff", 1.0)),
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
-        # TPU knob beyond the reference schema: fused training kernel
-        # dispatch ("auto" default; False forces the XLA scan).
+        # TPU knobs beyond the reference schema: fused training kernel
+        # dispatch ("auto" default; False forces the XLA scan) and the
+        # space-to-depth conv layout ("nhwc" default; "s2d" = the exact
+        # re-expression, nn/conv.py).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
+        conv_layout=margs.get("conv_layout", "nhwc"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),
@@ -377,8 +380,10 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
         use_kl_balancing=bool(margs.get("use_kl_balancing", True)),
         input_noise_std=noise_std,
         w_kl_h=float(margs.get("w_kl_h", 1.0)),
-        # Same TPU knob as the MRSSM family (fused hierarchical kernel).
+        # Same TPU knobs as the MRSSM family (fused hierarchical kernel,
+        # s2d conv layout).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
+        conv_layout=margs.get("conv_layout", "nhwc"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),

@@ -257,3 +257,18 @@ def test_optimizer_and_scheduler_args_parse_from_yaml(tmp_path):
     assert t.plateau_factor == 0.3 and t.plateau_patience == 7
     assert t.plateau_min_lr == 1e-5 and t.plateau_threshold == 1e-3
     assert t.early_stop_min_delta == 0.01
+
+
+def test_conv_layout_yaml_passthrough(tmp_path):
+    """model.conv_layout: s2d in the YAML enables the s2d layout (and the
+    default stays canonical nhwc)."""
+    import yaml
+
+    base = yaml.safe_load((REPO / "configs" / "mopoe_mrssm.yaml").read_text())
+    assert load_experiment(REPO / "configs" / "mopoe_mrssm.yaml").model._use_s2d is False
+    base["model"]["init_args"]["conv_layout"] = "s2d"
+    p = tmp_path / "s2d.yaml"
+    p.write_text(yaml.safe_dump(base))
+    exp = load_experiment(p)
+    assert exp.model.cfg.conv_layout == "s2d"
+    assert exp.model._use_s2d is True
