@@ -91,8 +91,9 @@ class MMTRSSMConfig:
     conv_dtype: Any = None
     # Conv-stack layout ("nhwc" | "s2d") — same exact-re-expression knob as
     # ``MRSSMConfig.conv_layout`` (see its comment; pinned by
-    # tests/test_s2d_layout.py).
-    conv_layout: str = "nhwc"
+    # tests/test_s2d_layout.py). Default "s2d" after the on-chip A/B
+    # (2026-08-19): B=8 1.04×, B=32 neutral — never slower.
+    conv_layout: str = "s2d"
 
     @property
     def hs_dim(self) -> int:

@@ -123,8 +123,11 @@ class MRSSMConfig:
     # TRAINING loss compares phase reconstructions against s2d'd targets,
     # and decode_state/viz/eval/serving always emit canonical frames.
     # Requires the stacks to be s2d-eligible (the default config is);
-    # construction raises otherwise.
-    conv_layout: str = "nhwc"
+    # construction raises otherwise. Default "s2d" since the on-chip
+    # full-train-step A/B (2026-08-19): B=128 1.086×, B=8 1.043×, B=32
+    # neutral — never slower, exact math. "nhwc" restores the canonical
+    # layout (bit-identical streams to pre-flip runs).
+    conv_layout: str = "s2d"
 
     @property
     def stoch_size(self) -> int:

@@ -294,7 +294,7 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         # space-to-depth conv layout ("nhwc" default; "s2d" = the exact
         # re-expression, nn/conv.py).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
-        conv_layout=margs.get("conv_layout", "nhwc"),
+        conv_layout=margs.get("conv_layout", "s2d"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),
@@ -383,7 +383,7 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
         # Same TPU knobs as the MRSSM family (fused hierarchical kernel,
         # s2d conv layout).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
-        conv_layout=margs.get("conv_layout", "nhwc"),
+        conv_layout=margs.get("conv_layout", "s2d"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),

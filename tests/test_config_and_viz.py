@@ -260,15 +260,15 @@ def test_optimizer_and_scheduler_args_parse_from_yaml(tmp_path):
 
 
 def test_conv_layout_yaml_passthrough(tmp_path):
-    """model.conv_layout: s2d in the YAML enables the s2d layout (and the
-    default stays canonical nhwc)."""
+    """The s2d conv layout is the default (on-chip A/B win, BASELINE.md);
+    model.conv_layout: nhwc in the YAML restores the canonical layout."""
     import yaml
 
     base = yaml.safe_load((REPO / "configs" / "mopoe_mrssm.yaml").read_text())
-    assert load_experiment(REPO / "configs" / "mopoe_mrssm.yaml").model._use_s2d is False
-    base["model"]["init_args"]["conv_layout"] = "s2d"
-    p = tmp_path / "s2d.yaml"
+    assert load_experiment(REPO / "configs" / "mopoe_mrssm.yaml").model._use_s2d is True
+    base["model"]["init_args"]["conv_layout"] = "nhwc"
+    p = tmp_path / "nhwc.yaml"
     p.write_text(yaml.safe_dump(base))
     exp = load_experiment(p)
-    assert exp.model.cfg.conv_layout == "s2d"
-    assert exp.model._use_s2d is True
+    assert exp.model.cfg.conv_layout == "nhwc"
+    assert exp.model._use_s2d is False

@@ -80,10 +80,12 @@ def test_sharded_train_step_matches_single_device():
     flat1 = jax.tree.leaves(p1)
     flat2 = jax.tree.leaves(p2)
     # Post-Adam params: SPMD reduction reassociation passes through the
-    # normalized update, so per-entry noise up to a few e-5 is expected
+    # normalized update, so per-entry noise up to ~1e-4 is expected
     # (lr=1e-3; a wiring bug corrupts essentially every entry by ~lr).
+    # 5e-5 held for years of nhwc runs; the s2d default's different
+    # summation order pushed 1 element in 8k to 5.01e-5 (2026-08-19).
     for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_bench_scaling_script(tmp_path):

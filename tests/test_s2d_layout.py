@@ -106,7 +106,7 @@ def test_shared_step_loss_and_grads_match_across_layouts(family):
     else:
         from multimodal_mtrssm_tpu.models import MoPoEMMTRSSM as Model, MMTRSSMConfig as Cfg
 
-    base = Model(Cfg(use_pallas_train=False))
+    base = Model(Cfg(use_pallas_train=False, conv_layout="nhwc"))
     s2d = Model(Cfg(use_pallas_train=False, conv_layout="s2d"))
     params = base.init(jax.random.PRNGKey(0))
     batch = _batch(jax.random.PRNGKey(1))
@@ -129,7 +129,7 @@ def test_full_metrics_match_across_layouts():
     """Every shared_step metric (recon per modality, kl, loss) agrees."""
     from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
 
-    base = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False))
+    base = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False, conv_layout="nhwc"))
     s2d = MoPoEMRSSM(MRSSMConfig(use_pallas_train=False, conv_layout="s2d"))
     params = base.init(jax.random.PRNGKey(0))
     batch = _batch(jax.random.PRNGKey(1), B=2, T=3)
