@@ -26,7 +26,7 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 B, T = 16, 30
 
 
-def large_config() -> MRSSMConfig:
+def large_config(conv_layout: str = "s2d") -> MRSSMConfig:
     enc = EncoderConfig(
         linear_sizes=(512,), channels=(32, 64, 128, 256), kernel_sizes=(3, 3, 3, 3),
         strides=(2, 2, 2, 2), paddings=(1, 1, 1, 1), num_residual_blocks=2,
@@ -45,12 +45,18 @@ def large_config() -> MRSSMConfig:
         class_size=32, category_size=32, action_size=6,
         init_proj_cells=512, input_noise_std=0.1,
         audio_encoder=enc, vision_encoder=enc, audio_decoder=dec, vision_decoder=dec,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, conv_layout=conv_layout,
     )
 
 
 def main() -> None:
-    model = MoPoEMRSSM(large_config())
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conv-layout", choices=("nhwc", "s2d"), default="s2d",
+                    help="conv-stack layout (s2d = the shipped default)")
+    args = ap.parse_args()
+    model = MoPoEMRSSM(large_config(args.conv_layout))
     params = model.init(jax.random.PRNGKey(0))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     opt = make_optimizer()
@@ -104,6 +110,7 @@ def main() -> None:
         "params_m": round(n_params / 1e6, 1),
         "ms_per_step": round(best * 1e3, 2),
         "batch": B,
+        "conv_layout": args.conv_layout,
         "gflop_per_step": round(flops_per_step / 1e9, 1),
         "mfu_pct": round(100.0 * flops_per_step / best / V5E_PEAK_FLOPS, 2),
         "nominal_bw_pct": round(100.0 * bytes_per_step / best / V5E_HBM_BPS, 1),
