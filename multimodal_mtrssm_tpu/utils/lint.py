@@ -44,7 +44,13 @@ no network, so this module implements the always-runnable subset natively:
 - DOC102 (pydoclint-lite): parameters documented in an ``Args:`` section or
   ``:param:`` field must exist in the signature (docstring drift),
 - ANN201 subset (mypy-lite): public functions/methods inside the package
-  must carry return annotations.
+  must carry return annotations,
+- ATTR101 (mypy ``attr-defined``-lite): ``self.x``/``cls.x`` reads inside
+  methods must resolve to an attribute the class actually has (assigned in
+  any method, defined in the class body, inherited from a same-module
+  base, or stored on any object anywhere in the linted tree — the
+  cross-file whitelist that keeps injection patterns from false-positives
+  while still catching typo'd names, which are stored nowhere).
 
 ``tests/test_static_gates.py`` runs these on every test invocation and
 additionally shells out to real ``ruff``/``mypy`` when they exist.
@@ -1023,14 +1029,263 @@ def _call_default_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
-def check_file(path: Path) -> list[str]:
-    """Return a list of "path:line: code message" findings for one file."""
+# ---------------------------------------------------------------------------
+# ATTR101: self-attribute reads that are never assigned (mypy attr-defined-lite)
+# ---------------------------------------------------------------------------
+
+# Attributes every object (or every dataclass) carries implicitly.
+_UNIVERSAL_ATTRS = frozenset({
+    "__class__", "__dict__", "__doc__", "__module__", "__slots__",
+    "__annotations__", "__name__", "__qualname__",
+    "__dataclass_fields__", "__dataclass_params__",
+})
+_ATTR_DYNAMIC_METHODS = frozenset({"__getattr__", "__getattribute__", "__setattr__"})
+# Class decorators whose attribute surface this check understands, mapped to
+# the attributes they inject; any other decorator may inject attributes
+# (attrs, registries), so it disqualifies the class. flax's struct.dataclass
+# generates ``.replace`` (dataclasses.replace as a method).
+_ATTR_SAFE_DECORATORS: dict[str, frozenset[str]] = {
+    "dataclass": frozenset(),
+    "dataclasses.dataclass": frozenset(),
+    "struct.dataclass": frozenset({"replace"}),
+    "flax.struct.dataclass": frozenset({"replace"}),
+    "total_ordering": frozenset(),
+    "functools.total_ordering": frozenset(),
+}
+
+
+def _decorator_base_name(d: ast.expr) -> str | None:
+    """The trailing identifier of a decorator expression (``a.b.c()`` → c)."""
+    if isinstance(d, ast.Call):
+        d = d.func
+    if isinstance(d, ast.Attribute):
+        return d.attr
+    if isinstance(d, ast.Name):
+        return d.id
+    return None
+
+
+def _decorator_dotted_name(d: ast.expr) -> str | None:
+    """The full dotted name of a decorator expression (``a.b.c()`` → a.b.c),
+    or None when it is not a plain (possibly called) dotted name."""
+    if isinstance(d, ast.Call):
+        d = d.func
+    parts: list[str] = []
+    while isinstance(d, ast.Attribute):
+        parts.append(d.attr)
+        d = d.value
+    if not isinstance(d, ast.Name):
+        return None
+    parts.append(d.id)
+    return ".".join(reversed(parts))
+
+
+def _attribute_store_names(tree: ast.AST) -> set[str]:
+    """Every attribute name the tree assigns on ANY object — plain
+    ``x.attr = …`` / ``del x.attr`` stores, literal ``setattr(x, "attr", …)``
+    calls, and names defined in any class body (methods, class vars,
+    annotated fields): the global whitelist ATTR101 checks reads against."""
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute) and isinstance(node.ctx, (ast.Store, ast.Del)):
+            out.add(node.attr)
+        elif (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id == "setattr" and len(node.args) >= 2
+                and isinstance(node.args[1], ast.Constant)
+                and isinstance(node.args[1].value, str)):
+            out.add(node.args[1].value)
+        elif isinstance(node, ast.ClassDef):
+            for st in _class_body_stmts(node):
+                if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                    out.add(st.name)
+                elif isinstance(st, ast.Assign):
+                    for t in st.targets:
+                        for n in ast.walk(t):
+                            if isinstance(n, ast.Name):
+                                out.add(n.id)
+                elif isinstance(st, ast.AnnAssign) and isinstance(st.target, ast.Name):
+                    out.add(st.target.id)
+    return out
+
+
+def _class_body_stmts(cls: ast.ClassDef) -> list[ast.stmt]:
+    """Class-body statements, descending into if/try/with blocks (for
+    conditionally-defined methods) but NOT into function bodies."""
+    out: list[ast.stmt] = []
+
+    def visit(stmts: list[ast.stmt]) -> None:
+        for st in stmts:
+            out.append(st)
+            if isinstance(st, (ast.If, ast.Try, ast.With, ast.For, ast.While)):
+                for field in ("body", "orelse", "finalbody"):
+                    visit(getattr(st, field, []) or [])
+                for h in getattr(st, "handlers", []) or []:
+                    visit(h.body)
+
+    visit(cls.body)
+    return out
+
+
+def _receiver_of(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str | None:
+    """The instance/class receiver parameter name, or None for staticmethods
+    and receiver-less defs."""
+    for d in fn.decorator_list:
+        if _decorator_base_name(d) == "staticmethod":
+            return None
+    params = [*fn.args.posonlyargs, *fn.args.args]
+    return params[0].arg if params else None
+
+
+def _method_disqualified(fn: ast.AST, receiver: str) -> bool:
+    """Whether reads of ``receiver.x`` inside ``fn`` are not statically
+    attributable: the receiver is rebound, shadowed by a nested function's
+    parameter, or inspected dynamically (hasattr/getattr/vars/delattr)."""
+    for node in ast.walk(fn):
+        if (isinstance(node, ast.Name) and node.id == receiver
+                and isinstance(node.ctx, (ast.Store, ast.Del))):
+            return True
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            if node is not fn and any(
+                a.arg == receiver
+                for a in [*node.args.posonlyargs, *node.args.args, *node.args.kwonlyargs]
+            ):
+                return True
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in ("hasattr", "getattr", "vars", "delattr", "setattr")
+                and node.args and isinstance(node.args[0], ast.Name)
+                and node.args[0].id == receiver):
+            return True
+    return False
+
+
+def _class_eligibility_and_attrs(
+    cls: ast.ClassDef,
+    classes_by_name: dict[str, ast.ClassDef],
+    visiting: frozenset[str] | None = None,
+) -> tuple[bool, set[str]]:
+    """(eligible, attribute names) for a class, merging same-module bases.
+
+    A class is eligible only when its full attribute surface is statically
+    knowable: bases are ``object`` or eligible same-module classes, all
+    decorators are understood (dataclass/total_ordering), and no
+    ``__getattr__``-family hook is defined anywhere in the MRO we can see.
+    """
+    visiting = visiting if visiting is not None else frozenset()
+    if cls.name in visiting:  # cyclic base reference: not resolvable
+        return False, set()
+    attrs: set[str] = set()
+    for d in cls.decorator_list:
+        dotted = _decorator_dotted_name(d)
+        if dotted is None or dotted not in _ATTR_SAFE_DECORATORS:
+            return False, set()
+        attrs |= _ATTR_SAFE_DECORATORS[dotted]
+    for base in cls.bases:
+        if isinstance(base, ast.Name) and base.id == "object":
+            continue
+        if isinstance(base, ast.Name) and base.id in classes_by_name:
+            ok, base_attrs = _class_eligibility_and_attrs(
+                classes_by_name[base.id], classes_by_name, visiting | {cls.name}
+            )
+            if not ok:
+                return False, set()
+            attrs |= base_attrs
+            continue
+        return False, set()  # external/compound base: surface unknowable
+    if cls.keywords:  # metaclass=… and friends: unknowable
+        return False, set()
+    methods: list[ast.FunctionDef | ast.AsyncFunctionDef] = []
+    for st in _class_body_stmts(cls):
+        if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if st.name in _ATTR_DYNAMIC_METHODS:
+                return False, set()
+            attrs.add(st.name)
+            methods.append(st)
+        elif isinstance(st, ast.ClassDef):
+            attrs.add(st.name)
+        elif isinstance(st, ast.Assign):
+            for t in st.targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        attrs.add(n.id)
+        elif isinstance(st, ast.AnnAssign) and isinstance(st.target, ast.Name):
+            attrs.add(st.target.id)
+    for fn in methods:
+        receiver = _receiver_of(fn)
+        if receiver is None:
+            continue
+        for node in ast.walk(fn):
+            if (isinstance(node, ast.Attribute)
+                    and isinstance(node.ctx, (ast.Store, ast.Del))
+                    and isinstance(node.value, ast.Name)
+                    and node.value.id == receiver):
+                attrs.add(node.attr)
+    return True, attrs
+
+
+def _self_attribute_findings(
+    path: Path, tree: ast.Module, repo_attrs: set[str]
+) -> list[str]:
+    """ATTR101 (mypy ``attr-defined``-lite): a ``self.x`` (or ``cls.x``)
+    READ inside a method must resolve to an attribute the class actually
+    has — assigned in any method, defined in the class body, or inherited
+    from a same-module base.
+
+    Conservative by construction, so a finding is a genuine AttributeError
+    on that path: classes with unknown decorators, external or compound
+    bases, ``metaclass=``, or any ``__getattr__``-family hook are skipped
+    entirely; methods that rebind or dynamically inspect the receiver
+    (hasattr/getattr/vars/setattr/delattr on it) are skipped; and the read
+    is whitelisted if ANY object in the linted tree ever stores that
+    attribute name (``repo_attrs`` — so cross-class injection patterns and
+    subclass-provided attributes never false-positive, while typo'd names,
+    which are stored nowhere, are still caught).
+    """
+    findings: list[str] = []
+    classes_by_name: dict[str, ast.ClassDef] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            # Later same-name definitions shadow earlier ones; keep the last.
+            classes_by_name[node.name] = node
+    for cls in classes_by_name.values():
+        ok, attrs = _class_eligibility_and_attrs(cls, classes_by_name)
+        if not ok:
+            continue
+        allowed = attrs | _UNIVERSAL_ATTRS | repo_attrs
+        for st in _class_body_stmts(cls):
+            if not isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            receiver = _receiver_of(st)
+            if receiver is None or _method_disqualified(st, receiver):
+                continue
+            for node in ast.walk(st):
+                if (isinstance(node, ast.Attribute)
+                        and isinstance(node.ctx, ast.Load)
+                        and isinstance(node.value, ast.Name)
+                        and node.value.id == receiver
+                        and node.attr not in allowed):
+                    findings.append(
+                        f"{path}:{node.lineno}: ATTR101 '{receiver}.{node.attr}' "
+                        f"is read but never assigned anywhere (class '{cls.name}')"
+                    )
+    return findings
+
+
+def check_file(path: Path, repo_attrs: set[str] | None = None) -> list[str]:
+    """Return a list of "path:line: code message" findings for one file.
+
+    ``repo_attrs`` is the cross-file attribute-store whitelist ATTR101 reads
+    against (``check_paths`` supplies the union over all linted files); when
+    None, the file's own stores stand in — correct for single-file use.
+    """
     findings: list[str] = []
     src = path.read_text()
     try:
         tree = ast.parse(src, filename=str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: E999 syntax error: {e.msg}"]
+    findings.extend(_self_attribute_findings(
+        path, tree, repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
+    ))
 
     for lineno, line in enumerate(src.splitlines(), 1):
         if len(line) > MAX_LINE_LENGTH:
@@ -1084,12 +1339,24 @@ def check_file(path: Path) -> list[str]:
 
 
 def check_paths(roots: list[Path]) -> list[str]:
-    """Run the checks over all ``.py`` files under the given roots."""
-    findings: list[str] = []
+    """Run the checks over all ``.py`` files under the given roots.
+
+    Two passes: the first collects every attribute name stored on any object
+    anywhere in the linted tree (the ATTR101 whitelist — so attributes
+    provided by subclasses or injected cross-module never false-positive);
+    the second runs the per-file checks against that union.
+    """
+    all_files: list[Path] = []
     for root in roots:
         files = [root] if root.is_file() else sorted(root.rglob("*.py"))
-        for f in files:
-            if "__pycache__" in f.parts:
-                continue
-            findings.extend(check_file(f))
+        all_files.extend(f for f in files if "__pycache__" not in f.parts)
+    repo_attrs: set[str] = set()
+    for f in all_files:
+        try:
+            repo_attrs |= _attribute_store_names(ast.parse(f.read_text()))
+        except SyntaxError:
+            pass  # the per-file pass reports E999
+    findings: list[str] = []
+    for f in all_files:
+        findings.extend(check_file(f, repo_attrs=repo_attrs))
     return findings

@@ -586,3 +586,101 @@ def test_ast_lint_missing_return(tmp_path):
             assert not fs, (name, fs)
         else:
             assert any(expect in f for f in fs), (name, expect, fs)
+
+
+def test_ast_lint_self_attribute_reads(tmp_path):
+    """ATTR101 (mypy attr-defined-lite): a ``self.x`` read inside a method
+    must resolve to an attribute the class actually has — assigned in any
+    method, defined in the class body, inherited from a same-module base,
+    or stored on ANY object anywhere in the linted tree (so cross-module
+    injection and subclass-provided attributes never false-positive).
+    Classes with unknown decorators / external bases / ``__getattr__`` and
+    methods that rebind or dynamically inspect the receiver are skipped."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    cases = {
+        # name: (code, expect an ATTR101 finding)
+        "typo'd read": (
+            "class C:\n    def __init__(self):\n        self.hidden = 1\n"
+            "    def m(self):\n        return self.hiddne\n", True),
+        "assigned in another method": (
+            "class C:\n    def set(self):\n        self.x = 1\n"
+            "    def get(self):\n        return self.x\n", False),
+        "class-level var": (
+            "class C:\n    x = 1\n    def m(self):\n        return self.x\n", False),
+        "annotated field": (
+            "class C:\n    x: int\n    def m(self):\n        return self.x\n", False),
+        "method call": (
+            "class C:\n    def a(self):\n        return 1\n"
+            "    def m(self):\n        return self.a()\n", False),
+        "dataclass field": (
+            "from dataclasses import dataclass\n@dataclass\nclass C:\n    x: int\n"
+            "    def m(self):\n        return self.x\n", False),
+        "flax struct replace": (
+            "from flax import struct\n@struct.dataclass\nclass C:\n    x: int\n"
+            "    def m(self):\n        return self.replace(x=2)\n", False),
+        "inherited from local base": (
+            "class B:\n    def __init__(self):\n        self.x = 1\n"
+            "class C(B):\n    def m(self):\n        return self.x\n", False),
+        "typo'd read through local base": (
+            "class B:\n    def __init__(self):\n        self.x = 1\n"
+            "class C(B):\n    def m(self):\n        return self.y\n", True),
+        "external base skipped": (
+            "import enum\nclass C(enum.Enum):\n    A = 1\n"
+            "    def m(self):\n        return self.whatever\n", False),
+        "unknown decorator skipped": (
+            "import attr\n@attr.s\nclass C:\n    def m(self):\n        return self.x\n", False),
+        "getattr hook skipped": (
+            "class C:\n    def __getattr__(self, k):\n        return 1\n"
+            "    def m(self):\n        return self.anything\n", False),
+        "metaclass skipped": (
+            "class M(type):\n    pass\nclass C(metaclass=M):\n"
+            "    def m(self):\n        return self.x\n", False),
+        "hasattr guard skips method": (
+            "class C:\n    def m(self):\n        if hasattr(self, 'x'):\n"
+            "            return self.x\n        return 0\n", False),
+        "receiver rebound skips method": (
+            "class C:\n    def m(self):\n        self = object()\n"
+            "        return self.x\n", False),
+        "nested def shadows receiver": (
+            "class C:\n    def m(self):\n        def g(self):\n"
+            "            return self.x\n        return g\n", False),
+        "staticmethod no receiver": (
+            "class C:\n    @staticmethod\n    def m(self):\n        return self.x\n", False),
+        "cls read on classmethod": (
+            "class C:\n    x = 1\n    @classmethod\n    def m(cls):\n        return cls.x\n",
+            False),
+        "cls typo on classmethod": (
+            "class C:\n    x = 1\n    @classmethod\n    def m(cls):\n        return cls.y\n",
+            True),
+        "setattr literal whitelists": (
+            "class C:\n    def a(self):\n        setattr(self, 'bar', 1)\n"
+            "    def m(self):\n        return self.bar\n", False),
+        "del counts as store": (
+            "class C:\n    def a(self):\n        self.x = 1\n        del self.x\n"
+            "    def m(self):\n        return self.x\n", False),
+        "tuple unpack store": (
+            "class C:\n    def __init__(self):\n        self.a, self.b = 1, 2\n"
+            "    def m(self):\n        return self.a + self.b\n", False),
+        "conditionally defined method": (
+            "FLAG = True\nclass C:\n    if FLAG:\n        def a(self):\n            return 1\n"
+            "    def m(self):\n        return self.a()\n", False),
+        "same-file other-object store whitelists": (
+            "class C:\n    def m(self):\n        return self.foo\n"
+            "def setup(c):\n    c.foo = 1\n", False),
+        "augassign counts as store": (
+            "class C:\n    def __init__(self):\n        self.n = 0\n"
+            "    def m(self):\n        self.n += 1\n        return self.n\n", False),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"attr_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "ATTR101" in f]
+        assert bool(fs) == expect, (name, fs)
+    # Cross-FILE whitelist: a store in another linted file clears the read.
+    a = tmp_path / "xfile_a.py"
+    a.write_text("class C:\n    def m(self):\n        return self.injected\n")
+    b = tmp_path / "xfile_b.py"
+    b.write_text("def setup(c):\n    c.injected = 1\n")
+    assert any("ATTR101" in f for f in check_paths([a]))
+    assert not any("ATTR101" in f for f in check_paths([a, b]))
