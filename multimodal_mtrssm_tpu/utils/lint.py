@@ -27,14 +27,20 @@ no network, so this module implements the always-runnable subset natively:
   shared across calls,
 - B008 (bugbear-lite): any other call in an argument default — evaluated
   once at def time, not per call,
-- CALL101/102/103 (mypy ``call-arg``-lite): calls to same-module,
-  undecorated, uniquely-bound module-level functions are checked against
-  the callee's signature — too many positional args, unknown keyword,
-  and missing required parameter (the TypeError-on-call class of bug),
+- CALL101/102/103 (mypy ``call-arg``-lite): calls to undecorated,
+  uniquely-bound module-level functions are checked against the callee's
+  signature — too many positional args, unknown keyword, and missing
+  required parameter (the TypeError-on-call class of bug). Under
+  ``check_paths`` the callee may live in ANOTHER package module: names
+  bound by ``from <package module> import f`` (absolute or relative,
+  aliases included) resolve against the defining module's signature,
+  provided the name is uniquely bound on both sides and does not collide
+  with a submodule,
 - CALL104 (mypy ``arg-type``-lite): literal arguments on those same calls
-  are type-checked against simple builtin parameter annotations
-  (``int``/``str``/``float``/``bool``/``bytes``/``complex``, optionally
-  ``| None``/``Optional``), numeric tower included,
+  (same- and cross-module) are type-checked against simple builtin
+  parameter annotations (``int``/``str``/``float``/``bool``/``bytes``/
+  ``complex``, optionally ``| None``/``Optional``), numeric tower
+  included,
 - RET201/RET202 (mypy ``return``-lite): a function annotated with a
   value-requiring return type must not fall off the end of its body
   (conservative path-termination analysis) and must not contain a bare
@@ -609,7 +615,60 @@ def _module_call_candidates(
     return fns, bind_counts
 
 
-def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
+def _imported_package_functions(
+    tree: ast.Module,
+    pkg_parts: list[str] | None,
+    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef], dict[str, int]]],
+) -> dict[str, ast.FunctionDef | ast.AsyncFunctionDef]:
+    """Resolve module-level ``from <package module> import f [as g]``
+    bindings to the callee's ``def`` in the defining module, using the
+    repo-wide signature table ``check_paths`` builds.
+
+    Conservative: the imported name must be a module-level undecorated
+    function bound exactly once in the DEFINING module, and must not
+    collide with a submodule of the same dotted name (``from pkg import c``
+    where both ``pkg/c.py`` and ``pkg.__init__.c`` exist is ambiguous at
+    import time). Relative imports resolve against ``pkg_parts`` — the
+    importing file's own package path; absolute imports resolve by dotted
+    name. Re-exports (the name is itself an import in the target module)
+    do not resolve, by construction.
+    """
+    out: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
+    if not repo_fns:
+        return out
+    for node in tree.body:
+        if not isinstance(node, ast.ImportFrom) or node.module == "__future__":
+            continue
+        if node.level == 0:
+            if not node.module:
+                continue
+            target_parts = node.module.split(".")
+        else:
+            if pkg_parts is None or node.level - 1 > len(pkg_parts):
+                continue
+            base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+            target_parts = base + (node.module.split(".") if node.module else [])
+        entry = repo_fns.get(".".join(target_parts))
+        if entry is None:
+            continue
+        t_fns, t_binds = entry
+        for alias in node.names:
+            if alias.name == "*":
+                continue
+            fn = t_fns.get(alias.name)
+            if fn is None or t_binds.get(alias.name, 0) != 1:
+                continue
+            if ".".join([*target_parts, alias.name]) in repo_fns:
+                continue  # function name shadows a submodule: ambiguous
+            out[alias.asname or alias.name] = fn
+    return out
+
+
+def _call_signature_findings(
+    path: Path,
+    tree: ast.Module,
+    extra_fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] | None = None,
+) -> list[str]:
     """CALL101/102/103 (mypy ``call-arg``-lite): every call whose target is a
     module-level, undecorated function bound exactly once in the file is
     checked against that signature:
@@ -626,13 +685,17 @@ def _call_signature_findings(path: Path, tree: ast.Module) -> list[str]:
     callee (it may change the signature), or ``*``/``**`` unpacking at the
     call site disqualifies the check — so a finding is a genuine TypeError
     waiting on that call path.
+
+    ``extra_fns`` (from ``_imported_package_functions``) extends resolution
+    to names bound by a package-module import; the same uniquely-bound-in-
+    this-file rule applies to the imported name.
     """
     fns, bind_counts = _module_call_candidates(tree)
     findings: list[str] = []
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
             continue
-        fn = fns.get(node.func.id)
+        fn = fns.get(node.func.id) or (extra_fns or {}).get(node.func.id)
         if fn is None or bind_counts.get(node.func.id, 0) != 1:
             continue
         if any(isinstance(a, ast.Starred) for a in node.args) or any(
@@ -717,8 +780,13 @@ def _annotation_accepts(ann: ast.expr | None) -> tuple[tuple[type, ...], bool, s
     return None
 
 
-def _literal_type_findings(path: Path, tree: ast.Module) -> list[str]:
-    """CALL104 (mypy ``arg-type``-lite): when a call to a same-module,
+def _literal_type_findings(
+    path: Path,
+    tree: ast.Module,
+    extra_fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] | None = None,
+) -> list[str]:
+    """CALL104 (mypy ``arg-type``-lite): when a call to a same-module
+    (or, via ``extra_fns``, package-import-resolved),
     uniquely-bound, undecorated function passes a LITERAL constant for a
     parameter annotated with a simple builtin type (``int``/``str``/
     ``float``/``bool``/``bytes``/``complex``, optionally ``| None`` /
@@ -734,7 +802,7 @@ def _literal_type_findings(path: Path, tree: ast.Module) -> list[str]:
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
             continue
-        fn = fns.get(node.func.id)
+        fn = fns.get(node.func.id) or (extra_fns or {}).get(node.func.id)
         if fn is None or bind_counts.get(node.func.id, 0) != 1:
             continue
         if any(isinstance(a, ast.Starred) for a in node.args) or any(
@@ -1270,12 +1338,22 @@ def _self_attribute_findings(
     return findings
 
 
-def check_file(path: Path, repo_attrs: set[str] | None = None) -> list[str]:
+def check_file(
+    path: Path,
+    repo_attrs: set[str] | None = None,
+    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
+                              dict[str, int]]] | None = None,
+    pkg_parts: list[str] | None = None,
+) -> list[str]:
     """Return a list of "path:line: code message" findings for one file.
 
     ``repo_attrs`` is the cross-file attribute-store whitelist ATTR101 reads
     against (``check_paths`` supplies the union over all linted files); when
     None, the file's own stores stand in — correct for single-file use.
+    ``repo_fns`` is the repo-wide module→(functions, bind counts) signature
+    table that lets the CALL1xx checks resolve package-module imports, and
+    ``pkg_parts`` the importing file's own package path for relative
+    imports; both default to single-file behavior (same-module only).
     """
     findings: list[str] = []
     src = path.read_text()
@@ -1283,6 +1361,7 @@ def check_file(path: Path, repo_attrs: set[str] | None = None) -> list[str]:
         tree = ast.parse(src, filename=str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: E999 syntax error: {e.msg}"]
+    imported_fns = _imported_package_functions(tree, pkg_parts, repo_fns or {})
     findings.extend(_self_attribute_findings(
         path, tree, repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
     ))
@@ -1295,8 +1374,8 @@ def check_file(path: Path, repo_attrs: set[str] | None = None) -> list[str]:
     findings.extend(_comparison_findings(path, tree))
     findings.extend(_mutable_default_findings(path, tree))
     findings.extend(_call_default_findings(path, tree))
-    findings.extend(_call_signature_findings(path, tree))
-    findings.extend(_literal_type_findings(path, tree))
+    findings.extend(_call_signature_findings(path, tree, imported_fns))
+    findings.extend(_literal_type_findings(path, tree, imported_fns))
     findings.extend(_missing_return_findings(path, tree))
     findings.extend(_escape_findings(path, src))
     findings.extend(_undefined_findings(path, tree))
@@ -1341,22 +1420,41 @@ def check_file(path: Path, repo_attrs: set[str] | None = None) -> list[str]:
 def check_paths(roots: list[Path]) -> list[str]:
     """Run the checks over all ``.py`` files under the given roots.
 
-    Two passes: the first collects every attribute name stored on any object
-    anywhere in the linted tree (the ATTR101 whitelist — so attributes
-    provided by subclasses or injected cross-module never false-positive);
-    the second runs the per-file checks against that union.
+    Two passes: the first collects (a) every attribute name stored on any
+    object anywhere in the linted tree (the ATTR101 whitelist — so
+    attributes provided by subclasses or injected cross-module never
+    false-positive) and (b) the per-module function-signature table keyed
+    by dotted module name (files under a directory root are modules of the
+    package named after that root — so the CALL1xx checks resolve
+    ``from <package module> import f`` call sites); the second runs the
+    per-file checks against both.
     """
-    all_files: list[Path] = []
+    entries: list[tuple[Path, Path]] = []
     for root in roots:
         files = [root] if root.is_file() else sorted(root.rglob("*.py"))
-        all_files.extend(f for f in files if "__pycache__" not in f.parts)
+        entries.extend((f, root) for f in files if "__pycache__" not in f.parts)
     repo_attrs: set[str] = set()
-    for f in all_files:
+    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
+                              dict[str, int]]] = {}
+    pkg_ctx: dict[Path, list[str]] = {}
+    for f, root in entries:
         try:
-            repo_attrs |= _attribute_store_names(ast.parse(f.read_text()))
+            tree = ast.parse(f.read_text())
         except SyntaxError:
-            pass  # the per-file pass reports E999
+            continue  # the per-file pass reports E999
+        repo_attrs |= _attribute_store_names(tree)
+        if root.is_dir():
+            parts = [root.name, *f.relative_to(root).parts]
+            parts[-1] = parts[-1][: -len(".py")]
+            if parts[-1] == "__init__":
+                parts.pop()
+                pkg_ctx[f] = parts  # a package's __init__ resolves in itself
+            else:
+                pkg_ctx[f] = parts[:-1]
+            repo_fns[".".join(parts)] = _module_call_candidates(tree)
     findings: list[str] = []
-    for f in all_files:
-        findings.extend(check_file(f, repo_attrs=repo_attrs))
+    for f, _root in entries:
+        findings.extend(check_file(
+            f, repo_attrs=repo_attrs, repo_fns=repo_fns, pkg_parts=pkg_ctx.get(f)
+        ))
     return findings

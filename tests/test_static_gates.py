@@ -684,3 +684,67 @@ def test_ast_lint_self_attribute_reads(tmp_path):
     b.write_text("def setup(c):\n    c.injected = 1\n")
     assert any("ATTR101" in f for f in check_paths([a]))
     assert not any("ATTR101" in f for f in check_paths([a, b]))
+
+
+def test_ast_lint_cross_module_call_checks(tmp_path):
+    """CALL101-104 cross-module resolution: under ``check_paths``, a name
+    bound by ``from <package module> import f`` (absolute or relative,
+    aliased or not) is checked against the DEFINING module's signature.
+    Re-exports, rebound names (either side), submodule-name collisions and
+    external imports stay out of scope (conservative)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_paths
+
+    defs = (
+        "def f(a, b, c=1, *, kw=None):\n    return (a, b, c, kw)\n"
+        "def g(x: int):\n    return x\n"
+        "def rebound():\n    return 0\n"
+        "rebound = print\n"
+    )
+    cases = {
+        # name: (importing-module source, expected code or None)
+        "absolute missing required": (
+            "from pkg.a import f\nf(1)\n", "CALL103"),
+        "relative alias too many positional": (
+            "from .a import f as h\nh(1, 2, 3, 4)\n", "CALL101"),
+        "relative unknown keyword": (
+            "from .a import f\nf(1, 2, oops=3)\n", "CALL102"),
+        "literal type mismatch": (
+            "from pkg.a import g\ng('s')\n", "CALL104"),
+        "exact call ok": (
+            "from .a import f, g\nf(1, 2, kw=3)\ng(4)\n", None),
+        "rebound at import site skipped": (
+            "from .a import f\nf = print\nf(1)\n", None),
+        "rebound in defining module skipped": (
+            "from .a import rebound\nrebound(1, 2, 3)\n", None),
+        "external import skipped": (
+            "from os.path import join\njoin()\n", None),
+    }
+    for i, (name, (src, expect)) in enumerate(cases.items()):
+        pkg = tmp_path / f"case{i}" / "pkg"
+        pkg.mkdir(parents=True)
+        (pkg / "__init__.py").write_text("")
+        (pkg / "a.py").write_text(defs)
+        (pkg / "b.py").write_text(src)
+        fs = [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
+
+    # Submodule-name collision: pkg/__init__ defines c() AND pkg/c.py exists
+    # -> 'from pkg import c' is ambiguous at import time, so it is skipped.
+    pkg = tmp_path / "collide" / "pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("def c():\n    return 0\n")
+    (pkg / "c.py").write_text("")
+    (pkg / "b.py").write_text("from pkg import c\nc(1, 2, 3)\n")
+    assert not [f for f in check_paths([pkg]) if "CALL" in f]
+
+    # Re-export not followed: pkg/__init__ re-imports f; calls through the
+    # package surface are out of scope (the name is an import there).
+    pkg = tmp_path / "reexport" / "pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("from .a import f\n")
+    (pkg / "a.py").write_text("def f(a, b):\n    return (a, b)\n")
+    (pkg / "b.py").write_text("from pkg import f\nf(1)\n")
+    assert not [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
