@@ -35,7 +35,13 @@ no network, so this module implements the always-runnable subset natively:
   bound by ``from <package module> import f`` (absolute or relative,
   aliases included) resolve against the defining module's signature,
   provided the name is uniquely bound on both sides and does not collide
-  with a submodule,
+  with a submodule. Class CONSTRUCTOR calls are covered under the same
+  codes when the signature is statically knowable — an explicit
+  undecorated ``__init__`` (minus ``self``), dataclass-synthesized fields
+  (``ClassVar`` excluded, ``field(default=/default_factory=)`` counted as
+  defaults; ``InitVar``/``field(init=...)`` disqualify), or the zero-arg
+  object constructor for a bare class; inherited ``__init__``, unknown
+  decorators, ``__new__`` and metaclass keywords disqualify,
 - CALL104 (mypy ``arg-type``-lite): literal arguments on those same calls
   (same- and cross-module) are type-checked against simple builtin
   parameter annotations (``int``/``str``/``float``/``bool``/``bytes``/
@@ -587,19 +593,149 @@ def _return_value_findings(path: Path, tree: ast.Module) -> list[str]:
     return findings
 
 
+def _dataclass_decorated(cls: ast.ClassDef) -> bool | None:
+    """Classify a class's decorators for constructor synthesis: True when
+    every decorator is a ``dataclass`` form whose keyword options cannot
+    change the ``__init__`` signature (bare ``@dataclass``, dotted
+    ``@dataclasses.dataclass`` / flax-style ``@struct.dataclass``, or a
+    call of those with only frozen/eq/repr/order/unsafe_hash/slots
+    constants); False when there are no decorators at all; None when any
+    decorator is something else (unknown transformation — skip the class).
+    """
+    if not cls.decorator_list:
+        return False
+    _SAFE_KW = {"frozen", "eq", "repr", "order", "unsafe_hash", "slots"}
+    for dec in cls.decorator_list:
+        call_kw: list[ast.keyword] = []
+        base = dec
+        if isinstance(dec, ast.Call):
+            if dec.args:
+                return None
+            call_kw = dec.keywords
+            base = dec.func
+        name = base.attr if isinstance(base, ast.Attribute) else getattr(base, "id", None)
+        if name != "dataclass":
+            return None
+        for k in call_kw:
+            if k.arg not in _SAFE_KW or not isinstance(k.value, ast.Constant):
+                return None
+    return True
+
+
+def _class_constructor_signature(cls: ast.ClassDef) -> ast.FunctionDef | None:
+    """A synthetic ``FunctionDef`` carrying the constructor signature of a
+    module-level class, for the CALL1xx checks — or None when the
+    signature is not statically knowable. Three resolvable shapes:
+
+    - an explicit undecorated ``__init__`` (any bases — the subclass's own
+      ``__init__`` is what a call binds): its parameters minus ``self``;
+    - a dataclass with no bases and no explicit ``__init__``: parameters
+      synthesized from the annotated fields in declaration order
+      (``ClassVar`` fields excluded; a ``field(...)`` default counts as a
+      default only via ``default=``/``default_factory=``; any
+      ``InitVar`` or ``field(init=...)`` disqualifies the class);
+    - a plain no-base class with no ``__init__``: the zero-argument
+      object constructor.
+
+    ``__new__``, class-level keywords (metaclass), and non-dataclass
+    decorators disqualify (unknowable transformations).
+    """
+    if cls.keywords:
+        return None
+    is_dc = _dataclass_decorated(cls)
+    if is_dc is None:
+        return None
+    body_fns = {
+        n.name: n for n in cls.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    if "__new__" in body_fns:
+        return None
+    plain_bases = all(isinstance(b, ast.Name) and b.id == "object" for b in cls.bases)
+    init = body_fns.get("__init__")
+    if init is not None:
+        if init.decorator_list or is_dc:
+            return None  # decorated init / dataclass(init=?) interplay: skip
+        a = init.args
+        if a.posonlyargs:
+            new = ast.arguments(
+                posonlyargs=a.posonlyargs[1:], args=a.args, vararg=a.vararg,
+                kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
+                kwarg=a.kwarg, defaults=list(a.defaults),
+            )
+        elif a.args:
+            new = ast.arguments(
+                posonlyargs=[], args=a.args[1:], vararg=a.vararg,
+                kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
+                kwarg=a.kwarg, defaults=list(a.defaults),
+            )
+        else:
+            return None  # def __init__(*args, ...): self arrives via vararg
+        n_pos = len(new.posonlyargs) + len(new.args)
+        if len(new.defaults) > n_pos:
+            new.defaults = new.defaults[len(new.defaults) - n_pos:]
+    elif is_dc:
+        if cls.bases:
+            return None  # fields may be inherited
+        params: list[ast.arg] = []
+        defaults: list[ast.expr] = []
+        for stmt in cls.body:
+            if not (isinstance(stmt, ast.AnnAssign) and isinstance(stmt.target, ast.Name)):
+                continue
+            ann_dump = ast.dump(stmt.annotation)
+            if "InitVar" in ann_dump:
+                return None
+            if "ClassVar" in ann_dump:
+                continue  # class attribute, not an init parameter
+            has_default = stmt.value is not None
+            if isinstance(stmt.value, ast.Call):
+                f = stmt.value.func
+                f_name = f.attr if isinstance(f, ast.Attribute) else getattr(f, "id", None)
+                if f_name == "field":
+                    kws = {k.arg for k in stmt.value.keywords}
+                    if "init" in kws:
+                        return None
+                    has_default = bool(kws & {"default", "default_factory"})
+            if not has_default and defaults:
+                return None  # non-default after default: dataclass rejects this
+            params.append(ast.arg(arg=stmt.target.id, annotation=stmt.annotation))
+            if has_default:
+                defaults.append(stmt.value)
+        new = ast.arguments(
+            posonlyargs=[], args=params, vararg=None,
+            kwonlyargs=[], kw_defaults=[], kwarg=None, defaults=defaults,
+        )
+    elif plain_bases:
+        new = ast.arguments(
+            posonlyargs=[], args=[], vararg=None,
+            kwonlyargs=[], kw_defaults=[], kwarg=None, defaults=[],
+        )
+    else:
+        return None  # inherited __init__: not statically knowable
+    return ast.FunctionDef(
+        name=cls.name, args=new, body=[], decorator_list=[], returns=None,
+        type_comment=None,
+    )
+
+
 def _module_call_candidates(
     tree: ast.Module,
 ) -> tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef], dict[str, int]]:
-    """Module-level undecorated functions by name, plus per-name bind counts
-    across the whole file (a name bound more than once — or shadowed by an
-    import, class, assignment or ``del`` — is not statically resolvable to
-    its ``def``). Shared by the CALL1xx signature checks and the CALL104
-    literal-argument type check."""
+    """Module-level undecorated functions by name — plus module-level
+    classes whose constructor signature is statically knowable
+    (``_class_constructor_signature``), represented as synthetic defs —
+    and per-name bind counts across the whole file (a name bound more
+    than once — or shadowed by an import, class, assignment or ``del`` —
+    is not statically resolvable to its ``def``). Shared by the CALL1xx
+    signature checks and the CALL104 literal-argument type check."""
     fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
     bind_counts: dict[str, int] = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and not node.decorator_list:
             fns[node.name] = node
+        elif isinstance(node, ast.ClassDef):
+            synth = _class_constructor_signature(node)
+            if synth is not None:
+                fns[node.name] = synth
     for node in ast.walk(tree):
         name: str | None = None
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):

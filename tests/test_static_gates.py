@@ -748,3 +748,100 @@ def test_ast_lint_cross_module_call_checks(tmp_path):
     (pkg / "a.py").write_text("def f(a, b):\n    return (a, b)\n")
     (pkg / "b.py").write_text("from pkg import f\nf(1)\n")
     assert not [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
+
+
+def test_ast_lint_constructor_call_checks(tmp_path):
+    """CALL101-104 on class constructors: ``C(...)`` is checked against the
+    class's statically-knowable constructor — an explicit undecorated
+    ``__init__`` (minus ``self``), dataclass-synthesized fields (ClassVar
+    excluded, ``field(default=/default_factory=)`` counts as a default),
+    or the zero-arg object constructor for a bare class. Anything that can
+    change the signature at runtime — inherited ``__init__``, non-dataclass
+    decorators, ``__new__``, metaclass keywords, ``InitVar``,
+    ``field(init=...)`` — disqualifies the class (conservative)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    defs = (
+        "import dataclasses\n"
+        "from dataclasses import dataclass, field\n"
+        "import typing\n"
+        "@dataclass\n"
+        "class Cfg:\n"
+        "    x: int\n"
+        "    y: str = 'a'\n"
+        "    z: list = field(default_factory=list)\n"
+        "    tag: typing.ClassVar[str] = 't'\n"
+        "@dataclasses.dataclass(frozen=True)\n"
+        "class Frozen:\n"
+        "    a: int\n"
+        "class Plain:\n"
+        "    def __init__(self, a, b=1):\n"
+        "        self.a = a\n"
+        "        self.b = b\n"
+        "class Bare:\n"
+        "    pass\n"
+        "class Child(Plain):\n"
+        "    pass\n"
+        "@dataclass\n"
+        "class WithInitVar:\n"
+        "    a: dataclasses.InitVar[int]\n"
+        "@dataclass\n"
+        "class WithFieldInit:\n"
+        "    a: int = field(init=False, default=0)\n"
+        "def register(c):\n"
+        "    return c\n"
+        "@register\n"
+        "class Decorated:\n"
+        "    pass\n"
+        "class Meta(type):\n"
+        "    pass\n"
+        "class WithMeta(metaclass=Meta):\n"
+        "    pass\n"
+        "class WithNew:\n"
+        "    def __new__(cls, *args):\n"
+        "        return super().__new__(cls)\n"
+    )
+    cases = {
+        # name: (call lines, expected code or None)
+        "dataclass missing required": ("Cfg()\n", "CALL103"),
+        "dataclass unknown keyword": ("Cfg(1, oops=2)\n", "CALL102"),
+        "dataclass too many positional": ("Cfg(1, 'b', [], 4)\n", "CALL101"),
+        "dataclass classvar not a param": ("Cfg(1, tag='x')\n", "CALL102"),
+        "dataclass literal type mismatch": ("Cfg(1, y=2)\n", "CALL104"),
+        "frozen dataclass checked": ("Frozen()\n", "CALL103"),
+        "explicit init too many": ("Plain(1, 2, 3)\n", "CALL101"),
+        "bare class takes no args": ("Bare(5)\n", "CALL101"),
+        "all ok": ("Cfg(1)\nCfg(1, 'b', [])\nFrozen(0)\nPlain(0)\nBare()\n", None),
+        "inherited init skipped": ("Child(1, 2, 3, 4)\n", None),
+        "initvar skipped": ("WithInitVar()\n", None),
+        "field init= skipped": ("WithFieldInit(1, 2, 3)\n", None),
+        "decorated class skipped": ("Decorated(1, 2)\n", None),
+        "metaclass keyword skipped": ("WithMeta(1, 2)\n", None),
+        "__new__ skipped": ("WithNew(1, 2)\n", None),
+    }
+    for i, (name, (calls, expect)) in enumerate(cases.items()):
+        p = tmp_path / f"ctor{i}.py"
+        p.write_text(defs + calls)
+        fs = [f for f in check_file(p) if "CALL" in f and f.split(":")[1].isdigit()
+              and int(f.split(":")[1]) > defs.count("\n")]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
+
+    # Cross-module: a dataclass config imported from a sibling module is
+    # checked at the importing call site under check_paths.
+    pkg = tmp_path / "xmod" / "pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "a.py").write_text(
+        "from dataclasses import dataclass\n"
+        "@dataclass\n"
+        "class Cfg:\n"
+        "    x: int\n"
+        "    y: str = 'a'\n"
+    )
+    (pkg / "b.py").write_text("from pkg.a import Cfg\nc = Cfg(oops=1)\n")
+    fs = [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
+    assert any("CALL102" in f for f in fs), fs
+    assert any("CALL103" in f for f in fs), fs
