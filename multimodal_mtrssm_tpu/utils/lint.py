@@ -41,7 +41,13 @@ no network, so this module implements the always-runnable subset natively:
   (``ClassVar`` excluded, ``field(default=/default_factory=)`` counted as
   defaults; ``InitVar``/``field(init=...)`` disqualify), or the zero-arg
   object constructor for a bare class; inherited ``__init__``, unknown
-  decorators, ``__new__`` and metaclass keywords disqualify,
+  decorators, ``__new__`` and metaclass keywords disqualify. METHOD calls
+  (``self.m(...)``/``cls.m(...)``) are covered too: the resolved ``def``
+  (own body or same-module base) is checked with the bound receiver
+  stripped per descriptor kind, provided the method name is defined
+  exactly once across every linted class body (no override can re-route
+  dispatch) and never rebound by an attribute store or class-body
+  assignment anywhere,
 - CALL104 (mypy ``arg-type``-lite): literal arguments on those same calls
   (same- and cross-module) are type-checked against simple builtin
   parameter annotations (``int``/``str``/``float``/``bool``/``bytes``/
@@ -622,6 +628,31 @@ def _dataclass_decorated(cls: ast.ClassDef) -> bool | None:
     return True
 
 
+def _args_without_receiver(a: ast.arguments) -> ast.arguments | None:
+    """``a`` minus its first positional parameter (the bound receiver),
+    defaults trimmed to the surviving positional count — or None when there
+    is no explicit first positional parameter to strip (receiver arrives
+    via ``*args``)."""
+    if a.posonlyargs:
+        new = ast.arguments(
+            posonlyargs=a.posonlyargs[1:], args=a.args, vararg=a.vararg,
+            kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
+            kwarg=a.kwarg, defaults=list(a.defaults),
+        )
+    elif a.args:
+        new = ast.arguments(
+            posonlyargs=[], args=a.args[1:], vararg=a.vararg,
+            kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
+            kwarg=a.kwarg, defaults=list(a.defaults),
+        )
+    else:
+        return None
+    n_pos = len(new.posonlyargs) + len(new.args)
+    if len(new.defaults) > n_pos:
+        new.defaults = new.defaults[len(new.defaults) - n_pos:]
+    return new
+
+
 def _class_constructor_signature(cls: ast.ClassDef) -> ast.FunctionDef | None:
     """A synthetic ``FunctionDef`` carrying the constructor signature of a
     module-level class, for the CALL1xx checks — or None when the
@@ -655,24 +686,9 @@ def _class_constructor_signature(cls: ast.ClassDef) -> ast.FunctionDef | None:
     if init is not None:
         if init.decorator_list or is_dc:
             return None  # decorated init / dataclass(init=?) interplay: skip
-        a = init.args
-        if a.posonlyargs:
-            new = ast.arguments(
-                posonlyargs=a.posonlyargs[1:], args=a.args, vararg=a.vararg,
-                kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
-                kwarg=a.kwarg, defaults=list(a.defaults),
-            )
-        elif a.args:
-            new = ast.arguments(
-                posonlyargs=[], args=a.args[1:], vararg=a.vararg,
-                kwonlyargs=a.kwonlyargs, kw_defaults=a.kw_defaults,
-                kwarg=a.kwarg, defaults=list(a.defaults),
-            )
-        else:
+        new = _args_without_receiver(init.args)
+        if new is None:
             return None  # def __init__(*args, ...): self arrives via vararg
-        n_pos = len(new.posonlyargs) + len(new.args)
-        if len(new.defaults) > n_pos:
-            new.defaults = new.defaults[len(new.defaults) - n_pos:]
     elif is_dc:
         if cls.bases:
             return None  # fields may be inherited
@@ -838,36 +854,47 @@ def _call_signature_findings(
             k.arg is None for k in node.keywords
         ):
             continue  # *args / **kwargs at the call site: not statically knowable
-        a = fn.args
-        pos_params = [p.arg for p in [*a.posonlyargs, *a.args]]
-        kw_addressable = {p.arg for p in a.args} | {p.arg for p in a.kwonlyargs}
-        npos = len(node.args)
-        supplied_kw = {k.arg for k in node.keywords}
-        if npos > len(pos_params) and a.vararg is None:
+        findings.extend(_signature_binding_findings(path, node, fn.args, fn.name))
+    return findings
+
+
+def _signature_binding_findings(
+    path: Path, node: ast.Call, a: ast.arguments, label: str
+) -> list[str]:
+    """The CALL101/102/103 binding checks for ONE call site against ONE
+    receiver-stripped signature — shared by the function-call, constructor
+    and method-call passes (which differ only in how they resolve ``a``).
+    """
+    findings: list[str] = []
+    pos_params = [p.arg for p in [*a.posonlyargs, *a.args]]
+    kw_addressable = {p.arg for p in a.args} | {p.arg for p in a.kwonlyargs}
+    npos = len(node.args)
+    supplied_kw = {k.arg for k in node.keywords}
+    if npos > len(pos_params) and a.vararg is None:
+        findings.append(
+            f"{path}:{node.lineno}: CALL101 call to '{label}' passes "
+            f"{npos} positional arguments, signature takes {len(pos_params)}"
+        )
+    if a.kwarg is None:
+        for k in node.keywords:
+            if k.arg not in kw_addressable:
+                findings.append(
+                    f"{path}:{node.lineno}: CALL102 call to '{label}' "
+                    f"passes unknown keyword '{k.arg}'"
+                )
+    required_pos = pos_params[: len(pos_params) - len(a.defaults)]
+    for i, pname in enumerate(required_pos):
+        if i >= npos and pname not in supplied_kw:
             findings.append(
-                f"{path}:{node.lineno}: CALL101 call to '{fn.name}' passes "
-                f"{npos} positional arguments, signature takes {len(pos_params)}"
+                f"{path}:{node.lineno}: CALL103 call to '{label}' is "
+                f"missing required argument '{pname}'"
             )
-        if a.kwarg is None:
-            for k in node.keywords:
-                if k.arg not in kw_addressable:
-                    findings.append(
-                        f"{path}:{node.lineno}: CALL102 call to '{fn.name}' "
-                        f"passes unknown keyword '{k.arg}'"
-                    )
-        required_pos = pos_params[: len(pos_params) - len(a.defaults)]
-        for i, pname in enumerate(required_pos):
-            if i >= npos and pname not in supplied_kw:
-                findings.append(
-                    f"{path}:{node.lineno}: CALL103 call to '{fn.name}' is "
-                    f"missing required argument '{pname}'"
-                )
-        for p, d in zip(a.kwonlyargs, a.kw_defaults):
-            if d is None and p.arg not in supplied_kw:
-                findings.append(
-                    f"{path}:{node.lineno}: CALL103 call to '{fn.name}' is "
-                    f"missing required keyword-only argument '{p.arg}'"
-                )
+    for p, d in zip(a.kwonlyargs, a.kw_defaults):
+        if d is None and p.arg not in supplied_kw:
+            findings.append(
+                f"{path}:{node.lineno}: CALL103 call to '{label}' is "
+                f"missing required keyword-only argument '{p.arg}'"
+            )
     return findings
 
 
@@ -945,37 +972,46 @@ def _literal_type_findings(
             k.arg is None for k in node.keywords
         ):
             continue
-        a = fn.args
-        pos_params = [*a.posonlyargs, *a.args]
-        by_name = {p.arg: p for p in [*pos_params, *a.kwonlyargs]}
-        pairs: list[tuple[ast.arg, ast.expr]] = []
-        for i, arg_node in enumerate(node.args):
-            if i < len(pos_params):
-                pairs.append((pos_params[i], arg_node))
-        for kw in node.keywords:
-            param = by_name.get(kw.arg)
-            if param is not None:
-                pairs.append((param, kw.value))
-        for param, value in pairs:
-            if not isinstance(value, ast.Constant) or value.value is Ellipsis:
-                continue
-            spec = _annotation_accepts(param.annotation)
-            if spec is None:
-                continue
-            accepts, accepts_none, display = spec
-            v = value.value
-            ok = (v is None and accepts_none) or (
-                v is not None and isinstance(v, accepts)
-                # isinstance(True, (int,)) is True — restrict bool to
-                # annotations that listed bool explicitly.
-                and not (isinstance(v, bool) and bool not in accepts)
+        findings.extend(_literal_binding_findings(path, node, fn.args, fn.name))
+    return findings
+
+
+def _literal_binding_findings(
+    path: Path, node: ast.Call, a: ast.arguments, label: str
+) -> list[str]:
+    """The CALL104 literal-vs-annotation checks for ONE call site against
+    ONE receiver-stripped signature — shared with the method-call pass."""
+    findings: list[str] = []
+    pos_params = [*a.posonlyargs, *a.args]
+    by_name = {p.arg: p for p in [*pos_params, *a.kwonlyargs]}
+    pairs: list[tuple[ast.arg, ast.expr]] = []
+    for i, arg_node in enumerate(node.args):
+        if i < len(pos_params):
+            pairs.append((pos_params[i], arg_node))
+    for kw in node.keywords:
+        param = by_name.get(kw.arg)
+        if param is not None:
+            pairs.append((param, kw.value))
+    for param, value in pairs:
+        if not isinstance(value, ast.Constant) or value.value is Ellipsis:
+            continue
+        spec = _annotation_accepts(param.annotation)
+        if spec is None:
+            continue
+        accepts, accepts_none, display = spec
+        v = value.value
+        ok = (v is None and accepts_none) or (
+            v is not None and isinstance(v, accepts)
+            # isinstance(True, (int,)) is True — restrict bool to
+            # annotations that listed bool explicitly.
+            and not (isinstance(v, bool) and bool not in accepts)
+        )
+        if not ok:
+            lit = "None" if v is None else type(v).__name__
+            findings.append(
+                f"{path}:{node.lineno}: CALL104 call to '{label}' passes "
+                f"a {lit} literal for parameter '{param.arg}: {display}'"
             )
-            if not ok:
-                lit = "None" if v is None else type(v).__name__
-                findings.append(
-                    f"{path}:{node.lineno}: CALL104 call to '{fn.name}' passes "
-                    f"a {lit} literal for parameter '{param.arg}: {display}'"
-                )
     return findings
 
 
@@ -1474,12 +1510,160 @@ def _self_attribute_findings(
     return findings
 
 
+def _class_method_defs_and_stores(tree: ast.AST) -> tuple[dict[str, int], set[str]]:
+    """(method-name → definition count over every class body in the tree,
+    attribute-store names that could rebind a method at runtime). A method
+    is only call-checkable when its name is defined exactly once across all
+    linted class bodies (no override can change the dispatched signature)
+    and is never the target of an attribute store (``x.m = …``, ``del``,
+    literal ``setattr``) or a class-body assignment anywhere."""
+    defs: dict[str, int] = {}
+    stores: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute) and isinstance(node.ctx, (ast.Store, ast.Del)):
+            stores.add(node.attr)
+        elif (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id == "setattr" and len(node.args) >= 2
+                and isinstance(node.args[1], ast.Constant)
+                and isinstance(node.args[1].value, str)):
+            stores.add(node.args[1].value)
+        elif isinstance(node, ast.ClassDef):
+            for st in _class_body_stmts(node):
+                if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    defs[st.name] = defs.get(st.name, 0) + 1
+                elif isinstance(st, ast.Assign):
+                    for t in st.targets:
+                        for n in ast.walk(t):
+                            if isinstance(n, ast.Name):
+                                stores.add(n.id)
+                elif isinstance(st, ast.AnnAssign) and isinstance(st.target, ast.Name):
+                    stores.add(st.target.id)
+    return defs, stores
+
+
+def _resolve_class_method(
+    cls: ast.ClassDef,
+    name: str,
+    classes_by_name: dict[str, ast.ClassDef],
+    visiting: frozenset[str] | None = None,
+) -> ast.FunctionDef | ast.AsyncFunctionDef | None:
+    """The ``def`` a method name resolves to on ``cls`` — own body first,
+    then same-module ``ast.Name`` bases in MRO order — or None."""
+    visiting = visiting if visiting is not None else frozenset()
+    if cls.name in visiting:
+        return None
+    for st in _class_body_stmts(cls):
+        if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)) and st.name == name:
+            return st
+    for base in cls.bases:
+        if isinstance(base, ast.Name) and base.id in classes_by_name:
+            fn = _resolve_class_method(
+                classes_by_name[base.id], name, classes_by_name, visiting | {cls.name}
+            )
+            if fn is not None:
+                return fn
+    return None
+
+
+def _method_kind(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str | None:
+    """'instance' / 'class' / 'static' for an undecorated method or one
+    carrying exactly a classmethod/staticmethod decorator — None for any
+    other decoration (property, cached_property, jit, …: the call goes
+    through a descriptor or wrapper whose signature we cannot know)."""
+    if not fn.decorator_list:
+        return "instance"
+    if len(fn.decorator_list) == 1:
+        name = _decorator_base_name(fn.decorator_list[0])
+        if name == "classmethod":
+            return "class"
+        if name == "staticmethod":
+            return "static"
+    return None
+
+
+def _method_call_findings(
+    path: Path,
+    tree: ast.Module,
+    method_defs: dict[str, int] | None = None,
+    method_stores: set[str] | None = None,
+) -> list[str]:
+    """CALL101-104 on METHOD calls: ``self.m(...)`` (and ``cls.m(...)``)
+    inside a method is checked against the resolved ``def m`` of the class
+    — own body or a same-module base — with the bound receiver stripped
+    per descriptor kind (instance/classmethod drop the first parameter,
+    staticmethod keeps all).
+
+    Conservative by construction, so a finding is a genuine TypeError on
+    that call path. The class must be ATTR101-eligible (statically-knowable
+    surface); the method name must be defined exactly once across every
+    class body in the linted tree (``method_defs`` — no override anywhere
+    can re-route the dispatch) and never stored as an attribute or
+    class-body assignment (``method_stores`` — no runtime rebinding);
+    dunder names, decorated targets beyond classmethod/staticmethod,
+    ``cls.<instance method>`` calls (unbound — passes the explicit first
+    argument as ``self``), receiver-rebinding callers and ``*``/``**``
+    call sites are all skipped.
+    """
+    findings: list[str] = []
+    if method_defs is None or method_stores is None:
+        method_defs, method_stores = _class_method_defs_and_stores(tree)
+    classes_by_name: dict[str, ast.ClassDef] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            classes_by_name[node.name] = node
+    for cls in classes_by_name.values():
+        ok, _attrs = _class_eligibility_and_attrs(cls, classes_by_name)
+        if not ok:
+            continue
+        for st in _class_body_stmts(cls):
+            if not isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            receiver = _receiver_of(st)
+            if receiver is None or _method_disqualified(st, receiver):
+                continue
+            caller_kind = _method_kind(st) or "instance"
+            for node in ast.walk(st):
+                if not (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and isinstance(node.func.value, ast.Name)
+                        and node.func.value.id == receiver):
+                    continue
+                name = node.func.attr
+                if name.startswith("__") and name.endswith("__"):
+                    continue
+                if method_defs.get(name, 0) != 1 or name in method_stores:
+                    continue
+                target = _resolve_class_method(cls, name, classes_by_name)
+                if target is None:
+                    continue
+                kind = _method_kind(target)
+                if kind is None:
+                    continue
+                if kind == "instance" and caller_kind == "class":
+                    continue  # cls.m on an instance method: unbound call
+                if kind == "static":
+                    sig = target.args
+                else:
+                    sig = _args_without_receiver(target.args)
+                    if sig is None:
+                        continue
+                if any(isinstance(a, ast.Starred) for a in node.args) or any(
+                    k.arg is None for k in node.keywords
+                ):
+                    continue
+                label = f"{cls.name}.{name}"
+                findings.extend(_signature_binding_findings(path, node, sig, label))
+                findings.extend(_literal_binding_findings(path, node, sig, label))
+    return findings
+
+
 def check_file(
     path: Path,
     repo_attrs: set[str] | None = None,
     repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
                               dict[str, int]]] | None = None,
     pkg_parts: list[str] | None = None,
+    repo_methods: tuple[dict[str, int], set[str]] | None = None,
 ) -> list[str]:
     """Return a list of "path:line: code message" findings for one file.
 
@@ -1490,6 +1674,9 @@ def check_file(
     table that lets the CALL1xx checks resolve package-module imports, and
     ``pkg_parts`` the importing file's own package path for relative
     imports; both default to single-file behavior (same-module only).
+    ``repo_methods`` is the repo-wide (method-def counts, rebinding stores)
+    pair the method-call checks guard overrides/rebinds against; when None,
+    the file's own tables stand in.
     """
     findings: list[str] = []
     src = path.read_text()
@@ -1500,6 +1687,9 @@ def check_file(
     imported_fns = _imported_package_functions(tree, pkg_parts, repo_fns or {})
     findings.extend(_self_attribute_findings(
         path, tree, repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
+    ))
+    findings.extend(_method_call_findings(
+        path, tree, *(repo_methods if repo_methods is not None else (None, None))
     ))
 
     for lineno, line in enumerate(src.splitlines(), 1):
@@ -1573,12 +1763,18 @@ def check_paths(roots: list[Path]) -> list[str]:
     repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
                               dict[str, int]]] = {}
     pkg_ctx: dict[Path, list[str]] = {}
+    method_defs: dict[str, int] = {}
+    method_stores: set[str] = set()
     for f, root in entries:
         try:
             tree = ast.parse(f.read_text())
         except SyntaxError:
             continue  # the per-file pass reports E999
         repo_attrs |= _attribute_store_names(tree)
+        f_defs, f_stores = _class_method_defs_and_stores(tree)
+        for k, v in f_defs.items():
+            method_defs[k] = method_defs.get(k, 0) + v
+        method_stores |= f_stores
         if root.is_dir():
             parts = [root.name, *f.relative_to(root).parts]
             parts[-1] = parts[-1][: -len(".py")]
@@ -1591,6 +1787,7 @@ def check_paths(roots: list[Path]) -> list[str]:
     findings: list[str] = []
     for f, _root in entries:
         findings.extend(check_file(
-            f, repo_attrs=repo_attrs, repo_fns=repo_fns, pkg_parts=pkg_ctx.get(f)
+            f, repo_attrs=repo_attrs, repo_fns=repo_fns, pkg_parts=pkg_ctx.get(f),
+            repo_methods=(method_defs, method_stores),
         ))
     return findings

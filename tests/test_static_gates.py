@@ -845,3 +845,102 @@ def test_ast_lint_constructor_call_checks(tmp_path):
     fs = [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
     assert any("CALL102" in f for f in fs), fs
     assert any("CALL103" in f for f in fs), fs
+
+
+def test_ast_lint_method_call_checks(tmp_path):
+    """CALL101-104 on method calls: ``self.m(...)`` / ``cls.m(...)`` inside
+    an eligible class is checked against the resolved ``def m`` (own body
+    or same-module base), receiver stripped per descriptor kind. Overridden
+    names (defined in >1 class body anywhere), attribute-rebound names,
+    property/decorated targets, ``cls.<instance method>`` calls and
+    receiver-rebinding callers all skip (conservative)."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    defs = (
+        "class Base:\n"
+        "    def helper(self, a, b=1):\n"
+        "        return a + b\n"
+        "class C(Base):\n"
+        "    @classmethod\n"
+        "    def create(cls, n):\n"
+        "        return n\n"
+        "    @staticmethod\n"
+        "    def util(x, y):\n"
+        "        return x + y\n"
+        "    def typed(self, name: str):\n"
+        "        return name\n"
+    )
+    cases = {
+        # name: (method body line(s) appended inside C, expected code or None)
+        "missing required": ("self.helper()", "CALL103"),
+        "too many positional": ("self.helper(1, 2, 3)", "CALL101"),
+        "unknown keyword": ("self.helper(1, oops=2)", "CALL102"),
+        "inherited resolution ok": ("self.helper(1, b=2)", None),
+        "classmethod via self": ("self.create()", "CALL103"),
+        "staticmethod missing arg": ("self.util(1)", "CALL103"),
+        "literal type mismatch": ("self.typed(3)", "CALL104"),
+        "exact ok": ("self.util(1, 2)", None),
+    }
+    for i, (name, (call, expect)) in enumerate(cases.items()):
+        p = tmp_path / f"meth{i}.py"
+        p.write_text(defs + f"    def run(self):\n        return {call}\n")
+        fs = [f for f in check_file(p) if "CALL" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
+
+    # Conservative skips, all in one file: overrides, attribute rebinds,
+    # property targets, unbound cls.<instance method>, receiver rebinding.
+    p = tmp_path / "skips.py"
+    p.write_text(
+        "class A:\n"
+        "    def m(self, a):\n"
+        "        return a\n"
+        "class B(A):\n"
+        "    def m(self, a, b):\n"
+        "        return a + b\n"
+        "    def r(self):\n"
+        "        return self.m(1)\n"          # override: name defined twice
+        "class Dyn:\n"
+        "    def f(self, a):\n"
+        "        return a\n"
+        "    def r(self):\n"
+        "        self.f = print\n"            # attribute store rebinds f
+        "        return self.f(1, 2, 3)\n"
+        "class Prop:\n"
+        "    @property\n"
+        "    def p(self):\n"
+        "        return 1\n"
+        "    def r(self):\n"
+        "        return self.p(1, 2)\n"       # decorated target
+        "class U:\n"
+        "    def im(self, a):\n"
+        "        return a\n"
+        "    @classmethod\n"
+        "    def c(cls):\n"
+        "        return cls.im(1)\n"          # unbound instance method
+    )
+    assert not [f for f in check_file(p) if "CALL" in f]
+
+    # Cross-FILE override guard: a subclass in ANOTHER linted file
+    # overrides m with a new signature; under check_paths the name is no
+    # longer uniquely defined, so the same-file call is skipped.
+    a = tmp_path / "xover" / "a.py"
+    a.parent.mkdir()
+    a.write_text(
+        "class A:\n"
+        "    def m(self, x):\n"
+        "        return x\n"
+        "    def r(self):\n"
+        "        return self.m(1, 2)\n"       # CALL101 alone, skipped with b
+    )
+    b = tmp_path / "xover" / "b.py"
+    b.write_text(
+        "from a import A\n"
+        "class Sub(A):\n"
+        "    def m(self, x, y):\n"
+        "        return x + y\n"
+    )
+    assert any("CALL101" in f for f in check_paths([a]))
+    assert not [f for f in check_paths([a, b]) if "CALL" in f]
