@@ -33,9 +33,10 @@ no network, so this module implements the always-runnable subset natively:
   required parameter (the TypeError-on-call class of bug). Under
   ``check_paths`` the callee may live in ANOTHER package module: names
   bound by ``from <package module> import f`` (absolute or relative,
-  aliases included) resolve against the defining module's signature,
-  provided the name is uniquely bound on both sides and does not collide
-  with a submodule. Class CONSTRUCTOR calls are covered under the same
+  aliases included) resolve against the defining module's signature —
+  following package ``__init__`` re-export chains up to 4 hops — provided
+  the name is uniquely bound at every hop and does not collide with a
+  submodule. Class CONSTRUCTOR calls are covered under the same
   codes when the signature is statically knowable — an explicit
   undecorated ``__init__`` (minus ``self``), dataclass-synthesized fields
   (``ClassVar`` excluded, ``field(default=/default_factory=)`` counted as
@@ -47,7 +48,10 @@ no network, so this module implements the always-runnable subset natively:
   stripped per descriptor kind, provided the method name is defined
   exactly once across every linted class body (no override can re-route
   dispatch) and never rebound by an attribute store or class-body
-  assignment anywhere,
+  assignment anywhere. LOCAL INSTANCES are tracked as well: a scope
+  binding ``x = C(...)`` exactly once gets every later ``x.m(...)``
+  checked against C's method table — here subclass overrides need no
+  guard, because the constructor pins the exact class,
 - CALL104 (mypy ``arg-type``-lite): literal arguments on those same calls
   (same- and cross-module) are type-checked against simple builtin
   parameter annotations (``int``/``str``/``float``/``bool``/``bytes``/
@@ -767,27 +771,13 @@ def _module_call_candidates(
     return fns, bind_counts
 
 
-def _imported_package_functions(
-    tree: ast.Module,
-    pkg_parts: list[str] | None,
-    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef], dict[str, int]]],
-) -> dict[str, ast.FunctionDef | ast.AsyncFunctionDef]:
-    """Resolve module-level ``from <package module> import f [as g]``
-    bindings to the callee's ``def`` in the defining module, using the
-    repo-wide signature table ``check_paths`` builds.
-
-    Conservative: the imported name must be a module-level undecorated
-    function bound exactly once in the DEFINING module, and must not
-    collide with a submodule of the same dotted name (``from pkg import c``
-    where both ``pkg/c.py`` and ``pkg.__init__.c`` exist is ambiguous at
-    import time). Relative imports resolve against ``pkg_parts`` — the
-    importing file's own package path; absolute imports resolve by dotted
-    name. Re-exports (the name is itself an import in the target module)
-    do not resolve, by construction.
-    """
-    out: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
-    if not repo_fns:
-        return out
+def _module_reexports(
+    tree: ast.Module, pkg_parts: list[str] | None
+) -> dict[str, tuple[str, str]]:
+    """Module-level ``from <module> import n [as m]`` bindings as a map
+    ``local name → (source module dotted path, source name)`` — the hop
+    table re-export chain resolution follows."""
+    out: dict[str, tuple[str, str]] = {}
     for node in tree.body:
         if not isinstance(node, ast.ImportFrom) or node.module == "__future__":
             continue
@@ -800,20 +790,75 @@ def _imported_package_functions(
                 continue
             base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
             target_parts = base + (node.module.split(".") if node.module else [])
-        entry = repo_fns.get(".".join(target_parts))
-        if entry is None:
-            continue
-        t_fns, t_binds = entry
         for alias in node.names:
             if alias.name == "*":
                 continue
-            fn = t_fns.get(alias.name)
-            if fn is None or t_binds.get(alias.name, 0) != 1:
-                continue
-            if ".".join([*target_parts, alias.name]) in repo_fns:
-                continue  # function name shadows a submodule: ambiguous
-            out[alias.asname or alias.name] = fn
+            out[alias.asname or alias.name] = (".".join(target_parts), alias.name)
     return out
+
+
+def _resolve_module_symbol(
+    dotted: str,
+    name: str,
+    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
+                              dict[str, int]]],
+    repo_classes: dict[str, dict[str, "MethodTable"]],
+    repo_reexports: dict[str, dict[str, tuple[str, str]]],
+    depth: int = 0,
+) -> tuple[ast.FunctionDef | ast.AsyncFunctionDef | None, "MethodTable | None"]:
+    """Resolve ``<dotted module>.<name>`` to (callable signature def,
+    class method table) across re-export hops.
+
+    Conservative at every hop: the name must be bound exactly once in that
+    module and must not collide with a submodule of the same dotted name
+    (``from pkg import c`` where both ``pkg/c.py`` and ``pkg.__init__.c``
+    exist is ambiguous at import time). A module whose name is only an
+    import (``from .a import f``) forwards to the source module, up to 4
+    hops."""
+    if depth > 4:
+        return None, None
+    entry = repo_fns.get(dotted)
+    if entry is None:
+        return None, None
+    _fns, binds = entry
+    if binds.get(name, 0) != 1 or f"{dotted}.{name}" in repo_fns:
+        return None, None
+    fn = _fns.get(name)
+    table = repo_classes.get(dotted, {}).get(name)
+    if fn is not None or table is not None:
+        return fn, table
+    hop = repo_reexports.get(dotted, {}).get(name)
+    if hop is not None:
+        return _resolve_module_symbol(
+            hop[0], hop[1], repo_fns, repo_classes, repo_reexports, depth + 1
+        )
+    return None, None
+
+
+def _imported_symbols(
+    tree: ast.Module,
+    pkg_parts: list[str] | None,
+    repo_fns: dict[str, tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef],
+                              dict[str, int]]],
+    repo_classes: dict[str, dict[str, "MethodTable"]],
+    repo_reexports: dict[str, dict[str, tuple[str, str]]],
+) -> tuple[dict[str, ast.FunctionDef | ast.AsyncFunctionDef], dict[str, "MethodTable"]]:
+    """Resolve this file's ``from <package module> import n [as m]``
+    bindings to (callable signature defs, class method tables) in the
+    defining modules, following re-export chains via
+    ``_resolve_module_symbol`` — so names imported through a package
+    ``__init__`` surface check against their real definitions."""
+    fns: dict[str, ast.FunctionDef | ast.AsyncFunctionDef] = {}
+    tables: dict[str, MethodTable] = {}
+    if not repo_fns:
+        return fns, tables
+    for name, (mod, orig) in _module_reexports(tree, pkg_parts).items():
+        fn, table = _resolve_module_symbol(mod, orig, repo_fns, repo_classes, repo_reexports)
+        if fn is not None:
+            fns[name] = fn
+        if table is not None:
+            tables[name] = table
+    return fns, tables
 
 
 def _call_signature_findings(
@@ -1657,6 +1702,174 @@ def _method_call_findings(
     return findings
 
 
+# A method table maps method name → (descriptor kind, receiver-stripped
+# signature) for every checkable method of one eligible class.
+MethodTable = dict[str, tuple[str, ast.arguments]]
+
+
+def _class_method_tables(tree: ast.AST) -> dict[str, MethodTable]:
+    """Checkable method tables for every ATTR101-eligible class in the tree
+    that does not define ``__new__`` (a custom ``__new__`` may hand back an
+    instance of some other class, so ``x = C(...)`` would not pin ``x``'s
+    type). Own-body methods shadow same-module base methods; a method whose
+    descriptor kind is unknowable (property, cached_property, …) blocks the
+    name entirely rather than falling through to a base."""
+    classes_by_name: dict[str, ast.ClassDef] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            classes_by_name[node.name] = node
+    out: dict[str, MethodTable] = {}
+    for cls in classes_by_name.values():
+        ok, _attrs = _class_eligibility_and_attrs(cls, classes_by_name)
+        if not ok:
+            continue
+        table: dict[str, tuple[str, ast.arguments] | None] = {}
+        blocked = False
+
+        def collect(c: ast.ClassDef, visiting: frozenset[str]) -> None:
+            nonlocal blocked
+            if c.name in visiting:
+                return
+            for st in _class_body_stmts(c):
+                if not isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                if st.name == "__new__":
+                    blocked = True
+                    return
+                if st.name in table:
+                    continue  # derived definition wins
+                kind = _method_kind(st)
+                if kind is None:
+                    table[st.name] = None
+                    continue
+                sig = st.args if kind == "static" else _args_without_receiver(st.args)
+                table[st.name] = (kind, sig) if sig is not None else None
+            for base in c.bases:
+                if isinstance(base, ast.Name) and base.id in classes_by_name:
+                    collect(classes_by_name[base.id], visiting | {c.name})
+
+        collect(cls, frozenset())
+        if not blocked:
+            out[cls.name] = {k: v for k, v in table.items() if v is not None}
+    return out
+
+
+def _own_scope_all_nodes(scope: ast.AST) -> list[ast.AST]:
+    """Every node in ``scope``'s own scope — nested function/lambda/class
+    HEADS included (they bind names here) but their bodies excluded (their
+    locals are separate namespaces). Unlike ``_own_scope_nodes`` this
+    returns all nodes, unfiltered."""
+    out: list[ast.AST] = []
+
+    def visit(n: ast.AST) -> None:
+        for child in ast.iter_child_nodes(n):
+            out.append(child)
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                  ast.Lambda, ast.ClassDef)):
+                continue
+            visit(child)
+
+    visit(scope)
+    return out
+
+
+def _instance_method_call_findings(
+    path: Path,
+    tree: ast.Module,
+    class_tables: dict[str, MethodTable],
+    method_stores: set[str],
+) -> list[str]:
+    """CALL101-104 on LOCAL-INSTANCE method calls: in a scope that binds
+    ``x = C(...)`` exactly once — where ``C`` resolves to an eligible
+    same-module or package-imported class — every later ``x.m(...)`` in
+    that scope is checked against ``C``'s method table (receiver stripped
+    per descriptor kind, as for ``self.m``).
+
+    Conservative: the variable must be stored exactly once in its scope
+    (no reassignment, augmented assignment, loop target, ``del``,
+    ``global``/``nonlocal`` declaration, or parameter of the same name),
+    the class name must be uniquely bound in this file, the call must come
+    textually after the binding, and the repo-wide rebind guard applies
+    (``method_stores`` — any ``obj.m = …``/class-body assignment of the
+    name anywhere skips it). Unlike the ``self.m`` pass, subclass
+    overrides need NO guard here: the constructor pins the instance's
+    exact class (``__new__``-defining classes are excluded from the
+    tables), so dispatch cannot be re-routed.
+    """
+    findings: list[str] = []
+    if not class_tables:
+        return findings
+    _fns, bind_counts = _module_call_candidates(tree)
+    scopes: list[ast.AST] = [tree]
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            scopes.append(node)
+    for scope in scopes:
+        own = _own_scope_all_nodes(scope)
+        params: set[str] = set()
+        if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            a = scope.args
+            params = {p.arg for p in [*a.posonlyargs, *a.args, *a.kwonlyargs]}
+            if a.vararg:
+                params.add(a.vararg.arg)
+            if a.kwarg:
+                params.add(a.kwarg.arg)
+        store_counts: dict[str, int] = {}
+        declared: set[str] = set()
+        for n in own:
+            if isinstance(n, ast.Name) and isinstance(n.ctx, (ast.Store, ast.Del)):
+                store_counts[n.id] = store_counts.get(n.id, 0) + 1
+            elif isinstance(n, (ast.Global, ast.Nonlocal)):
+                declared.update(n.names)
+            elif isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                store_counts[n.name] = store_counts.get(n.name, 0) + 1
+            elif isinstance(n, (ast.Import, ast.ImportFrom)):
+                for al in n.names:
+                    nm = (al.asname or al.name).split(".")[0]
+                    store_counts[nm] = store_counts.get(nm, 0) + 1
+        instances: dict[str, tuple[MethodTable, str, int]] = {}
+        for n in own:
+            if not (isinstance(n, ast.Assign) and len(n.targets) == 1
+                    and isinstance(n.targets[0], ast.Name)
+                    and isinstance(n.value, ast.Call)
+                    and isinstance(n.value.func, ast.Name)):
+                continue
+            var, cls_name = n.targets[0].id, n.value.func.id
+            table = class_tables.get(cls_name)
+            if (table is None or bind_counts.get(cls_name, 0) != 1
+                    or store_counts.get(var, 0) != 1
+                    or var in params or var in declared):
+                continue
+            instances[var] = (table, cls_name, n.lineno)
+        if not instances:
+            continue
+        for n in own:
+            if not (isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+                    and isinstance(n.func.value, ast.Name)):
+                continue
+            entry = instances.get(n.func.value.id)
+            if entry is None:
+                continue
+            table, cls_name, bind_line = entry
+            name = n.func.attr
+            if n.lineno < bind_line or (name.startswith("__") and name.endswith("__")):
+                continue
+            if name in method_stores:
+                continue
+            hit = table.get(name)
+            if hit is None:
+                continue
+            _kind, sig = hit
+            if any(isinstance(a, ast.Starred) for a in n.args) or any(
+                k.arg is None for k in n.keywords
+            ):
+                continue
+            label = f"{cls_name}.{name}"
+            findings.extend(_signature_binding_findings(path, n, sig, label))
+            findings.extend(_literal_binding_findings(path, n, sig, label))
+    return findings
+
+
 def check_file(
     path: Path,
     repo_attrs: set[str] | None = None,
@@ -1664,6 +1877,8 @@ def check_file(
                               dict[str, int]]] | None = None,
     pkg_parts: list[str] | None = None,
     repo_methods: tuple[dict[str, int], set[str]] | None = None,
+    repo_classes: dict[str, dict[str, MethodTable]] | None = None,
+    repo_reexports: dict[str, dict[str, tuple[str, str]]] | None = None,
 ) -> list[str]:
     """Return a list of "path:line: code message" findings for one file.
 
@@ -1675,8 +1890,12 @@ def check_file(
     ``pkg_parts`` the importing file's own package path for relative
     imports; both default to single-file behavior (same-module only).
     ``repo_methods`` is the repo-wide (method-def counts, rebinding stores)
-    pair the method-call checks guard overrides/rebinds against; when None,
-    the file's own tables stand in.
+    pair the method-call checks guard overrides/rebinds against,
+    ``repo_classes`` the module→class-method-table map that lets the
+    instance-tracking checks resolve imported classes, and
+    ``repo_reexports`` the per-module import-hop table that lets both
+    resolve names through package ``__init__`` surfaces; when None, the
+    file's own tables stand in.
     """
     findings: list[str] = []
     src = path.read_text()
@@ -1684,12 +1903,23 @@ def check_file(
         tree = ast.parse(src, filename=str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: E999 syntax error: {e.msg}"]
-    imported_fns = _imported_package_functions(tree, pkg_parts, repo_fns or {})
+    imported_fns, imported_tables = _imported_symbols(
+        tree, pkg_parts, repo_fns or {}, repo_classes or {}, repo_reexports or {}
+    )
     findings.extend(_self_attribute_findings(
         path, tree, repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
     ))
-    findings.extend(_method_call_findings(
-        path, tree, *(repo_methods if repo_methods is not None else (None, None))
+    method_defs, method_stores = (
+        repo_methods if repo_methods is not None
+        else _class_method_defs_and_stores(tree)
+    )
+    findings.extend(_method_call_findings(path, tree, method_defs, method_stores))
+    class_tables = {
+        **imported_tables,
+        **_class_method_tables(tree),  # same-module definitions win
+    }
+    findings.extend(_instance_method_call_findings(
+        path, tree, class_tables, method_stores
     ))
 
     for lineno, line in enumerate(src.splitlines(), 1):
@@ -1765,6 +1995,8 @@ def check_paths(roots: list[Path]) -> list[str]:
     pkg_ctx: dict[Path, list[str]] = {}
     method_defs: dict[str, int] = {}
     method_stores: set[str] = set()
+    repo_classes: dict[str, dict[str, MethodTable]] = {}
+    repo_reexports: dict[str, dict[str, tuple[str, str]]] = {}
     for f, root in entries:
         try:
             tree = ast.parse(f.read_text())
@@ -1783,11 +2015,15 @@ def check_paths(roots: list[Path]) -> list[str]:
                 pkg_ctx[f] = parts  # a package's __init__ resolves in itself
             else:
                 pkg_ctx[f] = parts[:-1]
-            repo_fns[".".join(parts)] = _module_call_candidates(tree)
+            dotted = ".".join(parts)
+            repo_fns[dotted] = _module_call_candidates(tree)
+            repo_classes[dotted] = _class_method_tables(tree)
+            repo_reexports[dotted] = _module_reexports(tree, pkg_ctx[f])
     findings: list[str] = []
     for f, _root in entries:
         findings.extend(check_file(
             f, repo_attrs=repo_attrs, repo_fns=repo_fns, pkg_parts=pkg_ctx.get(f),
-            repo_methods=(method_defs, method_stores),
+            repo_methods=(method_defs, method_stores), repo_classes=repo_classes,
+            repo_reexports=repo_reexports,
         ))
     return findings

@@ -740,11 +740,22 @@ def test_ast_lint_cross_module_call_checks(tmp_path):
     (pkg / "b.py").write_text("from pkg import c\nc(1, 2, 3)\n")
     assert not [f for f in check_paths([pkg]) if "CALL" in f]
 
-    # Re-export not followed: pkg/__init__ re-imports f; calls through the
-    # package surface are out of scope (the name is an import there).
+    # Re-exports ARE followed: pkg/__init__ re-imports f; a call through
+    # the package surface resolves to the defining module's signature.
     pkg = tmp_path / "reexport" / "pkg"
     pkg.mkdir(parents=True)
     (pkg / "__init__.py").write_text("from .a import f\n")
+    (pkg / "a.py").write_text("def f(a, b):\n    return (a, b)\n")
+    (pkg / "b.py").write_text("from pkg import f\nf(1)\n")
+    assert any(
+        "CALL103" in f for f in check_paths([pkg]) if "b.py" in f
+    )
+
+    # ...but an AMBIGUOUS re-export (the name is rebound in the __init__)
+    # stays out of scope.
+    pkg = tmp_path / "reexport_amb" / "pkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("from .a import f\nf = print\n")
     (pkg / "a.py").write_text("def f(a, b):\n    return (a, b)\n")
     (pkg / "b.py").write_text("from pkg import f\nf(1)\n")
     assert not [f for f in check_paths([pkg]) if "CALL" in f and "b.py" in f]
@@ -944,3 +955,98 @@ def test_ast_lint_method_call_checks(tmp_path):
     )
     assert any("CALL101" in f for f in check_paths([a]))
     assert not [f for f in check_paths([a, b]) if "CALL" in f]
+
+
+def test_ast_lint_instance_method_call_checks(tmp_path):
+    """CALL101-104 on tracked local instances: a scope binding ``x = C(...)``
+    exactly once gets every later ``x.m(...)`` checked against C's method
+    table — same- and cross-module, including through package ``__init__``
+    re-export chains. Reassignment, loop targets, parameter shadowing,
+    ``del``, calls before the binding, and rebound re-exports all skip."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file, check_paths
+
+    p = tmp_path / "inst.py"
+    p.write_text(
+        "class Trainer:\n"
+        "    def fit(self, data, epochs=1):\n"
+        "        return (data, epochs)\n"
+        "    @staticmethod\n"
+        "    def util(x, y):\n"
+        "        return x + y\n"
+        "    def typed(self, name: str):\n"
+        "        return name\n"
+        "t = Trainer()\n"
+        "t.fit()\n"                        # CALL103 (module scope)
+        "def run():\n"
+        "    tr = Trainer()\n"
+        "    tr.fit(1, 2, 3)\n"            # CALL101
+        "    tr.fit(1, oops=2)\n"          # CALL102
+        "    tr.typed(3)\n"                # CALL104
+        "    return tr.util(1, 2)\n"       # ok
+    )
+    fs = [f for f in check_file(p) if "CALL" in f]
+    for code in ("CALL101", "CALL102", "CALL103", "CALL104"):
+        assert any(code in f for f in fs), (code, fs)
+    assert len(fs) == 4, fs
+
+    # Conservative skips in one file.
+    n = tmp_path / "skips.py"
+    n.write_text(
+        "class C:\n"
+        "    def m(self, a):\n"
+        "        return a\n"
+        "def reassigned():\n"
+        "    x = C()\n"
+        "    x = None\n"                   # two stores
+        "    return x.m()\n"
+        "def loop_target():\n"
+        "    for x in [C()]:\n"            # loop binding, not a C() assign
+        "        x.m()\n"
+        "def param_shadow(z):\n"
+        "    z = C()\n"                    # parameter of the same name
+        "    return z.m()\n"
+        "def deleted():\n"
+        "    w = C()\n"
+        "    del w\n"                      # del counts as a second store
+        "    return 0\n"
+    )
+    assert not [f for f in check_file(n) if "CALL" in f]
+
+    # Subclass overrides do NOT guard instance tracking: the constructor
+    # pins the exact class, so the base's own signature applies even when
+    # a subclass elsewhere redefines the method.
+    o = tmp_path / "override.py"
+    o.write_text(
+        "class A:\n"
+        "    def m(self, x):\n"
+        "        return x\n"
+        "class Sub(A):\n"
+        "    def m(self, x, y):\n"
+        "        return x + y\n"
+        "def use():\n"
+        "    a = A()\n"
+        "    return a.m(1, 2)\n"           # CALL101 against A.m, not Sub.m
+    )
+    assert any("CALL101" in f and "A.m" in f for f in check_file(o))
+
+    # Cross-module through a two-hop re-export chain.
+    pkg = tmp_path / "chain" / "pkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("from .sub import Model, make\n")
+    (pkg / "sub" / "__init__.py").write_text("from .core import Model, make\n")
+    (pkg / "sub" / "core.py").write_text(
+        "class Model:\n"
+        "    def init(self, rng, batch=None):\n"
+        "        return rng\n"
+        "def make(n: int):\n"
+        "    return Model()\n"
+    )
+    (pkg / "use.py").write_text(
+        "from pkg import Model, make\n"
+        "m = Model()\n"
+        "m.init()\n"                       # CALL103 via two hops
+        "make('s')\n"                      # CALL104 via two hops
+    )
+    fs = [f for f in check_paths([pkg]) if "CALL" in f]
+    assert any("CALL103" in f and "Model.init" in f for f in fs), fs
+    assert any("CALL104" in f and "make" in f for f in fs), fs
