@@ -56,7 +56,11 @@ no network, so this module implements the always-runnable subset natively:
   (same- and cross-module) are type-checked against simple builtin
   parameter annotations (``int``/``str``/``float``/``bool``/``bytes``/
   ``complex``, optionally ``| None``/``Optional``), numeric tower
-  included,
+  included. Names the enclosing scope binds EXACTLY ONCE to a literal
+  (``y = 'a'``, no other store/del/param/global/nonlocal — including
+  ``nonlocal`` rebinds from nested functions — and the binding precedes
+  the call) count as that literal, mirroring mypy's inference of a
+  single-assignment local,
 - RET201/RET202 (mypy ``return``-lite): a function annotated with a
   value-requiring return type must not fall off the end of its body
   (conservative path-termination analysis) and must not contain a bare
@@ -1004,8 +1008,10 @@ def _literal_type_findings(
     cannot decode soundly (non-literal arguments, subscripted or custom
     annotations, ``Any``, forward-ref strings, ``*``/``**`` call sites,
     rebound names) is skipped, so a finding is a genuine ``arg-type``
-    error on that call."""
+    error on that call. Names the enclosing scope binds exactly once to a
+    literal count as that literal (``_call_const_envs``)."""
     fns, bind_counts = _module_call_candidates(tree)
+    call_envs = _call_const_envs(tree)
     findings: list[str] = []
     for node in ast.walk(tree):
         if not isinstance(node, ast.Call) or not isinstance(node.func, ast.Name):
@@ -1017,15 +1023,24 @@ def _literal_type_findings(
             k.arg is None for k in node.keywords
         ):
             continue
-        findings.extend(_literal_binding_findings(path, node, fn.args, fn.name))
+        findings.extend(_literal_binding_findings(
+            path, node, fn.args, fn.name, call_envs.get(id(node))
+        ))
     return findings
 
 
 def _literal_binding_findings(
-    path: Path, node: ast.Call, a: ast.arguments, label: str
+    path: Path, node: ast.Call, a: ast.arguments, label: str,
+    env: "ConstEnv | None" = None,
 ) -> list[str]:
     """The CALL104 literal-vs-annotation checks for ONE call site against
-    ONE receiver-stripped signature — shared with the method-call pass."""
+    ONE receiver-stripped signature — shared with the method-call passes.
+
+    ``env`` (from ``_const_local_envs``) extends the check from literal
+    arguments to names the enclosing scope binds EXACTLY ONCE to a literal
+    (``y = 'a'; f(y)`` — mypy infers ``y: str`` the same way); the binding
+    must precede the call textually, so a later-line first-use in a loop
+    cannot observe a pre-binding value."""
     findings: list[str] = []
     pos_params = [*a.posonlyargs, *a.args]
     by_name = {p.arg: p for p in [*pos_params, *a.kwonlyargs]}
@@ -1038,6 +1053,13 @@ def _literal_binding_findings(
         if param is not None:
             pairs.append((param, kw.value))
     for param, value in pairs:
+        via = ""
+        if (env is not None and isinstance(value, ast.Name)
+                and isinstance(value.ctx, ast.Load)):
+            hit = env.get(value.id)
+            if hit is not None and hit[1] < node.lineno:
+                via = f" (via local '{value.id}')"
+                value = hit[0]
         if not isinstance(value, ast.Constant) or value.value is Ellipsis:
             continue
         spec = _annotation_accepts(param.annotation)
@@ -1055,9 +1077,122 @@ def _literal_binding_findings(
             lit = "None" if v is None else type(v).__name__
             findings.append(
                 f"{path}:{node.lineno}: CALL104 call to '{label}' passes "
-                f"a {lit} literal for parameter '{param.arg}: {display}'"
+                f"a {lit} literal{via} for parameter '{param.arg}: {display}'"
             )
     return findings
+
+
+# Single-literal-binding environment of one scope: name → (the Constant
+# node it is bound to, the binding line).
+ConstEnv = dict[str, tuple[ast.Constant, int]]
+
+
+def _scope_binding_counts(
+    scope: ast.AST,
+) -> tuple[dict[str, int], set[str], set[str]]:
+    """(store counts, disqualified names, parameter names) for one scope's
+    OWN bindings — shared by the local-instance and const-local passes.
+
+    Counts every binding occurrence in the scope's own namespace: Name
+    stores/dels, def/class statements, import aliases, ``except ... as``
+    and match-pattern capture names. ``disqualified`` holds names declared
+    ``global``/``nonlocal`` here PLUS names any nested function rebinds via
+    ``nonlocal`` — those can change behind the scope's back, so a single
+    textual store does not pin them."""
+    own = _own_scope_all_nodes(scope)
+    params: set[str] = set()
+    if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        a = scope.args
+        params = {p.arg for p in [*a.posonlyargs, *a.args, *a.kwonlyargs]}
+        if a.vararg:
+            params.add(a.vararg.arg)
+        if a.kwarg:
+            params.add(a.kwarg.arg)
+    counts: dict[str, int] = {}
+    disqualified: set[str] = set()
+
+    def bump(nm: str) -> None:
+        counts[nm] = counts.get(nm, 0) + 1
+
+    for n in own:
+        if isinstance(n, ast.Name) and isinstance(n.ctx, (ast.Store, ast.Del)):
+            bump(n.id)
+        elif isinstance(n, (ast.Global, ast.Nonlocal)):
+            disqualified.update(n.names)
+        elif isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            bump(n.name)
+        elif isinstance(n, (ast.Import, ast.ImportFrom)):
+            for al in n.names:
+                bump((al.asname or al.name).split(".")[0])
+        elif isinstance(n, ast.ExceptHandler) and n.name:
+            bump(n.name)
+        elif isinstance(n, ast.MatchAs) and n.name:
+            bump(n.name)
+        elif isinstance(n, ast.MatchStar) and n.name:
+            bump(n.name)
+        elif isinstance(n, ast.MatchMapping) and n.rest:
+            bump(n.rest)
+    for n in own:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            for sub in ast.walk(n):
+                if isinstance(sub, ast.Nonlocal):
+                    disqualified.update(sub.names)
+    return counts, disqualified, params
+
+
+def _const_local_envs(tree: ast.Module) -> dict[int, ConstEnv]:
+    """id(scope node) → ConstEnv for every scope (module + functions) that
+    binds at least one name exactly once via ``x = <literal>`` or
+    ``x: T = <literal>`` — no other store, ``del``, parameter, or
+    global/nonlocal rebinding anywhere in (or into) the scope."""
+    scopes: list[ast.AST] = [tree]
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            scopes.append(node)
+    envs: dict[int, ConstEnv] = {}
+    for scope in scopes:
+        counts, disqualified, params = _scope_binding_counts(scope)
+        env: ConstEnv = {}
+        for n in _own_scope_all_nodes(scope):
+            if (isinstance(n, ast.Assign) and len(n.targets) == 1
+                    and isinstance(n.targets[0], ast.Name)):
+                target, value = n.targets[0].id, n.value
+            elif (isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name)
+                    and n.value is not None):
+                target, value = n.target.id, n.value
+            else:
+                continue
+            if not isinstance(value, ast.Constant) or value.value is Ellipsis:
+                continue
+            if (counts.get(target, 0) != 1 or target in params
+                    or target in disqualified):
+                continue
+            env[target] = (value, n.lineno)
+        if env:
+            envs[id(scope)] = env
+    return envs
+
+
+def _call_const_envs(tree: ast.Module) -> dict[int, ConstEnv]:
+    """id(Call node) → the ConstEnv of its immediately enclosing scope, for
+    every call in a scope that has one. Calls inside lambda bodies get no
+    env (a lambda is its own scope — conservative skip)."""
+    envs = _const_local_envs(tree)
+    if not envs:
+        return {}
+    scopes: list[ast.AST] = [tree]
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            scopes.append(node)
+    out: dict[int, ConstEnv] = {}
+    for scope in scopes:
+        env = envs.get(id(scope))
+        if not env:
+            continue
+        for n in _own_scope_all_nodes(scope):
+            if isinstance(n, ast.Call):
+                out[id(n)] = env
+    return out
 
 
 def _has_own_scope_node(fn: ast.AST, kinds: tuple[type, ...]) -> bool:
@@ -1652,6 +1787,7 @@ def _method_call_findings(
     findings: list[str] = []
     if method_defs is None or method_stores is None:
         method_defs, method_stores = _class_method_defs_and_stores(tree)
+    call_envs = _call_const_envs(tree)
     classes_by_name: dict[str, ast.ClassDef] = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.ClassDef):
@@ -1698,7 +1834,9 @@ def _method_call_findings(
                     continue
                 label = f"{cls.name}.{name}"
                 findings.extend(_signature_binding_findings(path, node, sig, label))
-                findings.extend(_literal_binding_findings(path, node, sig, label))
+                findings.extend(_literal_binding_findings(
+                    path, node, sig, label, call_envs.get(id(node))
+                ))
     return findings
 
 
@@ -1787,7 +1925,9 @@ def _instance_method_call_findings(
 
     Conservative: the variable must be stored exactly once in its scope
     (no reassignment, augmented assignment, loop target, ``del``,
-    ``global``/``nonlocal`` declaration, or parameter of the same name),
+    ``global``/``nonlocal`` declaration — a ``nonlocal`` rebind from a
+    nested function counts — ``except ... as``/match-capture binding, or
+    parameter of the same name),
     the class name must be uniquely bound in this file, the call must come
     textually after the binding, and the repo-wide rebind guard applies
     (``method_stores`` — any ``obj.m = …``/class-body assignment of the
@@ -1800,33 +1940,14 @@ def _instance_method_call_findings(
     if not class_tables:
         return findings
     _fns, bind_counts = _module_call_candidates(tree)
+    const_envs = _const_local_envs(tree)
     scopes: list[ast.AST] = [tree]
     for node in ast.walk(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             scopes.append(node)
     for scope in scopes:
         own = _own_scope_all_nodes(scope)
-        params: set[str] = set()
-        if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            a = scope.args
-            params = {p.arg for p in [*a.posonlyargs, *a.args, *a.kwonlyargs]}
-            if a.vararg:
-                params.add(a.vararg.arg)
-            if a.kwarg:
-                params.add(a.kwarg.arg)
-        store_counts: dict[str, int] = {}
-        declared: set[str] = set()
-        for n in own:
-            if isinstance(n, ast.Name) and isinstance(n.ctx, (ast.Store, ast.Del)):
-                store_counts[n.id] = store_counts.get(n.id, 0) + 1
-            elif isinstance(n, (ast.Global, ast.Nonlocal)):
-                declared.update(n.names)
-            elif isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-                store_counts[n.name] = store_counts.get(n.name, 0) + 1
-            elif isinstance(n, (ast.Import, ast.ImportFrom)):
-                for al in n.names:
-                    nm = (al.asname or al.name).split(".")[0]
-                    store_counts[nm] = store_counts.get(nm, 0) + 1
+        store_counts, declared, params = _scope_binding_counts(scope)
         instances: dict[str, tuple[MethodTable, str, int]] = {}
         for n in own:
             if not (isinstance(n, ast.Assign) and len(n.targets) == 1
@@ -1866,7 +1987,9 @@ def _instance_method_call_findings(
                 continue
             label = f"{cls_name}.{name}"
             findings.extend(_signature_binding_findings(path, n, sig, label))
-            findings.extend(_literal_binding_findings(path, n, sig, label))
+            findings.extend(_literal_binding_findings(
+                path, n, sig, label, const_envs.get(id(scope))
+            ))
     return findings
 
 

@@ -501,13 +501,78 @@ def test_ast_lint_literal_arg_types(tmp_path):
             "def _f(x: list[int]):\n    return x\n_f(3)\n", None),
         "forward-ref string skipped": (
             "def _f(x: 'int'):\n    return x\n_f('a')\n", None),
-        "non-literal arg skipped": (
-            "def _f(x: int):\n    return x\ny = 'a'\n_f(y)\n", None),
+        "single-assignment local propagated": (
+            "def _f(x: int):\n    return x\ny = 'a'\n_f(y)\n", "CALL104"),
         "rebound callee skipped": (
             "def _f(x: int):\n    return x\n_f = print\n_f('a')\n", None),
     }
     for name, (code, expect) in cases.items():
         p = tmp_path / f"lit_{abs(hash(name))}.py"
+        p.write_text(code)
+        fs = [f for f in check_file(p) if "CALL104" in f]
+        if expect is None:
+            assert not fs, (name, fs)
+        else:
+            assert any(expect in f for f in fs), (name, expect, fs)
+
+
+def test_ast_lint_const_local_arg_types(tmp_path):
+    """CALL104 constant propagation: a name the enclosing scope binds
+    EXACTLY ONCE to a literal counts as that literal at checked call sites
+    (mypy infers the same type for a single-assignment local). Any second
+    binding of the name — reassignment, ``del``, parameter, ``except as``,
+    match capture, or a ``nonlocal`` rebind from a nested function — or a
+    call that textually precedes the binding disqualifies it."""
+    from multimodal_mtrssm_tpu.utils.lint import check_file
+
+    helper = "def _f(x: int):\n    return x\n"
+    cases = {
+        # name: (code, expect CALL104 or None)
+        "module-level const local": (helper + "y = 'a'\n_f(y)\n", "CALL104"),
+        "function-scope const local": (
+            helper + "def _g():\n    y = 'a'\n    return _f(y)\n", "CALL104"),
+        "annotated assignment counts": (
+            helper + "def _g():\n    y: str = 'a'\n    return _f(y)\n", "CALL104"),
+        "keyword argument resolved": (
+            "def _f(a, x: int = 0):\n    return x\ny = 'a'\n_f(1, x=y)\n", "CALL104"),
+        "method receiver resolved": (
+            "class C:\n    def m(self, x: int):\n        return x\n"
+            "    def go(self):\n        y = 'a'\n        return self.m(y)\n", "CALL104"),
+        "local instance resolved": (
+            "class C:\n    def m(self, x: int):\n        return x\n"
+            "def _g():\n    c = C()\n    y = 'a'\n    return c.m(y)\n", "CALL104"),
+        "matching type ok": ("def _f(x: str):\n    return x\ny = 'a'\n_f(y)\n", None),
+        "numeric tower ok": ("def _f(x: float):\n    return x\ny = 3\n_f(y)\n", None),
+        "reassigned skipped": (helper + "y = 'a'\ny = 1\n_f(y)\n", None),
+        "augassigned skipped": (helper + "y = 'a'\ny += 'b'\n_f(y)\n", None),
+        "use before binding skipped": (
+            helper + "def _g(flag):\n    while flag:\n        _f(y)\n        y = 'a'\n", None),
+        "parameter shadow skipped": (
+            helper + "def _g(y):\n    return _f(y)\n", None),
+        "del skipped": (
+            helper + "def _g():\n    y = 'a'\n    del y\n    y = 'b'\n    return _f(y)\n",
+            None),
+        "except-as rebind skipped": (
+            helper + "def _g():\n    y = 'a'\n    try:\n        pass\n"
+            "    except Exception as y:\n        pass\n    return _f(y)\n", None),
+        "nonlocal rebind from nested fn skipped": (
+            helper + "def _g():\n    y = 'a'\n    def h():\n        nonlocal y\n"
+            "        y = 1\n    h()\n    return _f(y)\n", None),
+        "global declaration skipped": (
+            helper + "def _g():\n    global y\n    y = 'a'\n    return _f(y)\n", None),
+        "loop-target rebind skipped": (
+            helper + "def _g(xs):\n    y = 'a'\n    for y in xs:\n        pass\n"
+            "    return _f(y)\n", None),
+        "walrus-only binding skipped": (
+            helper + "def _g():\n    if (y := 'a'):\n        return _f(y)\n", None),
+        "nested-scope env not inherited": (
+            helper + "def _g():\n    y = 'a'\n    def h():\n        return _f(y)\n"
+            "    return h()\n", None),
+        "non-literal value skipped": (
+            helper + "def _g(z):\n    y = z\n    return _f(y)\n", None),
+    }
+    for name, (code, expect) in cases.items():
+        p = tmp_path / f"const_{abs(hash(name))}.py"
         p.write_text(code)
         fs = [f for f in check_file(p) if "CALL104" in f]
         if expect is None:
