@@ -26,7 +26,7 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 B, T = 16, 30
 
 
-def large_config(conv_layout: str = "s2d") -> MRSSMConfig:
+def large_config(conv_layout: str = "auto") -> MRSSMConfig:
     enc = EncoderConfig(
         linear_sizes=(512,), channels=(32, 64, 128, 256), kernel_sizes=(3, 3, 3, 3),
         strides=(2, 2, 2, 2), paddings=(1, 1, 1, 1), num_residual_blocks=2,
@@ -53,8 +53,10 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--conv-layout", choices=("nhwc", "s2d"), default="s2d",
-                    help="conv-stack layout (s2d = the shipped default)")
+    ap.add_argument("--conv-layout", choices=("auto", "nhwc", "s2d"), default="auto",
+                    help="conv-stack layout (auto = the shipped width-resolved "
+                         "default; resolves to nhwc at these widths — the "
+                         "2026-08-20 A/B measured s2d 0.93x on this config)")
     args = ap.parse_args()
     model = MoPoEMRSSM(large_config(args.conv_layout))
     params = model.init(jax.random.PRNGKey(0))
@@ -111,6 +113,7 @@ def main() -> None:
         "ms_per_step": round(best * 1e3, 2),
         "batch": B,
         "conv_layout": args.conv_layout,
+        "resolved_layout": "s2d" if model._use_s2d else "nhwc",
         "gflop_per_step": round(flops_per_step / 1e9, 1),
         "mfu_pct": round(100.0 * flops_per_step / best / V5E_PEAK_FLOPS, 2),
         "nominal_bw_pct": round(100.0 * bytes_per_step / best / V5E_HBM_BPS, 1),

@@ -89,11 +89,13 @@ class MMTRSSMConfig:
     # knob as ``MRSSMConfig.conv_dtype``: bf16 convs, f32 recurrence (keeps
     # the fused hierarchical training kernel eligible).
     conv_dtype: Any = None
-    # Conv-stack layout ("nhwc" | "s2d") — same exact-re-expression knob as
-    # ``MRSSMConfig.conv_layout`` (see its comment; pinned by
-    # tests/test_s2d_layout.py). Default "s2d" after the on-chip A/B
-    # (2026-08-19): B=8 1.04×, B=32 neutral — never slower.
-    conv_layout: str = "s2d"
+    # Conv-stack layout ("auto" | "nhwc" | "s2d") — same exact-
+    # re-expression knob as ``MRSSMConfig.conv_layout`` (see its comment;
+    # pinned by tests/test_s2d_layout.py). "auto" picks s2d only at
+    # narrow widths where it measured faster (B=8 1.04×, B=32 neutral,
+    # 2026-08-19); wide stacks resolve to nhwc (the 27M config measured
+    # s2d 0.93×, 2026-08-20).
+    conv_layout: str = "auto"
 
     @property
     def hs_dim(self) -> int:

@@ -113,21 +113,25 @@ class MRSSMConfig:
     # kernel. Embeddings/reconstructions are cast back to compute_dtype at
     # the conv boundary; the ELBO ops upcast to f32 internally regardless.
     conv_dtype: Any = None
-    # Conv-stack layout: "nhwc" (canonical) or "s2d" — the space-to-depth
-    # exact re-expression of the toy-width conv stacks (nn/conv.py): every
-    # k3 s2 conv reads 4× the input lanes and the last deconv emits
-    # depth-to-space phases, recovering part of the 128-lane padding waste
-    # the roofline analysis measured (BASELINE.md; isolated conv win
-    # 1.05-1.11× on-chip, exact to ≤3e-8). Same params, same math (pinned
-    # by tests/test_s2d_layout.py): encoders switch layout everywhere, the
-    # TRAINING loss compares phase reconstructions against s2d'd targets,
-    # and decode_state/viz/eval/serving always emit canonical frames.
-    # Requires the stacks to be s2d-eligible (the default config is);
-    # construction raises otherwise. Default "s2d" since the on-chip
-    # full-train-step A/B (2026-08-19): B=128 1.086×, B=8 1.043×, B=32
-    # neutral — never slower, exact math. "nhwc" restores the canonical
-    # layout (bit-identical streams to pre-flip runs).
-    conv_layout: str = "s2d"
+    # Conv-stack layout: "auto" (default), "nhwc" (canonical) or "s2d" —
+    # the space-to-depth exact re-expression of narrow conv stacks
+    # (nn/conv.py): every k3 s2 conv reads 4× the input lanes and the last
+    # deconv emits depth-to-space phases, recovering part of the 128-lane
+    # padding waste the roofline analysis measured (BASELINE.md; isolated
+    # conv win 1.05-1.11× on-chip, exact to ≤3e-8). Same params, same math
+    # (pinned by tests/test_s2d_layout.py): encoders switch layout
+    # everywhere, the TRAINING loss compares phase reconstructions against
+    # s2d'd targets, and decode_state/viz/eval/serving always emit
+    # canonical frames. Explicit "s2d" requires the stacks to be
+    # s2d-eligible; construction raises otherwise. The win is
+    # width-dependent (the re-expression costs 16/9× nominal taps per
+    # mid-stack conv): the toy-width reference stacks measured B=128
+    # 1.086×, B=8 1.043×, B=32 neutral (2026-08-19), while the 27M
+    # wide-channel config measured 0.93× (2026-08-20) — so "auto" picks
+    # s2d exactly when every expanded read fits one 128-lane tile
+    # (nn.conv.s2d_auto_profitable), nhwc otherwise. "nhwc" restores the
+    # canonical layout (bit-identical streams to pre-s2d runs).
+    conv_layout: str = "auto"
 
     @property
     def stoch_size(self) -> int:
@@ -148,13 +152,21 @@ def _resolve_conv_layout(
     decoder_cfgs: tuple[DecoderConfig, ...],
 ) -> bool:
     """Validate a ``conv_layout`` config value against the model's conv
-    stacks. Returns True when the s2d layout is enabled; raises when it is
-    requested but some stack cannot be re-expressed exactly (a silent
-    fallback would misreport what the benchmark measured)."""
+    stacks. Returns True when the s2d layout is enabled; explicit "s2d"
+    raises when some stack cannot be re-expressed exactly (a silent
+    fallback would misreport what the benchmark measured), while "auto"
+    resolves via the measured-width heuristic
+    (:func:`~multimodal_mtrssm_tpu.nn.conv.s2d_auto_profitable`)."""
     if layout == "nhwc":
         return False
+    if layout == "auto":
+        from multimodal_mtrssm_tpu.nn.conv import s2d_auto_profitable
+
+        return s2d_auto_profitable(encoder_cfgs, decoder_cfgs)
     if layout != "s2d":
-        raise ValueError(f"conv_layout must be 'nhwc' or 's2d', got {layout!r}")
+        raise ValueError(
+            f"conv_layout must be 'auto', 'nhwc' or 's2d', got {layout!r}"
+        )
     from multimodal_mtrssm_tpu.nn.conv import (
         decoder_s2d_applicable,
         encoder_s2d_applicable,

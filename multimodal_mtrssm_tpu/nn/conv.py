@@ -509,6 +509,29 @@ def decoder_s2d_applicable(cfg: DecoderConfig) -> bool:
     )
 
 
+def s2d_auto_profitable(
+    encoder_cfgs: tuple[EncoderConfig, ...],
+    decoder_cfgs: tuple[DecoderConfig, ...],
+) -> bool:
+    """Whether ``conv_layout="auto"`` should pick the s2d layout for these
+    stacks: every stack must be s2d-eligible AND every chained-s2d encoder
+    conv's expanded read (4× its input channels) must fit ONE 128-lane
+    register tile. The re-expression trades 16/9× nominal taps per
+    mid-stack conv (a k3 kernel scattered into a k2 kernel over 4× lanes)
+    for recovered lane padding — profitable only while the original reads
+    sit far below the 128-lane tile. Both regimes are measured on-chip
+    (2026-08-20, BASELINE.md): the toy-width reference stacks (max conv
+    width 32 ⇒ expanded reads ≤64 lanes) win 1.04-1.09×; the 27M scaled
+    config (widths to 256 ⇒ expanded reads to 512 lanes) loses 0.93×."""
+    for c in encoder_cfgs:
+        if not encoder_s2d_applicable(c):
+            return False
+        # conv_i (i ≥ 2) reads s2d-expanded channels[i-1]·4 lanes.
+        if any(4 * ch > 128 for ch in c.channels[:-1]):
+            return False
+    return all(decoder_s2d_applicable(c) for c in decoder_cfgs)
+
+
 def encoder_apply_s2d(params: Params, cfg: EncoderConfig, x: jax.Array) -> jax.Array:
     """:func:`encoder_apply` in the chained-s2d layout — bit-identical math
     on the same params (pinned by ``tests/test_s2d_layout.py``), but every

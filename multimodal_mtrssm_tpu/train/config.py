@@ -291,10 +291,11 @@ def _build_mrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMRSSM:
         input_noise_std=noise_std,
         # TPU knobs beyond the reference schema: fused training kernel
         # dispatch ("auto" default; False forces the XLA scan) and the
-        # space-to-depth conv layout ("nhwc" default; "s2d" = the exact
-        # re-expression, nn/conv.py).
+        # space-to-depth conv layout ("auto" default = s2d exactly at the
+        # measured-profitable narrow widths; "nhwc"/"s2d" force a layout,
+        # nn/conv.py).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
-        conv_layout=margs.get("conv_layout", "s2d"),
+        conv_layout=margs.get("conv_layout", "auto"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),
@@ -381,9 +382,9 @@ def _build_mmtrssm(margs: dict, noise_std: float = 0.1) -> MoPoEMMTRSSM:
         input_noise_std=noise_std,
         w_kl_h=float(margs.get("w_kl_h", 1.0)),
         # Same TPU knobs as the MRSSM family (fused hierarchical kernel,
-        # s2d conv layout).
+        # width-resolved s2d conv layout).
         use_pallas_train=margs.get("use_pallas_train", "auto"),
-        conv_layout=margs.get("conv_layout", "s2d"),
+        conv_layout=margs.get("conv_layout", "auto"),
         audio_encoder=_encoder_cfg(margs.get("audio_encoder")),
         vision_encoder=_encoder_cfg(margs.get("vision_encoder")),
         audio_decoder=_decoder_cfg(margs.get("audio_decoder"), feature),

@@ -89,6 +89,37 @@ def test_model_rejects_ineligible_s2d():
         MoPoEMRSSM(MRSSMConfig(conv_layout="weird"))
 
 
+def test_auto_layout_resolution():
+    """conv_layout="auto" (the default) picks s2d exactly at the widths
+    where the on-chip A/B measured it faster: toy-width stacks -> s2d;
+    wide-channel stacks (the 27M config regime, measured 0.93x) and
+    s2d-ineligible stacks -> nhwc WITHOUT raising."""
+    from multimodal_mtrssm_tpu.models import MoPoEMRSSM, MRSSMConfig
+    from multimodal_mtrssm_tpu.models.mmtrssm import MMTRSSMConfig, MoPoEMMTRSSM
+    from multimodal_mtrssm_tpu.nn.conv import s2d_auto_profitable
+
+    # Default (toy-width) config: auto == s2d for both families.
+    assert MoPoEMRSSM(MRSSMConfig()).cfg.conv_layout == "auto"
+    assert MoPoEMRSSM(MRSSMConfig())._use_s2d
+    assert MoPoEMMTRSSM(MMTRSSMConfig())._use_s2d
+
+    # Wide channels (any expanded read past one 128-lane tile): nhwc.
+    wide = EncoderConfig(channels=(32, 64, 128, 256), kernel_sizes=(3,) * 4,
+                         strides=(2,) * 4, paddings=(1,) * 4, in_hw=(64, 64))
+    assert not MoPoEMRSSM(MRSSMConfig(
+        audio_encoder=wide, vision_encoder=wide))._use_s2d
+    assert not s2d_auto_profitable((wide,), ())
+
+    # Boundary: last-read channel 32 (expanded 128) still qualifies.
+    edge = EncoderConfig(channels=(32, 64), kernel_sizes=(3, 3),
+                         strides=(2, 2), paddings=(1, 1))
+    assert s2d_auto_profitable((edge,), ())
+
+    # Ineligible stacks fall back silently under auto (explicit s2d raises).
+    assert not MoPoEMRSSM(MRSSMConfig(
+        audio_encoder=EncoderConfig(strides=(2, 2, 1))))._use_s2d
+
+
 def _batch(key, B=3, T=4):
     ks = jax.random.split(key, 3)
     act = jax.random.normal(ks[0], (B, T, 6))
