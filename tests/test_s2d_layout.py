@@ -55,6 +55,26 @@ def test_encoder_s2d_exact_no_coordconv():
     assert float(jnp.max(jnp.abs(base - s2d))) < 1e-5
 
 
+@pytest.mark.parametrize("cfg", [
+    # Non-default depths/widths/grids: the weight gathers must generalize
+    # beyond the default 3-conv 32x32 stack.
+    EncoderConfig(channels=(4, 8), kernel_sizes=(3, 3), strides=(2, 2),
+                  paddings=(1, 1), in_hw=(16, 16), linear_sizes=(16,),
+                  num_residual_blocks=1, residual_intermediate_size=8,
+                  residual_output_size=8),
+    EncoderConfig(channels=(8, 16, 32, 32), kernel_sizes=(3,) * 4,
+                  strides=(2,) * 4, paddings=(1,) * 4, in_hw=(32, 32),
+                  linear_sizes=(24,), num_residual_blocks=0),
+], ids=["depth2-16px", "depth4-no-res"])
+def test_encoder_s2d_exact_nondefault(cfg):
+    assert encoder_s2d_applicable(cfg)
+    params = encoder_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, *cfg.in_hw, 1))
+    base = encoder_apply(params, cfg, x)
+    s2d = encoder_apply_s2d(params, cfg, x)
+    assert float(jnp.max(jnp.abs(base - s2d))) < 1e-5
+
+
 @pytest.mark.parametrize("in_features", [48, 96])
 def test_decoder_s2d_exact(in_features):
     cfg = DecoderConfig(in_features=in_features)
