@@ -76,7 +76,12 @@ no network, so this module implements the always-runnable subset natively:
   any method, defined in the class body, inherited from a same-module
   base, or stored on any object anywhere in the linted tree — the
   cross-file whitelist that keeps injection patterns from false-positives
-  while still catching typo'd names, which are stored nowhere).
+  while still catching typo'd names, which are stored nowhere),
+- ATTR102: the same check on TRACKED LOCAL INSTANCES — in a scope binding
+  ``x = C(...)`` exactly once (``C`` an eligible same-module class without
+  ``__new__``), later ``x.attr`` reads must resolve to C's surface; a
+  dynamic inspection of ``x`` (hasattr/getattr/vars/…) anywhere in the
+  scope drops the tracking.
 
 ``tests/test_static_gates.py`` runs these on every test invocation and
 additionally shells out to real ``ruff``/``mypy`` when they exist.
@@ -1993,6 +1998,87 @@ def _instance_method_call_findings(
     return findings
 
 
+def _instance_attribute_findings(
+    path: Path, tree: ast.Module, repo_attrs: set[str]
+) -> list[str]:
+    """ATTR102 (mypy ``attr-defined``-lite on locals): in a scope that
+    binds ``x = C(...)`` exactly once — ``C`` an ATTR101-eligible
+    same-module class that defines no ``__new__`` (so the constructor pins
+    the exact type) — every later ``x.attr`` READ must resolve to the
+    class surface, exactly as ATTR101 checks ``self.attr`` inside methods.
+
+    Same conservative rules as the local-instance call pass (single
+    textual store, unique class binding, read after the binding) plus
+    ATTR101's: a dynamic inspection of the variable anywhere in the scope
+    (hasattr/getattr/vars/setattr/delattr) drops it, dunder reads are
+    skipped, and the cross-file attribute-store whitelist (``repo_attrs``)
+    suppresses injection patterns — so a finding is an attribute the
+    linted tree never defines or stores on ANY object."""
+    classes_by_name: dict[str, ast.ClassDef] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            classes_by_name[node.name] = node
+    surfaces: dict[str, set[str]] = {}
+    for cls in classes_by_name.values():
+        if any(isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef))
+               and st.name == "__new__" for st in _class_body_stmts(cls)):
+            continue
+        ok, attrs = _class_eligibility_and_attrs(cls, classes_by_name)
+        if ok:
+            surfaces[cls.name] = attrs
+    if not surfaces:
+        return []
+    _fns, bind_counts = _module_call_candidates(tree)
+    findings: list[str] = []
+    scopes: list[ast.AST] = [tree]
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            scopes.append(node)
+    for scope in scopes:
+        own = _own_scope_all_nodes(scope)
+        store_counts, declared, params = _scope_binding_counts(scope)
+        instances: dict[str, tuple[set[str], str, int]] = {}
+        for n in own:
+            if not (isinstance(n, ast.Assign) and len(n.targets) == 1
+                    and isinstance(n.targets[0], ast.Name)
+                    and isinstance(n.value, ast.Call)
+                    and isinstance(n.value.func, ast.Name)):
+                continue
+            var, cls_name = n.targets[0].id, n.value.func.id
+            attrs = surfaces.get(cls_name)
+            if (attrs is None or bind_counts.get(cls_name, 0) != 1
+                    or store_counts.get(var, 0) != 1
+                    or var in params or var in declared):
+                continue
+            instances[var] = (attrs, cls_name, n.lineno)
+        if not instances:
+            continue
+        for n in own:
+            if (isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+                    and n.func.id in ("hasattr", "getattr", "vars",
+                                      "delattr", "setattr")
+                    and n.args and isinstance(n.args[0], ast.Name)):
+                instances.pop(n.args[0].id, None)
+        for n in own:
+            if not (isinstance(n, ast.Attribute) and isinstance(n.ctx, ast.Load)
+                    and isinstance(n.value, ast.Name)):
+                continue
+            entry = instances.get(n.value.id)
+            if entry is None:
+                continue
+            attrs, cls_name, bind_line = entry
+            if (n.lineno < bind_line
+                    or (n.attr.startswith("__") and n.attr.endswith("__"))):
+                continue
+            if n.attr in attrs or n.attr in _UNIVERSAL_ATTRS or n.attr in repo_attrs:
+                continue
+            findings.append(
+                f"{path}:{n.lineno}: ATTR102 '{n.value.id}.{n.attr}' is read "
+                f"but never assigned anywhere (instance of '{cls_name}')"
+            )
+    return findings
+
+
 def check_file(
     path: Path,
     repo_attrs: set[str] | None = None,
@@ -2029,9 +2115,11 @@ def check_file(
     imported_fns, imported_tables = _imported_symbols(
         tree, pkg_parts, repo_fns or {}, repo_classes or {}, repo_reexports or {}
     )
-    findings.extend(_self_attribute_findings(
-        path, tree, repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
-    ))
+    attrs_whitelist = (
+        repo_attrs if repo_attrs is not None else _attribute_store_names(tree)
+    )
+    findings.extend(_self_attribute_findings(path, tree, attrs_whitelist))
+    findings.extend(_instance_attribute_findings(path, tree, attrs_whitelist))
     method_defs, method_stores = (
         repo_methods if repo_methods is not None
         else _class_method_defs_and_stores(tree)
