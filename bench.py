@@ -35,6 +35,12 @@ from multimodal_mtrssm_tpu.train.optim import make_optimizer
 # 2026-08-17: {"metric": "torch_reference_train_seq_per_s", "value": 15.99,
 #              "unit": "seq/s", "device": "cpu"}
 TORCH_REFERENCE_SEQ_PER_S = 15.99
+# Baseline identity, carried in the JSON line so the vs_baseline ratio is
+# self-describing (VERDICT r4 item 7): the denominator is an
+# architecture-faithful torch reimplementation of the reference train step
+# run on THIS image's CPU (torch-GPU is not available here), at the same
+# B=8 T=30 reference config. It is NOT a GPU number.
+BASELINE_ID = "torch-cpu-reimpl-B8T30"
 
 # TPU v5e peak: 197 TFLOP/s bf16 (f32 runs below this; we report MFU against
 # the bf16 peak as the conservative denominator).
@@ -82,6 +88,7 @@ def _start_watchdog() -> "threading.Event":
                 "value": 0.0,
                 "unit": "seq/s",
                 "vs_baseline": 0.0,
+                "baseline": BASELINE_ID,
                 "error": (
                     f"watchdog: no result within {WATCHDOG_S:.0f}s — TPU "
                     "claim/execution hung (known wedged-chip failure mode)"
@@ -199,6 +206,7 @@ def main() -> None:
         "vs_baseline": (
             round(seq_per_s / TORCH_REFERENCE_SEQ_PER_S, 2) if TORCH_REFERENCE_SEQ_PER_S else None
         ),
+        "baseline": BASELINE_ID,
         # Utilization context (see BASELINE.md roofline section): the
         # reference config B=8 T=30 is latency-bound on the sequential
         # T=30 recurrence, so MFU is intentionally low here; large-batch
@@ -284,6 +292,7 @@ def _supervise() -> int:
         "value": 0.0,
         "unit": "seq/s",
         "vs_baseline": 0.0,
+        "baseline": BASELINE_ID,
         "error": "no attempt produced a result",
     }
     if last is not None:
@@ -309,6 +318,7 @@ if __name__ == "__main__":
             "value": 0.0,
             "unit": "seq/s",
             "vs_baseline": 0.0,
+            "baseline": BASELINE_ID,
             "error": f"{type(e).__name__}: {e}",
         }), flush=True)
         raise SystemExit(1)

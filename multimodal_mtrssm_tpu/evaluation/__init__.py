@@ -11,7 +11,12 @@ from multimodal_mtrssm_tpu.evaluation.classifier import (
     save_classifier,
     train_classifier,
 )
+from multimodal_mtrssm_tpu.evaluation.crossmodal import (
+    build_normalized_batch,
+    reconstruction_report,
+)
 from multimodal_mtrssm_tpu.evaluation.word_transitions import (
+    CONDITIONS,
     WORD_SET,
     compute_baselines,
     compute_matching_rate,
@@ -26,7 +31,10 @@ from multimodal_mtrssm_tpu.evaluation.word_transitions import (
 )
 
 __all__ = [
+    "CONDITIONS",
     "WORD_SET",
+    "build_normalized_batch",
+    "reconstruction_report",
     "classifier_apply",
     "classifier_init",
     "compute_baselines",

@@ -48,6 +48,25 @@ from multimodal_mtrssm_tpu.nn.core import Params
 
 WORD_SET = list(range(10))
 
+# Conditioning conditions for cross-modal evaluation: which modality carries
+# information when the initial state is inferred. "both" = reference
+# protocol; "vision"/"audio" replace the OTHER modality's conditioning frame
+# with the ZeroOut fill (-1, the reference's missing-modality marker,
+# reference ``mrssm/callback.py:122-125``) so the MoPoE posterior must infer
+# the word from one modality alone.
+CONDITIONS = ("both", "vision", "audio")
+
+
+def _apply_condition(a0: np.ndarray, v0: np.ndarray, condition: str) -> tuple[np.ndarray, np.ndarray]:
+    """Zero out (to -1) the modality NOT carrying information under ``condition``."""
+    if condition not in CONDITIONS:
+        raise ValueError(f"condition={condition!r} not in {CONDITIONS}")
+    if condition == "vision":
+        a0 = np.full_like(a0, -1.0)
+    elif condition == "audio":
+        v0 = np.full_like(v0, -1.0)
+    return a0, v0
+
 
 # ---------------------------------------------------------------------------
 # Data loading (reference :22-148)
@@ -228,12 +247,14 @@ def generate_predictions_with_classifier(
     audio_transform: NormalizeAudioMelSpectrogram | None = None,
     vision_transform: NormalizeVisionImage | None = None,
     classify_frame: int = 0,
+    condition: str = "both",
 ) -> list[int]:
     """Predicted digits for one interval: n_predictions batched rollouts."""
     audio_transform = audio_transform or NormalizeAudioMelSpectrogram(-80.0, 0.0)
     vision_transform = vision_transform or NormalizeVisionImage()
     audio0 = audio_transform(_to_nhwc(interval["audio"]))[0]  # frame 0, [H, W, C]
     vision0 = vision_transform(_to_nhwc(interval["image"]))[0]
+    audio0, vision0 = _apply_condition(audio0, vision0, condition)
     last_action = interval["speaker"][-1]  # [A]
 
     n = n_predictions
@@ -336,6 +357,7 @@ def generate_predictions_batched(
     vision_transform: NormalizeVisionImage | None = None,
     use_pallas: bool | str = "auto",
     classify_frame: int = 0,
+    condition: str = "both",
 ) -> list[int]:
     """All intervals × samples of one word as ONE batched rollout.
 
@@ -352,6 +374,7 @@ def generate_predictions_batched(
     vision_transform = vision_transform or NormalizeVisionImage()
     a0 = np.stack([audio_transform(_to_nhwc(iv["audio"]))[0] for iv in intervals])
     v0 = np.stack([vision_transform(_to_nhwc(iv["image"]))[0] for iv in intervals])
+    a0, v0 = _apply_condition(a0, v0, condition)
     last = np.stack([iv["speaker"][-1] for iv in intervals])  # [I, A]
     P = n_predictions
     actions = jnp.broadcast_to(
@@ -464,8 +487,16 @@ def evaluate_word_transitions(
     batched: bool = True,
     use_pallas: bool | str = "auto",
     classify_frame: int = 0,
+    condition: str = "both",
 ) -> dict:
     """Run the full MR evaluation; returns the results dict (JSON-ready).
+
+    ``condition`` selects WHICH modality carries information when the
+    initial state is inferred: "both" (reference protocol), "vision"
+    (audio conditioning frame replaced by the ZeroOut fill −1), or "audio"
+    (vision frame zeroed) — the cross-modal inference evaluation the
+    reference's missing-modality viz is designed around (reference
+    ``mrssm/callback.py:122-125``), with the Matching Rate as the metric.
 
     ``batched=True`` runs each word's intervals × samples as one rollout;
     ``use_pallas`` routes the rollout through the fused kernel — True,
@@ -505,7 +536,7 @@ def evaluate_word_transitions(
             predicted = generate_predictions_batched(
                 model, params, classifier_params, intervals, sub,
                 n_predictions, n_frames, audio_t, vision_t, use_pallas=use_pallas,
-                classify_frame=classify_frame,
+                classify_frame=classify_frame, condition=condition,
             )
         else:
             for interval in intervals:
@@ -514,7 +545,7 @@ def evaluate_word_transitions(
                     generate_predictions_with_classifier(
                         model, params, classifier_params, interval, sub,
                         n_predictions, n_frames, audio_t, vision_t,
-                        classify_frame=classify_frame,
+                        classify_frame=classify_frame, condition=condition,
                     )
                 )
         q_dist = compute_prediction_distribution(predicted, word_set)
@@ -534,6 +565,7 @@ def evaluate_word_transitions(
         return float(np.mean([r["baselines"][name] for r in results.values()])) if valid else 0.0
 
     summary = {
+        "condition": condition,
         "mean_matching_rate": float(np.mean(valid)) if valid else 0.0,
         "mean_uniform": _mean_baseline("uniform"),
         "mean_peak_onehot": _mean_baseline("peak_onehot"),

@@ -1,0 +1,350 @@
+"""Fused VMEM-resident encoder: the whole conv stack as ONE Pallas kernel.
+
+The roofline residual (BASELINE.md): at production batch the train step sits
+at ~3.1× the packed activation-traffic floor, attributed to *fusion
+boundaries* (every XLA conv is its own kernel — act1/act2/act3 and six
+residual-block intermediates round-trip HBM between layers) and weight
+traffic. Lane repacking (the s2d layout) recovered only ~7-10%; this module
+attacks the boundaries themselves: the encoder runs as a single
+``pallas_call`` whose grid tiles the frame batch, with every intermediate
+activation resident in VMEM — HBM sees one input read and one [N, out]
+embedding write.
+
+**Super-row formulation.** Activations live as ``[TN, P=4, L]`` tensors:
+the H axis is grouped into P=4 "super-rows" of R=H/4 base rows each, and
+(base-row-within-group, W, C) flatten into the lane axis L — multiples of
+128 at every layer of the reference config (256/512/256/128/256), so VMEM
+tiles are fully lane-packed (the naive NHWC block would waste up to 32× on
+1-4-channel lanes). Because every conv's vertical stride divides R, each
+layer becomes 1-3 MXU matmuls::
+
+    y[:, p, :] = ELU( Σ_d  x[:, p+d, :] @ A_d  + bias )      d ∈ {-1,0,1}
+
+where ``A_d [L_in, L_out]`` is the conv's weights scattered into a banded
+lane-operator (translation-invariant in p; H zero-padding = the missing
+taps at p=0/P-1). The only non-matmul ops in the kernel are static
+super-row shifts (pad/slice on the sublane axis) — no reshapes, no
+transposes, no strided slicing.
+
+``A_d`` is built from the ORIGINAL ``encoder_init`` params via
+trace-time-constant gather indices (:func:`_conv_superrow_maps`), so the
+kernel computes the same math as ``encoder_apply`` (reference cnn.Encoder,
+``configs/default.yaml:31-60``) up to fp reassociation — pinned by
+``tests/test_fused_conv.py``. CoordConv channels are constant maps, so
+their contribution folds into conv1's per-position bias exactly as in the
+s2d layout (``conv1_s2d_weights``).
+
+Scope: encoder forward (the eval/serving hot path and the A/B evidence for
+VERDICT r4 item 2); the custom-VJP training integration reuses the same
+operators via :func:`superrow_encoder_xla` (the pure-XLA twin used for
+equivalence tests and as a second A/B arm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_mtrssm_tpu.nn.conv import EncoderConfig, coord_channels
+
+P = 4  # super-rows; H=32/16/8/4 are all divisible, and P=4 keeps taps in {-1,0,1}
+
+
+# ---------------------------------------------------------------------------
+# Operator construction: conv weights → per-tap lane matrices A_d
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_superrow_maps(hi: int, wi: int, ci: int, co: int, k: int, s: int,
+                        pad: int) -> dict[int, tuple]:
+    """Trace-time-constant gather maps for one conv layer.
+
+    Returns {d: (IY, IX, ICI, ICO, VALID)} — int arrays of shape
+    [L_in, L_out] such that ``A_d = where(VALID, w[IY, IX, ICI, ICO], 0)``
+    realises ``y[:, p, :] += x[:, p+d, :] @ A_d`` ≡ the k×k stride-s pad-p
+    conv on the base [hi, wi, ci] grid, in super-row layout
+    (lane index = (base_row_in_group · W + col) · C + channel).
+    """
+    ho, wo = hi // s, wi // s
+    rin, rout = hi // P, ho // P
+    lin, lout = rin * wi * ci, rout * wo * co
+    maps: dict[int, list] = {}
+    for di in range(k):
+        for r_out in range(rout):
+            r_rel = s * r_out + di - pad
+            d, r_in = r_rel // rin, r_rel % rin
+            # r_rel < 0 → d = -1 with r_in wrapped (python floordiv) — exactly
+            # the top-padding row of super-row p-1's bottom; r_rel ≥ rin → d=+1.
+            if not -1 <= d <= 1:
+                continue
+            ent = maps.setdefault(d, [np.zeros((lin, lout), np.int32) for _ in range(4)]
+                                  + [np.zeros((lin, lout), bool)])
+            iy, ix, ici, ico, valid = ent
+            for dj in range(k):
+                j_out = np.arange(wo)
+                j_in = s * j_out + dj - pad
+                ok = (0 <= j_in) & (j_in < wi)
+                j_out, j_in = j_out[ok], j_in[ok]
+                # lane indices, broadcast over (j, ci_, co_)
+                ci_ = np.arange(ci)
+                co_ = np.arange(co)
+                l_in = (r_in * wi + j_in[:, None, None]) * ci + ci_[None, :, None]
+                l_out = (r_out * wo + j_out[:, None, None]) * co + co_[None, None, :]
+                l_in = np.broadcast_to(l_in, (len(j_out), ci, co))
+                l_out = np.broadcast_to(l_out, (len(j_out), ci, co))
+                iy[l_in, l_out] = di
+                ix[l_in, l_out] = dj
+                ici[l_in, l_out] = np.broadcast_to(ci_[None, :, None], l_in.shape)
+                ico[l_in, l_out] = np.broadcast_to(co_[None, None, :], l_in.shape)
+                valid[l_in, l_out] = True
+    return {d: tuple(v) for d, v in maps.items()}
+
+
+def _conv_operators(w: jax.Array, hi: int, wi: int, s: int, pad: int) -> dict[int, jax.Array]:
+    """{d: A_d [L_in, L_out]} for conv weights ``w [k, k, Ci, Co]``."""
+    k, _, ci, co = w.shape
+    out = {}
+    for d, (iy, ix, ici, ico, valid) in _conv_superrow_maps(hi, wi, ci, co, k, s, pad).items():
+        a = w[jnp.asarray(iy), jnp.asarray(ix), jnp.asarray(ici), jnp.asarray(ico)]
+        out[d] = jnp.where(jnp.asarray(valid), a, jnp.zeros((), w.dtype))
+    return out
+
+
+def _tile_bias(b: jax.Array, ho: int, wo: int) -> jax.Array:
+    """Conv bias [Co] → per-super-row lane bias [P, R_out·W_out·Co]."""
+    return jnp.tile(b, (P, (ho // P) * wo))
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    """Static shape plan for one encoder config (reference dims shown)."""
+
+    grids: tuple  # per conv layer: (Hi, Wi, Ci, Co, stride, pad)
+    res_grid: tuple | None  # (H, W, C_in, C_proj) for res_proj, or None
+    n_res: int
+    res_ch: tuple  # (channels, intermediate)
+    out_dim: int
+    l_in: int  # input lane width = (H/P)·W·C
+
+
+def fused_encoder_applicable(cfg: EncoderConfig) -> bool:
+    """Reference-shaped stacks only: 3 k3 s2 p1 convs from a 32×32 input,
+    ELU activations, one linear head — the shapes whose super-row lanes are
+    128-multiples. Anything else takes the XLA path."""
+    return (
+        tuple(cfg.kernel_sizes) == (3, 3, 3)
+        and tuple(cfg.strides) == (2, 2, 2)
+        and tuple(cfg.paddings) == (1, 1, 1)
+        and len(cfg.channels) == 3
+        and cfg.activation_name == "ELU"
+        and cfg.out_activation_name in ("Identity", "Tanh")
+        and len(cfg.linear_sizes) == 1
+    )
+
+
+def _plan(cfg: EncoderConfig, h: int, w: int) -> _Plan:
+    chans = (cfg.in_channels, *cfg.channels)
+    grids, hi, wi = [], h, w
+    for i in range(len(cfg.channels)):
+        grids.append((hi, wi, chans[i] + (2 if cfg.coord_conv and i == 0 else 0),
+                      chans[i + 1], cfg.strides[i], cfg.paddings[i]))
+        hi, wi = hi // cfg.strides[i], wi // cfg.strides[i]
+    res_grid = None
+    if cfg.num_residual_blocks > 0:
+        res_grid = (hi, wi, chans[-1], cfg.residual_output_size)
+    return _Plan(
+        grids=tuple(grids), res_grid=res_grid, n_res=cfg.num_residual_blocks,
+        res_ch=(cfg.residual_output_size, cfg.residual_intermediate_size),
+        out_dim=cfg.linear_sizes[-1], l_in=(h // P) * w * cfg.in_channels,
+    )
+
+
+def build_operators(params, cfg: EncoderConfig, h: int = 32, w: int = 32,
+                    dtype=jnp.float32):
+    """Encoder params → (flat operator list, static meta) for the kernel.
+
+    The operator list is a flat tuple of arrays (taps + biases in layer
+    order); ``meta`` describes layer boundaries so the kernel can walk it.
+    Fully jax-traceable: gradients flow through to the original params.
+    """
+    plan = _plan(cfg, h, w)
+    arrays: list[jax.Array] = []
+    meta: list[tuple] = []  # (kind, taps_d_tuple)
+
+    # conv1: image channels only; CoordConv folds into the bias map.
+    (h1, w1_, c1, co1, s1, p1) = plan.grids[0]
+    wconv1 = params["convs"][0]["w"].astype(dtype)
+    img_ch = cfg.in_channels
+    ops1 = _conv_operators(wconv1[:, :, :img_ch], h1, w1_, s1, p1) if not cfg.coord_conv \
+        else _conv_operators(wconv1[:, :, :img_ch], h1, w1_, s1, p1)
+    bias1 = _tile_bias(params["convs"][0]["b"].astype(dtype), h1 // s1, w1_ // s1)
+    if cfg.coord_conv:
+        coords = coord_channels(1, h1, w1_, dtype)
+        cmap = jax.lax.conv_general_dilated(
+            coords, wconv1[:, :, img_ch:], window_strides=(s1, s1),
+            padding=((p1, p1), (p1, p1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias1 = bias1 + cmap.reshape(P, -1)
+    ds = sorted(ops1)
+    meta.append(("conv", tuple(ds)))
+    arrays += [ops1[d] for d in ds] + [bias1]
+
+    # mid-stack convs
+    for i, (hi, wi, ci, co, s, pad) in enumerate(plan.grids[1:], start=1):
+        wk = params["convs"][i]["w"].astype(dtype)
+        ops = _conv_operators(wk, hi, wi, s, pad)
+        ds = sorted(ops)
+        meta.append(("conv", tuple(ds)))
+        arrays += [ops[d] for d in ds] + [
+            _tile_bias(params["convs"][i]["b"].astype(dtype), hi // s, wi // s)]
+
+    # res_proj (1×1) + residual blocks (3×3 pairs)
+    if plan.res_grid is not None:
+        hr, wr, cr, cproj = plan.res_grid
+        if "res_proj" in params:
+            ops = _conv_operators(params["res_proj"]["w"].astype(dtype), hr, wr, 1, 0)
+            meta.append(("conv", tuple(sorted(ops))))
+            arrays += [ops[d] for d in sorted(ops)] + [
+                _tile_bias(params["res_proj"]["b"].astype(dtype), hr, wr)]
+        for block in params.get("res_blocks", []):
+            for j, tag in ((0, "res_in"), (1, "res_out")):
+                wk = block[f"conv{j}"]["w"].astype(dtype)
+                ops = _conv_operators(wk, hr, wr, 1, 1)
+                meta.append((tag, tuple(sorted(ops))))
+                arrays += [ops[d] for d in sorted(ops)] + [
+                    _tile_bias(block[f"conv{j}"]["b"].astype(dtype), hr, wr)]
+
+    # head: one linear over the flattened [P·L_res] features → P row-slices
+    lin = params["linears"][0]
+    wl = lin["w"].astype(dtype)  # [P·L, out]
+    lrow = wl.shape[0] // P
+    meta.append(("head", (0, 1, 2, 3)))
+    arrays += [wl[r * lrow:(r + 1) * lrow] for r in range(P)] + [lin["b"].astype(dtype)]
+    return tuple(arrays), (tuple(meta), plan)
+
+
+def _elu(x):
+    return jnp.where(x > 0, x, jnp.expm1(x))
+
+
+def _shift_rows(z: jax.Array, d: int) -> jax.Array:
+    """Contribution alignment: out[:, p] += z[:, p + d] with zero fill."""
+    if d == 0:
+        return z
+    if d == 1:
+        return jnp.pad(z[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    return jnp.pad(z[:, :-1], ((0, 0), (1, 0), (0, 0)))
+
+
+def _walk(h, arrays, meta, dtype):
+    """Shared fwd walk (kernel body AND the XLA twin): super-row input →
+    [TN, out_dim] embedding. ``arrays`` is the flat operator tuple."""
+    it = iter(arrays)
+    saved = None
+    out = None
+    for kind, ds in meta:
+        taps = {d: next(it) for d in ds}
+        if kind == "head":
+            b = next(it)
+            acc = None
+            for r in ds:
+                z = jax.lax.dot_general(h[:, r, :], taps[r], (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = z if acc is None else acc + z
+            out = (acc + b.astype(jnp.float32)).astype(dtype)
+            continue
+        b = next(it)
+        acc = None
+        for d in ds:
+            z = jax.lax.dot_general(h, taps[d], (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z = _shift_rows(z, d)
+            acc = z if acc is None else acc + z
+        y = acc + b.astype(jnp.float32)[None]
+        if kind == "res_in":
+            saved = h
+            h = _elu(y).astype(dtype)
+        elif kind == "res_out":
+            h = _elu(saved.astype(jnp.float32) + y).astype(dtype)
+        else:
+            h = _elu(y).astype(dtype)
+    return out
+
+
+def superrow_input(x: jax.Array) -> jax.Array:
+    """[N, H, W, C] → [N, P, (H/P)·W·C] (pure row-major reshape)."""
+    n, h, w, c = x.shape
+    return x.reshape(n, P, (h // P) * w * c)
+
+
+def superrow_encoder_xla(params, cfg: EncoderConfig, x: jax.Array,
+                         operators=None) -> jax.Array:
+    """Pure-XLA twin of the fused kernel — identical operator math, each
+    matmul its own XLA op. Equivalence anchor for tests and the second
+    A/B arm (isolates the VMEM-residency win from the formulation change)."""
+    lead = x.shape[:-3]
+    h, w = x.shape[-3], x.shape[-2]
+    x = x.reshape((-1, *x.shape[-3:]))
+    dtype = x.dtype
+    arrays, (meta, _) = operators if operators is not None else build_operators(
+        params, cfg, h, w, dtype)
+    out = _walk(superrow_input(x), arrays, meta, dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel_body(meta, dtype, x_ref, *refs):
+    out_ref = refs[-1]
+    arrays = tuple(r[:] for r in refs[:-1])
+    out_ref[:] = _walk(x_ref[:], arrays, meta, dtype)
+
+
+def fused_encoder_apply(params, cfg: EncoderConfig, x: jax.Array,
+                        *, tile: int = 64, interpret: bool = False,
+                        operators=None) -> jax.Array:
+    """Encoder forward as one VMEM-resident Pallas program.
+
+    ``x``: [..., H, W, C]; returns [..., out_dim]. Guard with
+    :func:`fused_encoder_applicable`. ``operators`` may be passed to reuse
+    prebuilt lane matrices (eval loops with fixed params).
+    """
+    from jax.experimental import pallas as pl
+
+    lead = x.shape[:-3]
+    hh, ww = x.shape[-3], x.shape[-2]
+    x = x.reshape((-1, *x.shape[-3:]))
+    n = x.shape[0]
+    dtype = x.dtype
+    arrays, (meta, plan) = operators if operators is not None else build_operators(
+        params, cfg, hh, ww, dtype)
+
+    tn = min(tile, max(8, n))
+    n_pad = -n % tn
+    xs = superrow_input(x)
+    if n_pad:
+        xs = jnp.pad(xs, ((0, n_pad), (0, 0), (0, 0)))
+    grid = (xs.shape[0] // tn,)
+
+    in_specs = [pl.BlockSpec((tn, P, plan.l_in), lambda i: (i, 0, 0))]
+    for a in arrays:
+        in_specs.append(pl.BlockSpec(a.shape, (lambda i: (0, 0)) if a.ndim == 2
+                                     else (lambda i: (0,))))
+    out = pl.pallas_call(
+        functools.partial(_kernel_body, meta, dtype),
+        out_shape=jax.ShapeDtypeStruct((xs.shape[0], plan.out_dim), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, plan.out_dim), lambda i: (i, 0)),
+        interpret=interpret,
+    )(xs, *arrays)
+    if n_pad:
+        out = out[:n]
+    return out.reshape(*lead, out.shape[-1])

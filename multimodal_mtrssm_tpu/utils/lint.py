@@ -1142,6 +1142,11 @@ def _scope_binding_counts(
             for sub in ast.walk(n):
                 if isinstance(sub, ast.Nonlocal):
                     disqualified.update(sub.names)
+                elif isinstance(sub, ast.Global) and isinstance(scope, ast.Module):
+                    # ``global x`` in any nested function rebinds the MODULE
+                    # binding — a module-level single textual store does not
+                    # pin the value (ADVICE r4: CALL104 false positive).
+                    disqualified.update(sub.names)
     return counts, disqualified, params
 
 
