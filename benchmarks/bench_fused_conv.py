@@ -1,0 +1,143 @@
+"""On-chip A/B: fused VMEM-resident Pallas encoder vs XLA conv stacks.
+
+VERDICT r4 item 2 — attack the roofline's named residual (fusion
+boundaries + weight traffic, 3.1× over the packed floor at B=128) with
+kernel fusion rather than lane repacking. Arms:
+
+- ``base``      — shipped ``encoder_apply`` (NHWC XLA convs; each layer its
+                  own kernel, intermediates round-trip HBM)
+- ``s2d``       — shipped ``encoder_apply_s2d`` (chained s2d layout, the
+                  round-4 default at these shapes)
+- ``superrow``  — the super-row operator formulation run as plain XLA
+                  matmuls (isolates the FORMULATION change from VMEM
+                  residency: same matmuls, still one XLA kernel per layer)
+- ``fused``     — the Pallas kernel (``ops/pallas/fused_conv.py``): whole
+                  stack in one program, activations VMEM-resident
+
+Forward-only (the eval/serving hot path; the kernel has no VJP yet) and,
+for the XLA arms, fwd+bwd. Frames default 3840 = B=128 T=30 per modality;
+240 = B=8. Equivalence is asserted before timing.
+
+Run (TPU): python benchmarks/bench_fused_conv.py [--frames 3840]
+           [--dtype bfloat16] [--tile 64]
+CPU check: python benchmarks/bench_fused_conv.py --check-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _time_chained(run, ins, k, reps=5, warmup=2) -> float:
+    out = None
+    for _ in range(warmup):
+        out = run(*ins)
+    float(out[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(*ins)
+        float(out[0])
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) * 1e3 / k
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=3840)
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="bfloat16")
+    ap.add_argument("--k", type=int, default=16, help="chained reps per window")
+    ap.add_argument("--tile", type=int, default=64, help="pallas frames/tile")
+    ap.add_argument("--check-only", action="store_true")
+    args = ap.parse_args()
+    if args.check_only:
+        jax.config.update("jax_platforms", "cpu")
+    from multimodal_mtrssm_tpu.nn.conv import (
+        EncoderConfig,
+        encoder_apply,
+        encoder_apply_s2d,
+        encoder_init,
+    )
+    from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+        build_operators,
+        fused_encoder_apply,
+        superrow_encoder_xla,
+    )
+    from multimodal_mtrssm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    ecfg = EncoderConfig()
+    eparams = encoder_init(jax.random.PRNGKey(0), ecfg)
+
+    # --- equivalence (f32, small batch) ---
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 32, 32, 1),
+                           jnp.float32, -1, 1)
+    ref = encoder_apply(eparams, ecfg, x)
+    gap_sr = float(jnp.max(jnp.abs(ref - superrow_encoder_xla(eparams, ecfg, x))))
+    gap_fx = float(jnp.max(jnp.abs(ref - fused_encoder_apply(
+        eparams, ecfg, x, tile=16, interpret=args.check_only))))
+    print(json.dumps({"superrow_gap": gap_sr, "fused_gap": gap_fx}), flush=True)
+    assert gap_sr < 2e-6 and gap_fx < 2e-6, "equivalence failed — do not time"
+    if args.check_only:
+        return
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    n = args.frames
+    big_x = jax.random.uniform(jax.random.PRNGKey(2), (n, 32, 32, 1), dt, -1, 1)
+    ops = build_operators(eparams, ecfg, 32, 32, dt)
+
+    def chain_fwd(fn, x0):
+        def run(xv):
+            def body(s, _):
+                y = fn(xv + (s * 1e-30).astype(dt))
+                return jnp.sum(y.astype(jnp.float32)), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.k)
+            return (s,)
+        return jax.jit(run), (x0,)
+
+    def chain_grad(fn, x0):
+        grad = jax.grad(lambda v: jnp.sum(fn(v).astype(jnp.float32)))
+
+        def run(xv):
+            def body(s, _):
+                g = grad(xv + (s * 1e-30).astype(dt))
+                return jnp.sum(g).astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.k)
+            return (s,)
+        return jax.jit(run), (x0,)
+
+    variants = {
+        "base_fwd": chain_fwd(lambda v: encoder_apply(eparams, ecfg, v), big_x),
+        "s2d_fwd": chain_fwd(lambda v: encoder_apply_s2d(eparams, ecfg, v), big_x),
+        "superrow_fwd": chain_fwd(
+            lambda v: superrow_encoder_xla(eparams, ecfg, v, operators=ops), big_x),
+        "fused_fwd": chain_fwd(
+            lambda v: fused_encoder_apply(eparams, ecfg, v, tile=args.tile,
+                                          operators=ops), big_x),
+        "base_grad": chain_grad(lambda v: encoder_apply(eparams, ecfg, v), big_x),
+        "superrow_grad": chain_grad(
+            lambda v: superrow_encoder_xla(eparams, ecfg, v, operators=ops), big_x),
+    }
+    row = {"frames": n, "dtype": args.dtype, "k": args.k, "tile": args.tile}
+    for name, (run, ins) in variants.items():
+        row[f"{name}_ms"] = round(_time_chained(run, ins, args.k), 4)
+    for arm in ("s2d", "superrow", "fused"):
+        row[f"{arm}_fwd_speedup"] = round(row["base_fwd_ms"] / row[f"{arm}_fwd_ms"], 3)
+    row["superrow_grad_speedup"] = round(row["base_grad_ms"] / row["superrow_grad_ms"], 3)
+    print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

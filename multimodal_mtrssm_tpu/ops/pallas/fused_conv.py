@@ -142,7 +142,7 @@ def fused_encoder_applicable(cfg: EncoderConfig) -> bool:
         and tuple(cfg.paddings) == (1, 1, 1)
         and len(cfg.channels) == 3
         and cfg.activation_name == "ELU"
-        and cfg.out_activation_name in ("Identity", "Tanh")
+        and cfg.out_activation_name == "Identity"
         and len(cfg.linear_sizes) == 1
     )
 
@@ -180,8 +180,7 @@ def build_operators(params, cfg: EncoderConfig, h: int = 32, w: int = 32,
     (h1, w1_, c1, co1, s1, p1) = plan.grids[0]
     wconv1 = params["convs"][0]["w"].astype(dtype)
     img_ch = cfg.in_channels
-    ops1 = _conv_operators(wconv1[:, :, :img_ch], h1, w1_, s1, p1) if not cfg.coord_conv \
-        else _conv_operators(wconv1[:, :, :img_ch], h1, w1_, s1, p1)
+    ops1 = _conv_operators(wconv1[:, :, :img_ch], h1, w1_, s1, p1)
     bias1 = _tile_bias(params["convs"][0]["b"].astype(dtype), h1 // s1, w1_ // s1)
     if cfg.coord_conv:
         coords = coord_channels(1, h1, w1_, dtype)
@@ -211,7 +210,7 @@ def build_operators(params, cfg: EncoderConfig, h: int = 32, w: int = 32,
             arrays += [ops[d] for d in sorted(ops)] + [
                 _tile_bias(params["res_proj"]["b"].astype(dtype), hr, wr)]
         for block in params.get("res_blocks", []):
-            for j, tag in ((0, "res_in"), (1, "res_out")):
+            for j, tag in ((1, "res_in"), (2, "res_out")):
                 wk = block[f"conv{j}"]["w"].astype(dtype)
                 ops = _conv_operators(wk, hr, wr, 1, 1)
                 meta.append((tag, tuple(sorted(ops))))
