@@ -106,10 +106,29 @@ class _PendingImagine:
         self.error: BaseException | None = None
 
 
+class _PendingObserve:
+    """One enqueued /observe request awaiting a coalesced device call."""
+
+    __slots__ = ("actions", "audio", "vision", "seed", "decode", "raw",
+                 "event", "result", "error")
+
+    def __init__(self, actions, audio, vision, seed: int, decode: bool, raw: bool):
+        self.actions = actions
+        self.audio = audio
+        self.vision = vision
+        self.seed = seed
+        self.decode = decode
+        self.raw = raw
+        self.event = threading.Event()
+        self.result: dict | None = None
+        self.error: BaseException | None = None
+
+
 class _ImagineBatcher:
     """Window-based request coalescer: collect concurrent requests for up
     to ``window_ms`` (or ``max_batch``), hand them to ``run_batch`` as one
-    list, wake each waiter when its slot is filled."""
+    list, wake each waiter when its slot is filled. (Generic over the
+    pending-item type — the /observe coalescer reuses it as-is.)"""
 
     def __init__(self, run_batch, window_ms: float, max_batch: int):
         self._run_batch = run_batch
@@ -195,6 +214,12 @@ class InferenceServer:
             _ImagineBatcher(self._run_imagine_batch, batch_window_ms, batch_max)
             if batch_window_ms > 0 else None
         )
+        # /observe coalescer: same window machinery, its own queue so a
+        # burst of observes cannot starve imagines (and vice versa).
+        self.observe_batcher = (
+            _ImagineBatcher(self._run_observe_batch, batch_window_ms, batch_max)
+            if batch_window_ms > 0 else None
+        )
         # One lock around device work: requests serialize on the chip anyway;
         # this keeps jit-cache/state interactions race-free under the
         # threading server.
@@ -278,7 +303,19 @@ class InferenceServer:
         actions = np.asarray(req["actions"], np.float32)
         audio = np.asarray(req["audio"], np.float32)
         vision = np.asarray(req["vision"], np.float32)
-        key = jax.random.PRNGKey(int(req.get("seed", 0)))
+        seed = int(req.get("seed", 0))
+        decode = bool(req.get("decode", False))
+        if self.observe_batcher is not None and actions.ndim == 3:
+            return self.observe_batcher.submit(
+                _PendingObserve(actions, audio, vision, seed, decode, raw)
+            )
+        return self._observe_one(actions, audio, vision, seed, decode, raw)
+
+    def _observe_one(self, actions, audio, vision, seed: int, decode: bool,
+                     raw: bool) -> dict:
+        """Uncoalesced /observe: one request, one device call (exact
+        per-seed semantics)."""
+        key = jax.random.PRNGKey(seed)
         decoded = None
         with self._device_lock:
             posterior, _ = self.wm.observe(actions, audio, vision, key)
@@ -286,13 +323,94 @@ class InferenceServer:
             sid = self.states.put(last)
             out = {"state_id": sid, "batch": int(actions.shape[0]),
                    "t": int(actions.shape[1])}
-            if req.get("decode", False):
+            if decode:
                 decoded = self.wm.decode(posterior)
         if decoded is not None:
             # Host-side serialization happens OUTSIDE the device lock —
             # it is pure CPU work and must not serialize other requests.
             out["recon"] = _frames_out(decoded, raw)
         return out
+
+    def _run_observe_batch(self, items: list) -> None:
+        """Execute a coalesced /observe batch; on any coalesced-path
+        failure every request re-runs alone (mirror of the /imagine
+        policy)."""
+        if len(items) == 1:
+            it = items[0]
+            try:
+                it.result = self._observe_one(
+                    it.actions, it.audio, it.vision, it.seed, it.decode, it.raw)
+            except BaseException as e:  # noqa: BLE001 — delivered to waiter
+                it.error = e
+            return
+        try:
+            self._observe_coalesced(items)
+        except BaseException:  # noqa: BLE001 — per-request fallback
+            for it in items:
+                it.result = it.error = None
+                try:
+                    it.result = self._observe_one(
+                        it.actions, it.audio, it.vision, it.seed, it.decode,
+                        it.raw)
+                except BaseException as e:  # noqa: BLE001
+                    it.error = e
+
+    def _observe_coalesced(self, items: list) -> None:
+        """One device call for N /observe requests: concat batches,
+        zero-pad observation streams to the longest T (the posterior scan
+        is causal, so trailing padding cannot change any prefix output —
+        exact slice-back), bucket the joint shape to powers of two, fold
+        every seed into one key (same RNG-semantics caveat as coalesced
+        /imagine, module docstring)."""
+        for it in items:
+            # A stream-batch mismatch would SILENTLY overwrite a
+            # neighbour's buffer slot — raise so the per-request fallback
+            # isolates the malformed request instead.
+            if not (it.audio.shape[:2] == it.actions.shape[:2]
+                    == it.vision.shape[:2]):
+                raise ValueError(
+                    f"stream shape mismatch: actions {it.actions.shape[:2]}, "
+                    f"audio {it.audio.shape[:2]}, vision {it.vision.shape[:2]}"
+                )
+        bs = [it.actions.shape[0] for it in items]
+        ts = [it.actions.shape[1] for it in items]
+        b_tot, t_max = sum(bs), max(ts)
+        if self._bucket:
+            b_tot, t_max = _pow2(b_tot), _pow2(t_max)
+        streams = {}
+        for name in ("actions", "audio", "vision"):
+            tail = getattr(items[0], name).shape[2:]
+            buf = np.zeros((b_tot, t_max, *tail), np.float32)
+            off = 0
+            for it in items:
+                a = getattr(it, name)
+                buf[off:off + a.shape[0], :a.shape[1]] = a
+                off += a.shape[0]
+            streams[name] = buf
+        offsets = np.cumsum([0, *bs[:-1]])
+        key = jax.random.PRNGKey(items[0].seed)
+        for it in items[1:]:
+            key = jax.random.fold_in(key, it.seed)
+        host_frames = None
+        with self._device_lock:
+            posterior, _ = self.wm.observe(
+                streams["actions"], streams["audio"], streams["vision"], key)
+            for it, o, b, t in zip(items, offsets, bs, ts):
+                last = posterior[int(o):int(o) + b, t - 1]
+                it.result = {"state_id": self.states.put(last),
+                             "batch": b, "t": t}
+            if any(it.decode for it in items):
+                decoded = self.wm.decode(posterior)
+                host_frames = {k: np.asarray(v, np.float32)
+                               for k, v in decoded.items()}
+        if host_frames is not None:
+            for it, o, b, t in zip(items, offsets, bs, ts):
+                if it.decode:
+                    it.result["recon"] = _frames_out(
+                        {k: v[int(o):int(o) + b, :t]
+                         for k, v in host_frames.items()},
+                        it.raw,
+                    )
 
     def _imagine(self, req: dict, raw: bool = False) -> dict:
         state = self.states.get(str(req["state_id"]))
@@ -410,6 +528,8 @@ class InferenceServer:
         self.httpd.server_close()
         if self.batcher is not None:
             self.batcher.stop()
+        if self.observe_batcher is not None:
+            self.observe_batcher.stop()
         if self._thread is not None:
             self._thread.join(timeout=5)
 

@@ -69,6 +69,26 @@ def run_once(args, work: Path, seed: int) -> dict:
     exp.trainer.seed = seed
     exp.trainer.log_dir = str(work / "run")
     exp.data.data_dir = train_dir
+    if args.seq_len is not None:
+        # Full-length training (no TakeFirstN truncation — the reference
+        # clips every stream to 30 of the dataset's 180 frames,
+        # configs/default.yaml:180-220). remat trades recompute for
+        # activation memory on the long scan (tests/test_long_sequence.py).
+        import dataclasses as _dc
+
+        exp.data.sequence_length = args.seq_len
+        if args.seq_len > 60 and hasattr(exp.model.cfg, "remat"):
+            exp.model = type(exp.model)(_dc.replace(exp.model.cfg, remat=True))
+    if args.set_model:
+        import dataclasses as _dc
+
+        over = {}
+        for item in args.set_model:
+            field, _, raw = item.partition("=")
+            cur = getattr(exp.model.cfg, field)  # AttributeError on a typo
+            over[field] = type(cur)(raw) if not isinstance(cur, bool) else raw in ("1", "true", "True")
+        exp.model = type(exp.model)(_dc.replace(exp.model.cfg, **over))
+        print(f"[seed {seed}] model overrides: {over}", flush=True)
     # Device-resident dataset: the YAML demo configs serve noise-free host
     # batches (noise is on-device via input_noise_std), so this path is
     # BIT-equal to host streaming (tests/test_trainer.py equivalence) while
@@ -140,6 +160,15 @@ def main() -> None:
     ap.add_argument("--n-successors", type=int, default=2,
                     help="branching factor of the synthetic word graph")
     ap.add_argument("--n-predictions", type=int, default=10)
+    ap.add_argument("--seq-len", type=int, default=None,
+                    help="override the training sequence length (e.g. 180 = "
+                    "full episodes, no TakeFirstN; enables remat beyond 60)")
+    ap.add_argument("--set-model", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="override a model-config field (repeatable), e.g. "
+                    "--set-model l_tau=1.5 --set-model w_kl_h=0.3 — the "
+                    "hyperparameter-sweep hook (values coerced to the "
+                    "field's existing type)")
     ap.add_argument("--seeds", type=int, default=1,
                     help="run N seeds (seed-start..seed-start+N-1) and report "
                     "mean±std of mean MR")

@@ -160,6 +160,19 @@ class _ArithmeticWM:
     def decode(self, state):
         return {"recon/x": np.asarray(state) * 2.0}
 
+    def observe(self, actions, audio, vision, key):
+        """Causal deterministic filter: posterior[b, t] = cumsum_t of the
+        per-step drive (actions + both observation streams) — key ignored,
+        trailing zero padding cannot change any prefix (cumsum property,
+        same as the real posterior ``lax.scan``)."""
+        import jax.numpy as jnp
+
+        drive = (jnp.sum(jnp.asarray(actions), axis=-1)
+                 + jnp.sum(jnp.asarray(audio), axis=(-3, -2, -1))
+                 + jnp.sum(jnp.asarray(vision), axis=(-3, -2, -1)))
+        post = jnp.cumsum(drive, axis=1)[..., None] * jnp.ones((4,))
+        return post, None
+
 
 def _pending(state, actions, seed=0, decode=True, raw=True):
     from multimodal_mtrssm_tpu.server import _PendingImagine
@@ -217,6 +230,61 @@ def test_coalesced_batch_failure_falls_back_per_request(arith_server):
             it.actions.sum(-1), axis=1)[..., None]
         np.testing.assert_allclose(
             np.asarray(it.result["frames"]["recon/x"]), 2.0 * expect, rtol=1e-6)
+    assert bad.error is not None
+
+
+def _pending_obs(b, t, rng, seed=0, decode=True, hw=2):
+    from multimodal_mtrssm_tpu.server import _PendingObserve
+
+    return _PendingObserve(
+        rng.normal(size=(b, t, 6)).astype(np.float32),
+        rng.normal(size=(b, t, hw, hw, 1)).astype(np.float32),
+        rng.normal(size=(b, t, hw, hw, 1)).astype(np.float32),
+        seed, decode, True,
+    )
+
+
+def _expected_posterior(it):
+    drive = (it.actions.sum(-1) + it.audio.sum((-3, -2, -1))
+             + it.vision.sum((-3, -2, -1)))
+    return np.cumsum(drive, axis=1)[..., None] * np.ones((4,), np.float32)
+
+
+def test_coalesced_observe_exact_pad_slice(arith_server):
+    """Coalesced heterogeneous /observe requests (different B and T, pow2
+    bucketing engaged) slice back bit-exactly: trailing zero-padded
+    observation frames cannot leak into any prefix output."""
+    srv = arith_server
+    rng = np.random.default_rng(5)
+    specs = [(2, 3), (1, 5), (3, 2)]
+    items = [_pending_obs(b, t, rng, seed=i) for i, (b, t) in enumerate(specs)]
+    srv._run_observe_batch(items)
+    for it, (b, t) in zip(items, specs):
+        assert it.error is None
+        expect = _expected_posterior(it)
+        got = np.asarray(it.result["recon"]["recon/x"])
+        assert got.shape == (b, t, 4)
+        np.testing.assert_allclose(got, 2.0 * expect, rtol=1e-5)
+        cont = np.asarray(srv.states.get(it.result["state_id"]))
+        np.testing.assert_allclose(cont, expect[:, -1], rtol=1e-5)
+        assert it.result["t"] == t and it.result["batch"] == b
+
+
+def test_coalesced_observe_failure_falls_back(arith_server):
+    """A malformed /observe (stream batch mismatch) must not poison the
+    coalesced batch."""
+    srv = arith_server
+    rng = np.random.default_rng(6)
+    good1 = _pending_obs(2, 3, rng, seed=1)
+    bad = _pending_obs(2, 3, rng, seed=2)
+    bad.audio = rng.normal(size=(3, 3, 2, 2, 1)).astype(np.float32)  # B=3 vs 2
+    good2 = _pending_obs(1, 2, rng, seed=3)
+    srv._run_observe_batch([good1, bad, good2])
+    for it in (good1, good2):
+        assert it.error is None and it.result is not None
+        np.testing.assert_allclose(
+            np.asarray(it.result["recon"]["recon/x"]),
+            2.0 * _expected_posterior(it), rtol=1e-5)
     assert bad.error is not None
 
 
@@ -286,6 +354,52 @@ def test_http_concurrent_imagine_coalesces(server_batched):
     im2 = _post(srv, "/imagine", {"state_id": results[0]["state_id"],
                                   "actions": rng.normal(size=(B, 2, 6)).tolist()})
     assert im2["t"] == 2
+
+
+def test_http_concurrent_observe_coalesces(server_batched):
+    """Concurrent /observe requests coalesce into one device call; each
+    response keeps its own (batch, t), states chain into /imagine."""
+    import threading
+
+    srv = server_batched
+    rng = np.random.default_rng(7)
+
+    def obs_payload(b, t, seed):
+        return {
+            "actions": rng.normal(size=(b, t, 6)).tolist(),
+            "audio": rng.uniform(-1, 1, size=(b, t, 32, 32, 1)).tolist(),
+            "vision": rng.uniform(-1, 1, size=(b, t, 32, 32, 1)).tolist(),
+            "seed": seed, "decode": False,
+        }
+
+    # Warm the coalesced shape class (solo call through the batcher).
+    _post(srv, "/observe", obs_payload(2, 3, 0))
+    before = len(srv.observe_batcher.batch_sizes)
+
+    plans = [(2, 2), (1, 4), (2, 3)]
+    results: list = [None] * len(plans)
+    barrier = threading.Barrier(len(plans))
+
+    def worker(i: int, b: int, t: int) -> None:
+        barrier.wait()
+        results[i] = _post(srv, "/observe", obs_payload(b, t, 10 + i))
+
+    threads = [threading.Thread(target=worker, args=(i, b, t))
+               for i, (b, t) in enumerate(plans)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    ids = set()
+    for (b, t), res in zip(plans, results):
+        assert res is not None and res["t"] == t and res["batch"] == b
+        ids.add(res["state_id"])
+    assert len(ids) == len(plans)
+    assert max(srv.observe_batcher.batch_sizes[before:]) >= 2
+    # A coalesced-observe state chains into /imagine.
+    im = _post(srv, "/imagine", {"state_id": results[0]["state_id"],
+                                 "actions": rng.normal(size=(2, 2, 6)).tolist()})
+    assert im["t"] == 2
 
 
 def test_npz_bad_body_and_unknown_state(server):
