@@ -125,11 +125,13 @@ class MoPoEMMTRSSM:
         self.mesh_devices: int | None = None
         from multimodal_mtrssm_tpu.models.mrssm import _resolve_conv_layout
 
-        self._use_s2d = _resolve_conv_layout(
+        mode = _resolve_conv_layout(
             self.cfg.conv_layout,
             (self.cfg.audio_encoder, self.cfg.vision_encoder),
             (self.cfg.decoder_cfg("audio"), self.cfg.decoder_cfg("vision")),
         )
+        self._use_s2d = mode == "s2d"
+        self._use_fused_enc = mode == "fused_enc"
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -191,6 +193,12 @@ class MoPoEMMTRSSM:
             from multimodal_mtrssm_tpu.nn.conv import encoder_apply_s2d
 
             enc = encoder_apply_s2d
+        elif self._use_fused_enc:
+            from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+                fused_encoder_apply,
+            )
+
+            enc = fused_encoder_apply
         a = enc(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
         v = enc(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
         return a, v

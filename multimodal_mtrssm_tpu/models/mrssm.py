@@ -150,22 +150,36 @@ def _resolve_conv_layout(
     layout: str,
     encoder_cfgs: tuple[EncoderConfig, ...],
     decoder_cfgs: tuple[DecoderConfig, ...],
-) -> bool:
+) -> str:
     """Validate a ``conv_layout`` config value against the model's conv
-    stacks. Returns True when the s2d layout is enabled; explicit "s2d"
-    raises when some stack cannot be re-expressed exactly (a silent
-    fallback would misreport what the benchmark measured), while "auto"
-    resolves via the measured-width heuristic
-    (:func:`~multimodal_mtrssm_tpu.nn.conv.s2d_auto_profitable`)."""
+    stacks. Returns the resolved mode: "nhwc", "s2d", or "fused_enc" (the
+    VMEM-resident Pallas encoder kernels, ``ops/pallas/fused_conv.py``,
+    with nhwc decoders). Explicit "s2d"/"fused_enc" raise when some stack
+    cannot be re-expressed exactly (a silent fallback would misreport what
+    the benchmark measured); "auto" resolves via the measured-width
+    heuristic (:func:`~multimodal_mtrssm_tpu.nn.conv.s2d_auto_profitable`)."""
     if layout == "nhwc":
-        return False
+        return "nhwc"
     if layout == "auto":
         from multimodal_mtrssm_tpu.nn.conv import s2d_auto_profitable
 
-        return s2d_auto_profitable(encoder_cfgs, decoder_cfgs)
+        return "s2d" if s2d_auto_profitable(encoder_cfgs, decoder_cfgs) else "nhwc"
+    if layout == "fused_enc":
+        from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+            fused_encoder_applicable,
+        )
+
+        bad = [f"encoder[{i}]" for i, c in enumerate(encoder_cfgs)
+               if not fused_encoder_applicable(c)]
+        if bad:
+            raise ValueError(
+                "conv_layout='fused_enc' requires reference-shaped encoder "
+                f"stacks (3× k3 s2 p1 from 32×32, ELU, one linear); not: {bad}"
+            )
+        return "fused_enc"
     if layout != "s2d":
         raise ValueError(
-            f"conv_layout must be 'auto', 'nhwc' or 's2d', got {layout!r}"
+            f"conv_layout must be 'auto', 'nhwc', 's2d' or 'fused_enc', got {layout!r}"
         )
     from multimodal_mtrssm_tpu.nn.conv import (
         decoder_s2d_applicable,
@@ -179,7 +193,7 @@ def _resolve_conv_layout(
             "conv_layout='s2d' requires every conv stack to be s2d-eligible "
             f"(k3 s2 p1 convs / k4 s2 p1 last deconv, even spatial dims); not: {bad}"
         )
-    return True
+    return "s2d"
 
 
 class MoPoEMRSSM:
@@ -190,11 +204,13 @@ class MoPoEMRSSM:
         # Device count of the mesh this model trains on; the Trainer sets it
         # after resolving its mesh (None = consult the global backend).
         self.mesh_devices: int | None = None
-        self._use_s2d = _resolve_conv_layout(
+        mode = _resolve_conv_layout(
             self.cfg.conv_layout,
             (self.cfg.audio_encoder, self.cfg.vision_encoder),
             (self.decoder_cfg("audio"), self.decoder_cfg("vision")),
         )
+        self._use_s2d = mode == "s2d"
+        self._use_fused_enc = mode == "fused_enc"
 
     # ---- init ------------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -262,6 +278,12 @@ class MoPoEMRSSM:
             from multimodal_mtrssm_tpu.nn.conv import encoder_apply_s2d
 
             enc = encoder_apply_s2d
+        elif self._use_fused_enc:
+            from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+                fused_encoder_apply,
+            )
+
+            enc = fused_encoder_apply
         a = enc(params["audio_encoder"], self.cfg.audio_encoder, self._conv_in(audio_obs))
         v = enc(params["vision_encoder"], self.cfg.vision_encoder, self._conv_in(vision_obs))
         return a, v

@@ -130,6 +130,7 @@ class _Plan:
     res_ch: tuple  # (channels, intermediate)
     out_dim: int
     l_in: int  # input lane width = (H/P)·W·C
+    seg_l_mid: int  # lane width at the segment cut (last strided conv out)
 
 
 def fused_encoder_applicable(cfg: EncoderConfig) -> bool:
@@ -157,10 +158,12 @@ def _plan(cfg: EncoderConfig, h: int, w: int) -> _Plan:
     res_grid = None
     if cfg.num_residual_blocks > 0:
         res_grid = (hi, wi, chans[-1], cfg.residual_output_size)
+    hl, wl, _, col, sl, _ = grids[-1]
     return _Plan(
         grids=tuple(grids), res_grid=res_grid, n_res=cfg.num_residual_blocks,
         res_ch=(cfg.residual_output_size, cfg.residual_intermediate_size),
         out_dim=cfg.linear_sizes[-1], l_in=(h // P) * w * cfg.in_channels,
+        seg_l_mid=(hl // sl // P) * (wl // sl) * col,
     )
 
 
@@ -239,39 +242,110 @@ def _shift_rows(z: jax.Array, d: int) -> jax.Array:
     return jnp.pad(z[:, :-1], ((0, 0), (1, 0), (0, 0)))
 
 
-def _walk(h, arrays, meta, dtype):
-    """Shared fwd walk (kernel body AND the XLA twin): super-row input →
-    [TN, out_dim] embedding. ``arrays`` is the flat operator tuple."""
-    it = iter(arrays)
-    saved = None
-    out = None
-    for kind, ds in meta:
-        taps = {d: next(it) for d in ds}
-        if kind == "head":
-            b = next(it)
-            acc = None
-            for r in ds:
-                z = jax.lax.dot_general(h[:, r, :], taps[r], (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                acc = z if acc is None else acc + z
-            out = (acc + b.astype(jnp.float32)).astype(dtype)
-            continue
-        b = next(it)
+def _layer_fwd(h, kind, ds, taps, b, saved, dtype):
+    """One layer forward; returns (h_new, saved_new)."""
+    if kind == "head":
         acc = None
-        for d in ds:
-            z = jax.lax.dot_general(h, taps[d], (((2,), (0,)), ((), ())),
+        for r, tap in zip(ds, taps):
+            z = jax.lax.dot_general(h[:, r, :], tap, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            z = _shift_rows(z, d)
             acc = z if acc is None else acc + z
-        y = acc + b.astype(jnp.float32)[None]
-        if kind == "res_in":
-            saved = h
-            h = _elu(y).astype(dtype)
-        elif kind == "res_out":
-            h = _elu(saved.astype(jnp.float32) + y).astype(dtype)
-        else:
-            h = _elu(y).astype(dtype)
+        return (acc + b.astype(jnp.float32)).astype(dtype), saved
+    acc = None
+    for d, tap in zip(ds, taps):
+        z = jax.lax.dot_general(h, tap, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z = _shift_rows(z, d)
+        acc = z if acc is None else acc + z
+    y = acc + b.astype(jnp.float32)[None]
+    if kind == "res_in":
+        return _elu(y).astype(dtype), h
+    if kind == "res_out":
+        return _elu(saved.astype(jnp.float32) + y).astype(dtype), saved
+    return _elu(y).astype(dtype), saved
+
+
+def _split_arrays(arrays, meta):
+    """Flat operator tuple → per-layer (kind, ds, taps, bias)."""
+    it = iter(arrays)
+    out = []
+    for kind, ds in meta:
+        taps = tuple(next(it) for _ in ds)
+        out.append((kind, ds, taps, next(it)))
     return out
+
+
+def _walk(h, arrays, meta, dtype):
+    """Shared fwd walk (kernel body AND the XLA twin). Returns the segment
+    output: the [TN, out_dim] embedding if the segment ends in a head, else
+    the last activation [TN, P, L]."""
+    saved = None
+    for kind, ds, taps, b in _split_arrays(arrays, meta):
+        h, saved = _layer_fwd(h, kind, ds, taps, b, saved, dtype)
+    return h
+
+
+def _elu_deriv(out):
+    """ELU' from the OUTPUT value: 1 where out>0 else out+1 (elu(x)=e^x−1
+    for x≤0 ⇒ elu' = e^x = out+1) — recompute-friendly, no pre-activations
+    stored."""
+    o = out.astype(jnp.float32)
+    return jnp.where(o > 0, 1.0, o + 1.0)
+
+
+def _walk_bwd(h0, arrays, meta, g, dtype):
+    """Backward of one segment: recompute activations from ``h0``, then
+    reverse. Returns (d_arrays flat tuple in f32, dh0). Pure jnp — runs
+    inside the Pallas kernel and as the XLA reference in tests."""
+    layers = _split_arrays(arrays, meta)
+    hs = [h0]
+    saved = None
+    for kind, ds, taps, b in layers:
+        h_new, saved = _layer_fwd(hs[-1], kind, ds, taps, b, saved, dtype)
+        hs.append(h_new)
+
+    d_arrays: list = [None] * len(layers)
+    dh = g.astype(jnp.float32)
+    pending_saved: jax.Array | None = None
+    for i in range(len(layers) - 1, -1, -1):
+        kind, ds, taps, b = layers[i]
+        h_in, h_out = hs[i], hs[i + 1]
+        if kind == "head":
+            d_taps = tuple(
+                jax.lax.dot_general(h_in[:, r, :], dh, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for r in ds)
+            db = jnp.sum(dh, axis=0)
+            d_arrays[i] = (*d_taps, db)
+            dh = jnp.stack(
+                [jax.lax.dot_general(dh, taps[j], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 for j, _ in enumerate(ds)], axis=1)
+            continue
+        dy = dh * _elu_deriv(h_out)
+        if kind == "res_out":
+            pending_saved = dy  # identity-path grad, consumed by res_in
+        # conv input for this layer: res_out's conv reads h_in (=t); plain
+        # convs and res_in read h_in too — uniform.
+        d_taps = []
+        dh_prev = None
+        for d, tap in zip(ds, taps):
+            sh = _shift_rows(h_in.astype(jnp.float32), d)
+            d_taps.append(jax.lax.dot_general(
+                sh, dy, (((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32))
+            z = jax.lax.dot_general(dy, tap, (((2,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            z = _shift_rows(z, -d)
+            dh_prev = z if dh_prev is None else dh_prev + z
+        db = jnp.sum(dy, axis=0)
+        d_arrays[i] = (*d_taps, db)
+        dh = dh_prev
+        if kind == "res_in" and pending_saved is not None:
+            dh = dh + pending_saved
+            pending_saved = None
+    flat = tuple(a for layer in d_arrays for a in layer)
+    return flat, dh
 
 
 def superrow_input(x: jax.Array) -> jax.Array:
@@ -296,27 +370,140 @@ def superrow_encoder_xla(params, cfg: EncoderConfig, x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernels (two segments, each with a custom VJP)
+#
+# The encoder splits at its SMALLEST activation (act3, [N, 4, 128]):
+# segment 0 = the three strided convs, segment 1 = res_proj + residual
+# blocks + head. One kernel per segment keeps VMEM under budget in the
+# BACKWARD pass — a single kernel would hold every lane operator PLUS its
+# f32 gradient accumulator (~16 MB before activations); per segment each
+# side stays ≤ ~5 MB while the cut tensor's HBM round trip is the
+# cheapest possible (act3 is 16× smaller than act1). The backward kernels
+# RECOMPUTE activations from the segment input (nothing but the inputs is
+# stashed), and gradient accumulators live in VMEM across the grid
+# (zero-initialised at step 0, accumulated, written once).
 # ---------------------------------------------------------------------------
 
 
-def _kernel_body(meta, dtype, x_ref, *refs):
+def _n_arrays(meta) -> int:
+    return sum(len(ds) + 1 for _, ds in meta)
+
+
+def _fwd_kernel(meta, dtype, x_ref, *refs):
     out_ref = refs[-1]
     arrays = tuple(r[:] for r in refs[:-1])
     out_ref[:] = _walk(x_ref[:], arrays, meta, dtype)
 
 
+def _bwd_kernel(meta, dtype, n_ops, x_ref, g_ref, *refs):
+    """refs = (*array_refs[n_ops], *d_array_refs[n_ops], dx_ref)."""
+    import jax.experimental.pallas as pl
+
+    array_refs = refs[:n_ops]
+    d_refs = refs[n_ops:n_ops + n_ops]
+    dx_ref = refs[-1]
+    arrays = tuple(r[:] for r in array_refs)
+    d_arrays, dh0 = _walk_bwd(x_ref[:], arrays, meta, g_ref[:], dtype)
+    dx_ref[:] = dh0.astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in d_refs:
+            r[:] = jnp.zeros_like(r)
+
+    for r, da in zip(d_refs, d_arrays):
+        r[:] += da
+
+
+def _const_spec(a):
+    from jax.experimental import pallas as pl
+
+    if a.ndim == 2:
+        return pl.BlockSpec(a.shape, lambda i: (0, 0))
+    return pl.BlockSpec(a.shape, lambda i: (0,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _segment_core(meta, out_l, tile, interpret, is_head, arrays, x):
+    """One segment as a pallas_call. ``x``: [N, P, L_in] (N divisible by
+    tile); returns [N, out_l] (head) or [N, P, out_l]."""
+    return _segment_fwd_call(meta, out_l, tile, interpret, is_head, arrays, x)
+
+
+def _segment_fwd_call(meta, out_l, tile, interpret, is_head, arrays, x):
+    from jax.experimental import pallas as pl
+
+    n = x.shape[0]
+    dtype = x.dtype
+    grid = (n // tile,)
+    in_specs = [pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0))]
+    in_specs += [_const_spec(a) for a in arrays]
+    if is_head:
+        out_shape = jax.ShapeDtypeStruct((n, out_l), dtype)
+        out_spec = pl.BlockSpec((tile, out_l), lambda i: (i, 0))
+    else:
+        out_shape = jax.ShapeDtypeStruct((n, P, out_l), dtype)
+        out_spec = pl.BlockSpec((tile, P, out_l), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, meta, dtype),
+        out_shape=out_shape, grid=grid, in_specs=in_specs,
+        out_specs=out_spec, interpret=interpret,
+    )(x, *arrays)
+
+
+def _segment_core_fwd(meta, out_l, tile, interpret, is_head, arrays, x):
+    out = _segment_fwd_call(meta, out_l, tile, interpret, is_head, arrays, x)
+    return out, (arrays, x)
+
+
+def _segment_core_bwd(meta, out_l, tile, interpret, is_head, res, g):
+    from jax.experimental import pallas as pl
+
+    arrays, x = res
+    n = x.shape[0]
+    dtype = x.dtype
+    n_ops = len(arrays)
+    grid = (n // tile,)
+    in_specs = [
+        pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0)),
+        (pl.BlockSpec((tile, out_l), lambda i: (i, 0)) if is_head
+         else pl.BlockSpec((tile, P, out_l), lambda i: (i, 0, 0))),
+    ] + [_const_spec(a) for a in arrays]
+    # Gradient accumulators in f32 regardless of the compute dtype (bf16
+    # accumulation across tiles would drift); cast to the primal dtype after
+    # the call so custom_vjp's cotangent contract holds.
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in arrays]
+    out_specs = [_const_spec(a) for a in arrays]
+    out_shapes.append(jax.ShapeDtypeStruct(x.shape, dtype))
+    out_specs.append(pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0)))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, meta, dtype, n_ops),
+        out_shape=tuple(out_shapes), grid=grid, in_specs=in_specs,
+        out_specs=tuple(out_specs), interpret=interpret,
+    )(x, g, *arrays)
+    d_arrays = tuple(da.astype(a.dtype) for da, a in zip(outs[:-1], arrays))
+    return d_arrays, outs[-1]
+
+
+_segment_core.defvjp(_segment_core_fwd, _segment_core_bwd)
+
+
 def fused_encoder_apply(params, cfg: EncoderConfig, x: jax.Array,
-                        *, tile: int = 64, interpret: bool = False,
+                        *, tile: int = 64, interpret: bool | str = "auto",
                         operators=None) -> jax.Array:
-    """Encoder forward as one VMEM-resident Pallas program.
+    """Encoder forward as VMEM-resident Pallas programs (two segments, cut
+    at act3 — see the segment comment above). Differentiable: each segment
+    carries a custom VJP whose backward kernel recomputes activations
+    in-VMEM, so training sees no stashed intermediates in HBM either.
 
     ``x``: [..., H, W, C]; returns [..., out_dim]. Guard with
     :func:`fused_encoder_applicable`. ``operators`` may be passed to reuse
     prebuilt lane matrices (eval loops with fixed params).
     """
-    from jax.experimental import pallas as pl
-
+    if interpret == "auto":
+        # Mosaic exists only on TPU; everywhere else (tests, CPU meshes)
+        # run the kernels through the interpreter — same math, slower.
+        interpret = jax.default_backend() != "tpu"
     lead = x.shape[:-3]
     hh, ww = x.shape[-3], x.shape[-2]
     x = x.reshape((-1, *x.shape[-3:]))
@@ -330,20 +517,15 @@ def fused_encoder_apply(params, cfg: EncoderConfig, x: jax.Array,
     xs = superrow_input(x)
     if n_pad:
         xs = jnp.pad(xs, ((0, n_pad), (0, 0), (0, 0)))
-    grid = (xs.shape[0] // tn,)
 
-    in_specs = [pl.BlockSpec((tn, P, plan.l_in), lambda i: (i, 0, 0))]
-    for a in arrays:
-        in_specs.append(pl.BlockSpec(a.shape, (lambda i: (0, 0)) if a.ndim == 2
-                                     else (lambda i: (0,))))
-    out = pl.pallas_call(
-        functools.partial(_kernel_body, meta, dtype),
-        out_shape=jax.ShapeDtypeStruct((xs.shape[0], plan.out_dim), dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tn, plan.out_dim), lambda i: (i, 0)),
-        interpret=interpret,
-    )(xs, *arrays)
+    # Segment 0 = the strided convs (res_proj is also tagged "conv", so
+    # count layers from the plan, not the tags).
+    seg0_layers = len(plan.grids)
+    split = _n_arrays(meta[:seg0_layers])
+    h = _segment_core(meta[:seg0_layers], plan.seg_l_mid, tn, interpret, False,
+                      arrays[:split], xs)
+    out = _segment_core(meta[seg0_layers:], plan.out_dim, tn, interpret, True,
+                        arrays[split:], h)
     if n_pad:
         out = out[:n]
     return out.reshape(*lead, out.shape[-1])
