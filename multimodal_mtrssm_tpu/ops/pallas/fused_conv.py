@@ -242,7 +242,25 @@ def _shift_rows(z: jax.Array, d: int) -> jax.Array:
     return jnp.pad(z[:, :-1], ((0, 0), (1, 0), (0, 0)))
 
 
-def _layer_fwd(h, kind, ds, taps, b, saved, dtype):
+def _act(name, y):
+    if name == "elu":
+        return _elu(y)
+    if name == "tanh":
+        return jnp.tanh(y)
+    return y  # "id"
+
+
+def _act_deriv(name, out):
+    """Activation derivative from the OUTPUT value (recompute-friendly)."""
+    o = out.astype(jnp.float32)
+    if name == "elu":
+        return jnp.where(o > 0, 1.0, o + 1.0)
+    if name == "tanh":
+        return 1.0 - o * o
+    return jnp.ones_like(o)
+
+
+def _layer_fwd(h, kind, ds, act, taps, b, saved, dtype):
     """One layer forward; returns (h_new, saved_new)."""
     if kind == "head":
         acc = None
@@ -250,7 +268,20 @@ def _layer_fwd(h, kind, ds, taps, b, saved, dtype):
             z = jax.lax.dot_general(h[:, r, :], tap, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             acc = z if acc is None else acc + z
-        return (acc + b.astype(jnp.float32)).astype(dtype), saved
+        return _act(act, acc + b.astype(jnp.float32)).astype(dtype), saved
+    if kind == "dense":
+        # Flat [TN, L] @ tap — decoder entry linears (one tap).
+        z = jax.lax.dot_general(h, taps[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return _act(act, z + b.astype(jnp.float32)).astype(dtype), saved
+    if kind == "unflatten":
+        # Flat [TN, P·L] → super-rows [TN, P, L] via the P row-taps
+        # (avoids an in-kernel reshape relayout: one matmul per super-row).
+        rows = [jax.lax.dot_general(h, tap, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for tap in taps]
+        y = jnp.stack(rows, axis=1) + b.astype(jnp.float32)[None]
+        return _act(act, y).astype(dtype), saved
     acc = None
     for d, tap in zip(ds, taps):
         z = jax.lax.dot_general(h, tap, (((2,), (0,)), ((), ())),
@@ -259,19 +290,28 @@ def _layer_fwd(h, kind, ds, taps, b, saved, dtype):
         acc = z if acc is None else acc + z
     y = acc + b.astype(jnp.float32)[None]
     if kind == "res_in":
-        return _elu(y).astype(dtype), h
+        return _act(act, y).astype(dtype), h
     if kind == "res_out":
-        return _elu(saved.astype(jnp.float32) + y).astype(dtype), saved
-    return _elu(y).astype(dtype), saved
+        return _act(act, saved.astype(jnp.float32) + y).astype(dtype), saved
+    return _act(act, y).astype(dtype), saved
+
+
+def _meta_entry(entry):
+    """meta entry → (kind, ds, act); 2-tuples default to the encoder
+    convention (ELU between layers, Identity on the head)."""
+    if len(entry) == 2:
+        return entry[0], entry[1], ("id" if entry[0] == "head" else "elu")
+    return entry
 
 
 def _split_arrays(arrays, meta):
-    """Flat operator tuple → per-layer (kind, ds, taps, bias)."""
+    """Flat operator tuple → per-layer (kind, ds, act, taps, bias)."""
     it = iter(arrays)
     out = []
-    for kind, ds in meta:
+    for entry in meta:
+        kind, ds, act = _meta_entry(entry)
         taps = tuple(next(it) for _ in ds)
-        out.append((kind, ds, taps, next(it)))
+        out.append((kind, ds, act, taps, next(it)))
     return out
 
 
@@ -280,8 +320,8 @@ def _walk(h, arrays, meta, dtype):
     output: the [TN, out_dim] embedding if the segment ends in a head, else
     the last activation [TN, P, L]."""
     saved = None
-    for kind, ds, taps, b in _split_arrays(arrays, meta):
-        h, saved = _layer_fwd(h, kind, ds, taps, b, saved, dtype)
+    for kind, ds, act, taps, b in _split_arrays(arrays, meta):
+        h, saved = _layer_fwd(h, kind, ds, act, taps, b, saved, dtype)
     return h
 
 
@@ -300,17 +340,18 @@ def _walk_bwd(h0, arrays, meta, g, dtype):
     layers = _split_arrays(arrays, meta)
     hs = [h0]
     saved = None
-    for kind, ds, taps, b in layers:
-        h_new, saved = _layer_fwd(hs[-1], kind, ds, taps, b, saved, dtype)
+    for kind, ds, act, taps, b in layers:
+        h_new, saved = _layer_fwd(hs[-1], kind, ds, act, taps, b, saved, dtype)
         hs.append(h_new)
 
     d_arrays: list = [None] * len(layers)
     dh = g.astype(jnp.float32)
     pending_saved: jax.Array | None = None
     for i in range(len(layers) - 1, -1, -1):
-        kind, ds, taps, b = layers[i]
+        kind, ds, act, taps, b = layers[i]
         h_in, h_out = hs[i], hs[i + 1]
         if kind == "head":
+            dh = dh * _act_deriv(act, h_out)
             d_taps = tuple(
                 jax.lax.dot_general(h_in[:, r, :], dh, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -322,7 +363,30 @@ def _walk_bwd(h0, arrays, meta, g, dtype):
                                      preferred_element_type=jnp.float32)
                  for j, _ in enumerate(ds)], axis=1)
             continue
-        dy = dh * _elu_deriv(h_out)
+        if kind == "dense":
+            dy = dh * _act_deriv(act, h_out)
+            d_tap = jax.lax.dot_general(h_in, dy, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            db = jnp.sum(dy, axis=0)
+            d_arrays[i] = (d_tap, db)
+            dh = jax.lax.dot_general(dy, taps[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            continue
+        if kind == "unflatten":
+            dy = dh * _act_deriv(act, h_out)  # [TN, P, L]
+            d_taps = tuple(
+                jax.lax.dot_general(h_in, dy[:, j, :], (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for j, _ in enumerate(ds))
+            db = jnp.sum(dy, axis=0)
+            d_arrays[i] = (*d_taps, db)
+            dh = None
+            for j, _ in enumerate(ds):
+                z = jax.lax.dot_general(dy[:, j, :], taps[j], (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                dh = z if dh is None else dh + z
+            continue
+        dy = dh * _act_deriv(act, h_out)
         if kind == "res_out":
             pending_saved = dy  # identity-path grad, consumed by res_in
         # conv input for this layer: res_out's conv reads h_in (=t); plain
