@@ -65,14 +65,20 @@ def main() -> None:
     if args.check_only:
         jax.config.update("jax_platforms", "cpu")
     from multimodal_mtrssm_tpu.nn.conv import (
+        DecoderConfig,
         EncoderConfig,
+        decoder_apply,
+        decoder_init,
         encoder_apply,
         encoder_apply_s2d,
         encoder_init,
     )
     from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+        build_decoder_operators,
         build_operators,
+        fused_decoder_apply,
         fused_encoder_apply,
+        superrow_decoder_xla,
         superrow_encoder_xla,
     )
     from multimodal_mtrssm_tpu.utils import enable_compilation_cache
@@ -80,23 +86,35 @@ def main() -> None:
     enable_compilation_cache()
     ecfg = EncoderConfig()
     eparams = encoder_init(jax.random.PRNGKey(0), ecfg)
+    dcfg = DecoderConfig(in_features=48)
+    dparams = decoder_init(jax.random.PRNGKey(3), dcfg)
 
     # --- equivalence (f32, small batch) ---
     x = jax.random.uniform(jax.random.PRNGKey(1), (32, 32, 32, 1),
                            jnp.float32, -1, 1)
+    feats = jax.random.normal(jax.random.PRNGKey(4), (32, 48), jnp.float32)
     ref = encoder_apply(eparams, ecfg, x)
+    dref = decoder_apply(dparams, dcfg, feats)
     gap_sr = float(jnp.max(jnp.abs(ref - superrow_encoder_xla(eparams, ecfg, x))))
     gap_fx = float(jnp.max(jnp.abs(ref - fused_encoder_apply(
         eparams, ecfg, x, tile=16, interpret=args.check_only))))
-    print(json.dumps({"superrow_gap": gap_sr, "fused_gap": gap_fx}), flush=True)
-    assert gap_sr < 2e-6 and gap_fx < 2e-6, "equivalence failed — do not time"
+    gap_dsr = float(jnp.max(jnp.abs(dref - superrow_decoder_xla(dparams, dcfg, feats))))
+    gap_dfx = float(jnp.max(jnp.abs(dref - fused_decoder_apply(
+        dparams, dcfg, feats, tile=16, interpret=args.check_only))))
+    print(json.dumps({"superrow_gap": gap_sr, "fused_gap": gap_fx,
+                      "dec_superrow_gap": gap_dsr, "dec_fused_gap": gap_dfx}),
+          flush=True)
+    assert max(gap_sr, gap_fx, gap_dsr, gap_dfx) < 2e-6, "equivalence failed — do not time"
     if args.check_only:
         return
 
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     n = args.frames
     big_x = jax.random.uniform(jax.random.PRNGKey(2), (n, 32, 32, 1), dt, -1, 1)
+    big_f = jax.random.normal(jax.random.PRNGKey(5), (n, 48), dt)
+    big_t = jax.random.uniform(jax.random.PRNGKey(6), (n, 32, 32, 1), dt, -1, 1)
     ops = build_operators(eparams, ecfg, 32, 32, dt)
+    dops = build_decoder_operators(dparams, dcfg, dt)
 
     def chain_fwd(fn, x0):
         def run(xv):
@@ -129,6 +147,16 @@ def main() -> None:
         "base_grad": chain_grad(lambda v: encoder_apply(eparams, ecfg, v), big_x),
         "superrow_grad": chain_grad(
             lambda v: superrow_encoder_xla(eparams, ecfg, v, operators=ops), big_x),
+        "fused_grad": chain_grad(
+            lambda v: fused_encoder_apply(eparams, ecfg, v, tile=args.tile,
+                                          operators=ops), big_x),
+        "dec_base_fwd": chain_fwd(lambda v: decoder_apply(dparams, dcfg, v), big_f),
+        "dec_fused_fwd": chain_fwd(lambda v: fused_decoder_apply(
+            dparams, dcfg, v, tile=args.tile, operators=dops), big_f),
+        "dec_base_grad": chain_grad(lambda v: (decoder_apply(dparams, dcfg, v)
+                                               - big_t) ** 2, big_f),
+        "dec_fused_grad": chain_grad(lambda v: (fused_decoder_apply(
+            dparams, dcfg, v, tile=args.tile, operators=dops) - big_t) ** 2, big_f),
     }
     row = {"frames": n, "dtype": args.dtype, "k": args.k, "tile": args.tile}
     for name, (run, ins) in variants.items():
@@ -136,6 +164,9 @@ def main() -> None:
     for arm in ("s2d", "superrow", "fused"):
         row[f"{arm}_fwd_speedup"] = round(row["base_fwd_ms"] / row[f"{arm}_fwd_ms"], 3)
     row["superrow_grad_speedup"] = round(row["base_grad_ms"] / row["superrow_grad_ms"], 3)
+    row["fused_grad_speedup"] = round(row["base_grad_ms"] / row["fused_grad_ms"], 3)
+    row["dec_fused_fwd_speedup"] = round(row["dec_base_fwd_ms"] / row["dec_fused_fwd_ms"], 3)
+    row["dec_fused_grad_speedup"] = round(row["dec_base_grad_ms"] / row["dec_fused_grad_ms"], 3)
     print(json.dumps(row), flush=True)
 
 

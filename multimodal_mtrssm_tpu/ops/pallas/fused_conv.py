@@ -230,7 +230,10 @@ def build_operators(params, cfg: EncoderConfig, h: int = 32, w: int = 32,
 
 
 def _elu(x):
-    return jnp.where(x > 0, x, jnp.expm1(x))
+    # exp(x)−1 rather than expm1: Mosaic has no expm1 lowering (verified
+    # on-chip 2026-08-20); the negative branch only sees x ≤ 0 where the
+    # f32 difference is ≤1e-8 absolute — inside the pinned tolerances.
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
 def _shift_rows(z: jax.Array, d: int) -> jax.Array:
@@ -450,7 +453,7 @@ def superrow_encoder_xla(params, cfg: EncoderConfig, x: jax.Array,
 
 
 def _n_arrays(meta) -> int:
-    return sum(len(ds) + 1 for _, ds in meta)
+    return sum(len(_meta_entry(e)[1]) + 1 for e in meta)
 
 
 def _fwd_kernel(meta, dtype, x_ref, *refs):
@@ -494,20 +497,28 @@ def _segment_core(meta, out_l, tile, interpret, is_head, arrays, x):
     return _segment_fwd_call(meta, out_l, tile, interpret, is_head, arrays, x)
 
 
+def _io_spec(ndim_3, tile, width):
+    """Block spec for a segment input/output: [N, P, L] or flat [N, L]."""
+    from jax.experimental import pallas as pl
+
+    if ndim_3:
+        return pl.BlockSpec((tile, P, width), lambda i: (i, 0, 0))
+    return pl.BlockSpec((tile, width), lambda i: (i, 0))
+
+
 def _segment_fwd_call(meta, out_l, tile, interpret, is_head, arrays, x):
     from jax.experimental import pallas as pl
 
     n = x.shape[0]
     dtype = x.dtype
     grid = (n // tile,)
-    in_specs = [pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0))]
+    in_specs = [_io_spec(x.ndim == 3, tile, x.shape[-1])]
     in_specs += [_const_spec(a) for a in arrays]
     if is_head:
         out_shape = jax.ShapeDtypeStruct((n, out_l), dtype)
-        out_spec = pl.BlockSpec((tile, out_l), lambda i: (i, 0))
     else:
         out_shape = jax.ShapeDtypeStruct((n, P, out_l), dtype)
-        out_spec = pl.BlockSpec((tile, P, out_l), lambda i: (i, 0, 0))
+    out_spec = _io_spec(not is_head, tile, out_l)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, meta, dtype),
         out_shape=out_shape, grid=grid, in_specs=in_specs,
@@ -529,9 +540,8 @@ def _segment_core_bwd(meta, out_l, tile, interpret, is_head, res, g):
     n_ops = len(arrays)
     grid = (n // tile,)
     in_specs = [
-        pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0)),
-        (pl.BlockSpec((tile, out_l), lambda i: (i, 0)) if is_head
-         else pl.BlockSpec((tile, P, out_l), lambda i: (i, 0, 0))),
+        _io_spec(x.ndim == 3, tile, x.shape[-1]),
+        _io_spec(not is_head, tile, out_l),
     ] + [_const_spec(a) for a in arrays]
     # Gradient accumulators in f32 regardless of the compute dtype (bf16
     # accumulation across tiles would drift); cast to the primal dtype after
@@ -539,7 +549,7 @@ def _segment_core_bwd(meta, out_l, tile, interpret, is_head, res, g):
     out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in arrays]
     out_specs = [_const_spec(a) for a in arrays]
     out_shapes.append(jax.ShapeDtypeStruct(x.shape, dtype))
-    out_specs.append(pl.BlockSpec((tile, P, x.shape[2]), lambda i: (i, 0, 0)))
+    out_specs.append(_io_spec(x.ndim == 3, tile, x.shape[-1]))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, meta, dtype, n_ops),
         out_shape=tuple(out_shapes), grid=grid, in_specs=in_specs,
@@ -593,3 +603,203 @@ def fused_encoder_apply(params, cfg: EncoderConfig, x: jax.Array,
     if n_pad:
         out = out[:n]
     return out.reshape(*lead, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Decoder operators (reference cnn.Decoder, ``configs/default.yaml:61-92``):
+# linears → (c,h,w)-unflatten → residual blocks → three k4 s2 p1 deconvs.
+# Same super-row algebra; deconvs UPSAMPLE (R_out = s·R_in) and their tap
+# relation is out[i] += x[(i+pad−ky)/s] @ w[ky,kx] (torch ConvTranspose2d
+# semantics, verified against ``conv_transpose_apply`` to 6e-8). The final
+# output is the super-row form of the [H,W,C] frame — ``superrow_output``
+# inverts it with a pure reshape.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _deconv_superrow_maps(hi: int, wi: int, ci: int, co: int, k: int, s: int,
+                          pad: int) -> dict[int, tuple]:
+    """Gather maps for one ConvTranspose2d layer (out = s·in for the
+    k−2·pad = s family, e.g. the reference's k4 s2 p1)."""
+    ho, wo = (hi - 1) * s - 2 * pad + k, (wi - 1) * s - 2 * pad + k
+    rin, rout = hi // P, ho // P
+    lin, lout = rin * wi * ci, rout * wo * co
+    maps: dict[int, list] = {}
+    for ky in range(k):
+        for r_out in range(rout):
+            num = r_out + pad - ky
+            if num % s:
+                continue
+            r_rel = num // s
+            d, r_in = r_rel // rin, r_rel % rin
+            if not -1 <= d <= 1:
+                continue
+            ent = maps.setdefault(d, [np.zeros((lin, lout), np.int32) for _ in range(4)]
+                                  + [np.zeros((lin, lout), bool)])
+            iy, ix, ici, ico, valid = ent
+            for kx in range(k):
+                j_out = np.arange(wo)
+                num_j = j_out + pad - kx
+                ok = (num_j % s == 0) & (num_j >= 0) & (num_j < wi * s)
+                j_out = j_out[ok]
+                j_in = (np.asarray(j_out) + pad - kx) // s
+                ok2 = (0 <= j_in) & (j_in < wi)
+                j_out, j_in = j_out[ok2], j_in[ok2]
+                if len(j_out) == 0:
+                    continue
+                ci_ = np.arange(ci)
+                co_ = np.arange(co)
+                l_in = (r_in * wi + j_in[:, None, None]) * ci + ci_[None, :, None]
+                l_out = (r_out * wo + j_out[:, None, None]) * co + co_[None, None, :]
+                l_in = np.broadcast_to(l_in, (len(j_out), ci, co))
+                l_out = np.broadcast_to(l_out, (len(j_out), ci, co))
+                iy[l_in, l_out] = ky
+                ix[l_in, l_out] = kx
+                ici[l_in, l_out] = np.broadcast_to(ci_[None, :, None], l_in.shape)
+                ico[l_in, l_out] = np.broadcast_to(co_[None, None, :], l_in.shape)
+                valid[l_in, l_out] = True
+    return {d: tuple(v) for d, v in maps.items()}
+
+
+def _deconv_operators(w: jax.Array, hi: int, wi: int, s: int, pad: int) -> dict[int, jax.Array]:
+    k, _, ci, co = w.shape
+    out = {}
+    for d, (iy, ix, ici, ico, valid) in _deconv_superrow_maps(
+            hi, wi, ci, co, k, s, pad).items():
+        a = w[jnp.asarray(iy), jnp.asarray(ix), jnp.asarray(ici), jnp.asarray(ico)]
+        out[d] = jnp.where(jnp.asarray(valid), a, jnp.zeros((), w.dtype))
+    return out
+
+
+def fused_decoder_applicable(cfg) -> bool:
+    """Reference-shaped decoders: two linears, [C,4,4] conv-in, k4 s2 p1
+    deconvs ×3 to 32×32, ELU inner / Tanh output."""
+    return (
+        len(cfg.linear_sizes) == 2
+        and tuple(cfg.conv_in_shape[1:]) == (4, 4)
+        and len(cfg.channels) == 3
+        and tuple(cfg.kernel_sizes) == (4, 4, 4)
+        and tuple(cfg.strides) == (2, 2, 2)
+        and tuple(cfg.paddings) == (1, 1, 1)
+        and tuple(cfg.output_paddings) == (0, 0, 0)
+        and cfg.activation_name == "ELU"
+        and cfg.out_activation_name == "Tanh"
+    )
+
+
+def build_decoder_operators(params, cfg, dtype=jnp.float32):
+    """Decoder params → (flat operator tuple, (meta, seg_bounds, out_hw)).
+
+    ``seg_bounds``: meta indices where a kernel segment may cut (after the
+    res stack and after each deconv) — used by the fused decoder call to
+    keep each backward kernel under the VMEM budget.
+    """
+    c0, h0, w0 = cfg.conv_in_shape
+    arrays: list[jax.Array] = []
+    meta: list[tuple] = []
+
+    lin0, lin1 = params["linears"]
+    arrays += [lin0["w"].astype(dtype), lin0["b"].astype(dtype)]
+    meta.append(("dense", (0,), "elu"))
+    # unflatten: linear to [P, h0·w0·c0·... ] in (h,w,c) order — fold the
+    # reference's (c,h,w)-major reshape permutation into the weight columns.
+    w1 = lin1["w"].astype(dtype)  # [in, c0·h0·w0]
+    b1 = lin1["b"].astype(dtype)
+    rows_per_p = h0 // P  # 1 for the 4×4 conv-in
+    lane = rows_per_p * w0 * c0
+    perm = np.empty((P, lane), np.int64)
+    for h_ in range(h0):
+        for w_ in range(w0):
+            for c_ in range(c0):
+                pr, rr = divmod(h_, rows_per_p)
+                perm[pr, (rr * w0 + w_) * c0 + c_] = c_ * (h0 * w0) + h_ * w0 + w_
+    taps = [w1[:, perm[r]] for r in range(P)]
+    bias = jnp.stack([b1[perm[r]] for r in range(P)])
+    arrays += taps + [bias]
+    meta.append(("unflatten", tuple(range(P)), "elu"))
+
+    hi, wi, ch = h0, w0, c0
+    if "res_proj" in params:
+        ops = _conv_operators(params["res_proj"]["w"].astype(dtype), hi, wi, 1, 0)
+        meta.append(("conv", tuple(sorted(ops)), "elu"))
+        arrays += [ops[d] for d in sorted(ops)] + [
+            _tile_bias(params["res_proj"]["b"].astype(dtype), hi, wi)]
+        ch = params["res_proj"]["w"].shape[-1]
+    for block in params.get("res_blocks", []):
+        for j, tag in ((1, "res_in"), (2, "res_out")):
+            wk = block[f"conv{j}"]["w"].astype(dtype)
+            ops = _conv_operators(wk, hi, wi, 1, 1)
+            meta.append((tag, tuple(sorted(ops)), "elu"))
+            arrays += [ops[d] for d in sorted(ops)] + [
+                _tile_bias(block[f"conv{j}"]["b"].astype(dtype), hi, wi)]
+    seg_bounds = [len(meta)]
+    for i, dk in enumerate(params["deconvs"]):
+        wk = dk["w"].astype(dtype)
+        ops = _deconv_operators(wk, hi, wi, cfg.strides[i], cfg.paddings[i])
+        act = "elu" if i < len(params["deconvs"]) - 1 else "tanh"
+        ho = (hi - 1) * cfg.strides[i] - 2 * cfg.paddings[i] + cfg.kernel_sizes[i]
+        wo = (wi - 1) * cfg.strides[i] - 2 * cfg.paddings[i] + cfg.kernel_sizes[i]
+        meta.append(("conv", tuple(sorted(ops)), act))
+        arrays += [ops[d] for d in sorted(ops)] + [
+            _tile_bias(dk["b"].astype(dtype), ho, wo)]
+        hi, wi = ho, wo
+        seg_bounds.append(len(meta))
+    return tuple(arrays), (tuple(meta), tuple(seg_bounds), (hi, wi, wk.shape[-1]))
+
+
+def superrow_output(y: jax.Array, h: int, w: int, c: int) -> jax.Array:
+    """[N, P, (H/P)·W·C] → [N, H, W, C] (pure reshape, inverse of
+    :func:`superrow_input`)."""
+    return y.reshape(y.shape[0], h, w, c)
+
+
+def superrow_decoder_xla(params, cfg, feats: jax.Array, operators=None) -> jax.Array:
+    """Pure-XLA twin of the fused decoder — equivalence anchor vs
+    ``decoder_apply`` and the formulation A/B arm."""
+    lead = feats.shape[:-1]
+    feats = feats.reshape((-1, feats.shape[-1]))
+    dtype = feats.dtype
+    arrays, (meta, _, (ho, wo, co)) = operators if operators is not None else \
+        build_decoder_operators(params, cfg, dtype)
+    y = _walk(feats, arrays, meta, dtype)
+    out = superrow_output(y, ho, wo, co)
+    return out.reshape(*lead, *out.shape[1:])
+
+
+def fused_decoder_apply(params, cfg, feats: jax.Array, *, tile: int = 64,
+                        interpret: bool | str = "auto", operators=None) -> jax.Array:
+    """Decoder forward as VMEM-resident Pallas segments: [linears + res
+    stack] fused in one kernel, then one kernel per deconv (each deconv's
+    operator pair + f32 gradient accumulator must fit VMEM alone — deconv2's
+    is 6.3 MB). Differentiable via the same per-segment custom VJP as the
+    encoder. Returns [..., H, W, C] (identical contract to
+    ``decoder_apply``); guard with :func:`fused_decoder_applicable`.
+    """
+    if interpret == "auto":
+        interpret = jax.default_backend() != "tpu"
+    lead = feats.shape[:-1]
+    feats = feats.reshape((-1, feats.shape[-1]))
+    n = feats.shape[0]
+    dtype = feats.dtype
+    arrays, (meta, seg_bounds, (ho, wo, co)) = operators if operators is not None \
+        else build_decoder_operators(params, cfg, dtype)
+
+    tn = min(tile, max(8, n))
+    n_pad = -n % tn
+    if n_pad:
+        feats = jnp.pad(feats, ((0, n_pad), (0, 0)))
+
+    bounds = [0, *seg_bounds]
+    h = feats
+    for lo, hi_b in zip(bounds[:-1], bounds[1:]):
+        seg_meta = meta[lo:hi_b]
+        lo_a, hi_a = _n_arrays(meta[:lo]), _n_arrays(meta[:hi_b])
+        # Segment output lane width: bias of the segment's last layer.
+        seg_arrays = arrays[lo_a:hi_a]
+        out_l = seg_arrays[-1].shape[-1]
+        h = _segment_core(seg_meta, out_l, tn, interpret, False,
+                          seg_arrays, h)
+    out = superrow_output(h, ho, wo, co)
+    if n_pad:
+        out = out[:n]
+    return out.reshape(*lead, *out.shape[1:])

@@ -137,6 +137,51 @@ def test_bf16_path():
     assert jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))) < 0.1
 
 
+def test_fused_decoder_fwd_and_grads():
+    """Decoder twin + fused segments reproduce ``decoder_apply`` (fwd and
+    parameter grads) — linears' (c,h,w)-reshape permutation folded into the
+    unflatten taps, deconvs via the ConvTranspose2d tap relation."""
+    from jax import flatten_util
+
+    from multimodal_mtrssm_tpu.nn.conv import DecoderConfig, decoder_apply, decoder_init
+    from multimodal_mtrssm_tpu.ops.pallas.fused_conv import (
+        fused_decoder_applicable,
+        fused_decoder_apply,
+        superrow_decoder_xla,
+    )
+
+    cfg = DecoderConfig(in_features=48)
+    assert fused_decoder_applicable(cfg)
+    params = decoder_init(jax.random.PRNGKey(0), cfg)
+    f = jax.random.normal(jax.random.PRNGKey(1), (11, 48))
+    ref = decoder_apply(params, cfg, f)
+    assert jnp.max(jnp.abs(ref - superrow_decoder_xla(params, cfg, f))) < 2e-6
+    got = fused_decoder_apply(params, cfg, f, tile=8, interpret=True)
+    assert got.shape == ref.shape
+    assert jnp.max(jnp.abs(ref - got)) < 2e-6
+
+    tgt = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
+    g_ref = jax.grad(lambda p: jnp.mean((decoder_apply(p, cfg, f) - tgt) ** 2))(params)
+    g_fus = jax.grad(lambda p: jnp.mean(
+        (fused_decoder_apply(p, cfg, f, tile=8, interpret=True) - tgt) ** 2))(params)
+    fr, _ = flatten_util.ravel_pytree(g_ref)
+    ff, _ = flatten_util.ravel_pytree(g_fus)
+    assert jnp.max(jnp.abs(fr - ff)) < 1e-5
+
+
+def test_fused_decoder_leading_dims():
+    from multimodal_mtrssm_tpu.nn.conv import DecoderConfig, decoder_apply, decoder_init
+    from multimodal_mtrssm_tpu.ops.pallas.fused_conv import fused_decoder_apply
+
+    cfg = DecoderConfig(in_features=48)
+    params = decoder_init(jax.random.PRNGKey(3), cfg)
+    f = jax.random.normal(jax.random.PRNGKey(4), (3, 5, 48))
+    ref = decoder_apply(params, cfg, f)
+    got = fused_decoder_apply(params, cfg, f, tile=8, interpret=True)
+    assert got.shape == ref.shape
+    assert jnp.max(jnp.abs(ref - got)) < 2e-6
+
+
 def test_model_conv_layout_fused_enc_loss_and_grads():
     """conv_layout='fused_enc' is a drop-in training path: the full ELBO
     shared_step and its parameter gradients match the nhwc layout."""
