@@ -167,8 +167,8 @@ def _plan(cfg: EncoderConfig, h: int, w: int) -> _Plan:
     )
 
 
-def build_operators(params, cfg: EncoderConfig, h: int = 32, w: int = 32,
-                    dtype=jnp.float32):
+def build_operators(params: dict, cfg: EncoderConfig, h: int = 32, w: int = 32,
+                    dtype: jnp.dtype = jnp.float32) -> tuple:
     """Encoder params → (flat operator list, static meta) for the kernel.
 
     The operator list is a flat tuple of arrays (taps + biases in layer
@@ -421,8 +421,8 @@ def superrow_input(x: jax.Array) -> jax.Array:
     return x.reshape(n, P, (h // P) * w * c)
 
 
-def superrow_encoder_xla(params, cfg: EncoderConfig, x: jax.Array,
-                         operators=None) -> jax.Array:
+def superrow_encoder_xla(params: dict, cfg: EncoderConfig, x: jax.Array,
+                         operators: tuple | None = None) -> jax.Array:
     """Pure-XLA twin of the fused kernel — identical operator math, each
     matmul its own XLA op. Equivalence anchor for tests and the second
     A/B arm (isolates the VMEM-residency win from the formulation change)."""
@@ -562,9 +562,9 @@ def _segment_core_bwd(meta, out_l, tile, interpret, is_head, res, g):
 _segment_core.defvjp(_segment_core_fwd, _segment_core_bwd)
 
 
-def fused_encoder_apply(params, cfg: EncoderConfig, x: jax.Array,
+def fused_encoder_apply(params: dict, cfg: EncoderConfig, x: jax.Array,
                         *, tile: int = 64, interpret: bool | str = "auto",
-                        operators=None) -> jax.Array:
+                        operators: tuple | None = None) -> jax.Array:
     """Encoder forward as VMEM-resident Pallas programs (two segments, cut
     at act3 — see the segment comment above). Differentiable: each segment
     carries a custom VJP whose backward kernel recomputes activations
@@ -671,7 +671,7 @@ def _deconv_operators(w: jax.Array, hi: int, wi: int, s: int, pad: int) -> dict[
     return out
 
 
-def fused_decoder_applicable(cfg) -> bool:
+def fused_decoder_applicable(cfg: object) -> bool:
     """Reference-shaped decoders: two linears, [C,4,4] conv-in, k4 s2 p1
     deconvs ×3 to 32×32, ELU inner / Tanh output."""
     return (
@@ -687,7 +687,8 @@ def fused_decoder_applicable(cfg) -> bool:
     )
 
 
-def build_decoder_operators(params, cfg, dtype=jnp.float32):
+def build_decoder_operators(params: dict, cfg: object,
+                            dtype: jnp.dtype = jnp.float32) -> tuple:
     """Decoder params → (flat operator tuple, (meta, seg_bounds, out_hw)).
 
     ``seg_bounds``: meta indices where a kernel segment may cut (after the
@@ -718,13 +719,12 @@ def build_decoder_operators(params, cfg, dtype=jnp.float32):
     arrays += taps + [bias]
     meta.append(("unflatten", tuple(range(P)), "elu"))
 
-    hi, wi, ch = h0, w0, c0
+    hi, wi = h0, w0
     if "res_proj" in params:
         ops = _conv_operators(params["res_proj"]["w"].astype(dtype), hi, wi, 1, 0)
         meta.append(("conv", tuple(sorted(ops)), "elu"))
         arrays += [ops[d] for d in sorted(ops)] + [
             _tile_bias(params["res_proj"]["b"].astype(dtype), hi, wi)]
-        ch = params["res_proj"]["w"].shape[-1]
     for block in params.get("res_blocks", []):
         for j, tag in ((1, "res_in"), (2, "res_out")):
             wk = block[f"conv{j}"]["w"].astype(dtype)
@@ -753,7 +753,8 @@ def superrow_output(y: jax.Array, h: int, w: int, c: int) -> jax.Array:
     return y.reshape(y.shape[0], h, w, c)
 
 
-def superrow_decoder_xla(params, cfg, feats: jax.Array, operators=None) -> jax.Array:
+def superrow_decoder_xla(params: dict, cfg: object, feats: jax.Array,
+                         operators: tuple | None = None) -> jax.Array:
     """Pure-XLA twin of the fused decoder — equivalence anchor vs
     ``decoder_apply`` and the formulation A/B arm."""
     lead = feats.shape[:-1]
@@ -766,8 +767,9 @@ def superrow_decoder_xla(params, cfg, feats: jax.Array, operators=None) -> jax.A
     return out.reshape(*lead, *out.shape[1:])
 
 
-def fused_decoder_apply(params, cfg, feats: jax.Array, *, tile: int = 64,
-                        interpret: bool | str = "auto", operators=None) -> jax.Array:
+def fused_decoder_apply(params: dict, cfg: object, feats: jax.Array, *, tile: int = 64,
+                        interpret: bool | str = "auto",
+                        operators: tuple | None = None) -> jax.Array:
     """Decoder forward as VMEM-resident Pallas segments: [linears + res
     stack] fused in one kernel, then one kernel per deconv (each deconv's
     operator pair + f32 gradient accumulator must fit VMEM alone — deconv2's
