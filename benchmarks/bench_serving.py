@@ -215,18 +215,27 @@ def bench_http(results: dict) -> None:
 
 
 def bench_http_concurrent(results: dict, clients: int = 8,
-                          rounds: int = 20) -> None:
-    """A/B: sustained /imagine+decode throughput under CONCURRENT clients,
-    with and without request coalescing (``batch_window_ms``).
+                          rounds: int = 20, imagine_b: int = 1,
+                          imagine_t: int = 10, observe_load: bool = False,
+                          observe_b: int = 8, observe_t: int = 30) -> None:
+    """A/B: sustained /imagine+decode (and optionally /observe+filter)
+    throughput under CONCURRENT clients, with and without request
+    coalescing (``batch_window_ms``).
 
-    ``clients`` threads post one npz /imagine each per round, synchronized
+    ``clients`` threads post one npz request each per round, synchronized
     by a barrier (so the coalescer sees a full burst — the best case the
     window is designed for; real mixed traffic lands between the two
     columns). Without coalescing every request pays its own ~2×RTT device
     round trips serialized on the device lock; with it a round is ONE
-    batched device call. Note the coalesced path buckets T 10→16, so its
-    device call does MORE timesteps per frame — the win reported here is
-    net of that bucketing tax.
+    batched device call. Note the coalesced path buckets T (e.g. 10→16),
+    so its device call does MORE timesteps per frame — the win reported
+    here is net of that bucketing tax.
+
+    ``imagine_b``/``imagine_t`` scale the per-request /imagine device work
+    (VERDICT r4 item 8: the B=1 T=10 point is RTT-dominated; B=16 shows
+    where coalescing pays). ``observe_load=True`` additionally benches a
+    concurrent /observe burst at (observe_b, observe_t) — the
+    training-shaped filter request through the new /observe coalescer.
     """
     import io
     import threading
@@ -235,7 +244,7 @@ def bench_http_concurrent(results: dict, clients: int = 8,
 
     model = MoPoEMRSSM(MRSSMConfig())
     wm = WorldModel(model, model.init(jax.random.PRNGKey(0)))
-    B, T = 1, 10
+    B, T = imagine_b, imagine_t
     rng = np.random.default_rng(0)
 
     def to_npz(arrays: dict) -> bytes:
@@ -249,6 +258,13 @@ def bench_http_concurrent(results: dict, clients: int = 8,
         "vision": rng.uniform(-1, 1, size=(B, T, 32, 32, 1)).astype(np.float32),
         "seed": 1,
     })
+    obs_load_npz = to_npz({
+        "actions": rng.normal(size=(observe_b, observe_t, 6)).astype(np.float32),
+        "audio": rng.uniform(-1, 1, size=(observe_b, observe_t, 32, 32, 1)).astype(np.float32),
+        "vision": rng.uniform(-1, 1, size=(observe_b, observe_t, 32, 32, 1)).astype(np.float32),
+        "seed": 2,
+    })
+    shape_tag = f"imB{B}T{T}"
 
     for tag, window in (("window0", 0.0), ("window8ms", 8.0)):
         srv = InferenceServer(wm, port=0, batch_window_ms=window,
@@ -294,14 +310,43 @@ def bench_http_concurrent(results: dict, clients: int = 8,
             for th in threads:
                 th.join()
             total = time.perf_counter() - t_start[0]
-            results[f"http/concurrent{clients}_{tag}_req_per_s"] = round(
+            results[f"http/concurrent{clients}_{shape_tag}_{tag}_req_per_s"] = round(
                 clients * rounds / total, 1
             )
             if srv.batcher is not None:
                 sizes = srv.batcher.batch_sizes
-                results[f"http/concurrent{clients}_{tag}_batch_p50"] = (
+                results[f"http/concurrent{clients}_{shape_tag}_{tag}_batch_p50"] = (
                     float(np.median(sizes)) if sizes else 0.0
                 )
+
+            if observe_load:
+                # Concurrent /observe burst (training-shaped filter):
+                post_npz("/observe", obs_load_npz)  # absorb the compile
+                barrier2 = threading.Barrier(clients)
+                t2 = [0.0]
+
+                def oworker(i: int) -> None:
+                    for r in range(warm + rounds):
+                        barrier2.wait()
+                        if r == warm and i == 0:
+                            t2[0] = time.perf_counter()
+                        post_npz("/observe", obs_load_npz)
+
+                oths = [threading.Thread(target=oworker, args=(i,))
+                        for i in range(clients)]
+                for th in oths:
+                    th.start()
+                for th in oths:
+                    th.join()
+                ototal = time.perf_counter() - t2[0]
+                results[f"http/concurrent{clients}_obsB{observe_b}T{observe_t}_{tag}_req_per_s"] = round(
+                    clients * rounds / ototal, 1
+                )
+                if srv.observe_batcher is not None:
+                    sizes = srv.observe_batcher.batch_sizes
+                    results[f"http/concurrent{clients}_obsB{observe_b}T{observe_t}_{tag}_batch_p50"] = (
+                        float(np.median(sizes)) if sizes else 0.0
+                    )
         finally:
             srv.stop()
 
@@ -312,10 +357,17 @@ def main() -> None:
     ap.add_argument("--http-only", action="store_true")
     ap.add_argument("--concurrent-only", action="store_true")
     ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--imagine-b", type=int, default=1)
+    ap.add_argument("--imagine-t", type=int, default=10)
+    ap.add_argument("--observe-load", action="store_true",
+                    help="also bench a concurrent B=8 T=30 /observe burst")
     args = ap.parse_args()
     results: dict = {"platform": jax.devices()[0].platform}
     if args.concurrent_only:
-        bench_http_concurrent(results, clients=args.clients)
+        bench_http_concurrent(results, clients=args.clients,
+                              imagine_b=args.imagine_b,
+                              imagine_t=args.imagine_t,
+                              observe_load=args.observe_load)
         print(json.dumps(results, indent=2))
         return
     if not args.http_only:
