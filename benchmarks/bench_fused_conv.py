@@ -104,7 +104,12 @@ def main() -> None:
     print(json.dumps({"superrow_gap": gap_sr, "fused_gap": gap_fx,
                       "dec_superrow_gap": gap_dsr, "dec_fused_gap": gap_dfx}),
           flush=True)
-    assert max(gap_sr, gap_fx, gap_dsr, gap_dfx) < 2e-6, "equivalence failed — do not time"
+    # CPU computes true f32 (gaps ~2e-7); on TPU the DEFAULT matmul/conv
+    # precision rounds f32 operands to bf16 (~0.4% relative), and the two
+    # formulations round different intermediates — measured 3.7e-4 abs on
+    # 2026-08-20. The bf16-rounding envelope is the honest gate on-chip.
+    tol = 2e-6 if jax.default_backend() != "tpu" else 2e-3
+    assert max(gap_sr, gap_fx, gap_dsr, gap_dfx) < tol, "equivalence failed — do not time"
     if args.check_only:
         return
 
