@@ -165,13 +165,24 @@ def main() -> None:
     }
     row = {"frames": n, "dtype": args.dtype, "k": args.k, "tile": args.tile}
     for name, (run, ins) in variants.items():
-        row[f"{name}_ms"] = round(_time_chained(run, ins, args.k), 4)
+        # Incremental + fault-isolated: one broken arm must not lose the
+        # others' numbers (a Mosaic bwd failure cost a full run on
+        # 2026-08-20 before this).
+        try:
+            row[f"{name}_ms"] = round(_time_chained(run, ins, args.k), 4)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            row[f"{name}_ms"] = None
+            row[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({name: row.get(f"{name}_ms")}), flush=True)
+    def ratio(a, b):
+        return round(row[a] / row[b], 3) if row.get(a) and row.get(b) else None
+
     for arm in ("s2d", "superrow", "fused"):
-        row[f"{arm}_fwd_speedup"] = round(row["base_fwd_ms"] / row[f"{arm}_fwd_ms"], 3)
-    row["superrow_grad_speedup"] = round(row["base_grad_ms"] / row["superrow_grad_ms"], 3)
-    row["fused_grad_speedup"] = round(row["base_grad_ms"] / row["fused_grad_ms"], 3)
-    row["dec_fused_fwd_speedup"] = round(row["dec_base_fwd_ms"] / row["dec_fused_fwd_ms"], 3)
-    row["dec_fused_grad_speedup"] = round(row["dec_base_grad_ms"] / row["dec_fused_grad_ms"], 3)
+        row[f"{arm}_fwd_speedup"] = ratio("base_fwd_ms", f"{arm}_fwd_ms")
+    row["superrow_grad_speedup"] = ratio("base_grad_ms", "superrow_grad_ms")
+    row["fused_grad_speedup"] = ratio("base_grad_ms", "fused_grad_ms")
+    row["dec_fused_fwd_speedup"] = ratio("dec_base_fwd_ms", "dec_fused_fwd_ms")
+    row["dec_fused_grad_speedup"] = ratio("dec_base_grad_ms", "dec_fused_grad_ms")
     print(json.dumps(row), flush=True)
 
 

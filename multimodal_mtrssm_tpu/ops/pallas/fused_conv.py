@@ -396,10 +396,14 @@ def _walk_bwd(h0, arrays, meta, g, dtype):
         # convs and res_in read h_in too — uniform.
         d_taps = []
         dh_prev = None
+        # (TN, P) flatten before the dA contraction: Mosaic's tpu.matmul
+        # rejects two contracting dims (verified on-chip 2026-08-20); the
+        # merge of leading (major) dims is layout-free.
+        dy2 = dy.reshape(-1, dy.shape[-1])
         for d, tap in zip(ds, taps):
             sh = _shift_rows(h_in.astype(jnp.float32), d)
             d_taps.append(jax.lax.dot_general(
-                sh, dy, (((0, 1), (0, 1)), ((), ())),
+                sh.reshape(-1, sh.shape[-1]), dy2, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
             z = jax.lax.dot_general(dy, tap, (((2,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
