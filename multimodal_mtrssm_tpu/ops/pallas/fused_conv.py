@@ -328,14 +328,6 @@ def _walk(h, arrays, meta, dtype):
     return h
 
 
-def _elu_deriv(out):
-    """ELU' from the OUTPUT value: 1 where out>0 else out+1 (elu(x)=e^x−1
-    for x≤0 ⇒ elu' = e^x = out+1) — recompute-friendly, no pre-activations
-    stored."""
-    o = out.astype(jnp.float32)
-    return jnp.where(o > 0, 1.0, o + 1.0)
-
-
 def _walk_bwd(h0, arrays, meta, g, dtype):
     """Backward of one segment: recompute activations from ``h0``, then
     reverse. Returns (d_arrays flat tuple in f32, dh0). Pure jnp — runs
