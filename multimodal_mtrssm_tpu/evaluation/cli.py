@@ -36,6 +36,12 @@ def main() -> None:
                          "reference's same-frame training alignment — near-"
                          "chance by construction, see BASELINE.md), 1 = the "
                          "one-word-ahead prediction")
+    ap.add_argument("--condition", choices=("both", "vision", "audio"),
+                    default="both",
+                    help="which modality carries information at conditioning "
+                         "time: 'vision'/'audio' zero out the OTHER stream "
+                         "(ZeroOut fill -1) — the cross-modal inference "
+                         "evaluation (results/crossmodal_r5)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -78,8 +84,11 @@ def main() -> None:
         n_predictions=args.n_predictions, n_frames=args.n_frames,
         audio_min=exp.data.audio_min, audio_max=exp.data.audio_max,
         classify_frame=args.classify_frame, seed=args.seed,
+        condition=args.condition,
     )
-    md, js = write_results(results, args.out)
+    name_suffix = "" if args.condition == "both" else f"_{args.condition}"
+    md, js = write_results(results, args.out,
+                           name=f"word_transitions{name_suffix}")
     print(f"mean MR = {results['summary']['mean_matching_rate']:.3f}")
     print(f"wrote {md} and {js}")
 
