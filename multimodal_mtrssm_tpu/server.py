@@ -206,10 +206,19 @@ class InferenceServer:
 
     def __init__(self, world_model, host: str = "127.0.0.1", port: int = 8000,
                  state_capacity: int = 64, batch_window_ms: float = 0.0,
-                 batch_max: int = 8, batch_bucket: bool = True):
+                 batch_max: int = 8, batch_bucket: bool = True,
+                 coalesce_max_work: int = 64):
         self.wm = world_model
         self.states = _StateStore(state_capacity)
         self._bucket = batch_bucket
+        # Coalescing pays only while per-request device work is SMALL
+        # (measured 2026-08-20, BASELINE.md serving table: B=1 T=10
+        # +20%, but B=16 T=10 imagine 8.1→3.0 req/s and B=8 T=30 observe
+        # 70→42 under the window — pow2-bucket padding plus lost
+        # device-queue pipelining dominate once a single request already
+        # fills the chip). Requests with batch·timesteps above this
+        # threshold bypass the window and run solo; 0 disables the gate.
+        self._coalesce_max_work = coalesce_max_work
         self.batcher = (
             _ImagineBatcher(self._run_imagine_batch, batch_window_ms, batch_max)
             if batch_window_ms > 0 else None
@@ -305,11 +314,21 @@ class InferenceServer:
         vision = np.asarray(req["vision"], np.float32)
         seed = int(req.get("seed", 0))
         decode = bool(req.get("decode", False))
-        if self.observe_batcher is not None and actions.ndim == 3:
+        if (self.observe_batcher is not None and actions.ndim == 3
+                and self._small_enough_to_coalesce(actions)):
             return self.observe_batcher.submit(
                 _PendingObserve(actions, audio, vision, seed, decode, raw)
             )
         return self._observe_one(actions, audio, vision, seed, decode, raw)
+
+    def _small_enough_to_coalesce(self, actions: np.ndarray) -> bool:
+        """Window gate: only requests whose own device work (batch ·
+        timesteps) is below ``coalesce_max_work`` enter the coalescer —
+        large requests run solo (see __init__ comment for the measured
+        rationale)."""
+        if self._coalesce_max_work <= 0:
+            return True
+        return actions.shape[0] * actions.shape[1] <= self._coalesce_max_work
 
     def _observe_one(self, actions, audio, vision, seed: int, decode: bool,
                      raw: bool) -> dict:
@@ -419,7 +438,8 @@ class InferenceServer:
         actions = np.asarray(req["actions"], np.float32)
         seed = int(req.get("seed", 0))
         decode = bool(req.get("decode", True))
-        if self.batcher is not None and actions.ndim == 3:
+        if (self.batcher is not None and actions.ndim == 3
+                and self._small_enough_to_coalesce(actions)):
             return self.batcher.submit(
                 _PendingImagine(state, actions, seed, decode, raw)
             )

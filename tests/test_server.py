@@ -424,3 +424,33 @@ def test_npz_bad_body_and_unknown_state(server):
             "state_id": "nope", "actions": np.zeros((1, 1, 6), np.float32),
         })
     assert e.value.code == 404
+
+
+def test_coalesce_work_gate_routes_large_requests_solo():
+    """Requests whose own batch*T exceeds coalesce_max_work bypass the
+    window (measured rationale in server.__init__); small ones coalesce."""
+    srv = InferenceServer(_ArithmeticWM(), port=0, batch_window_ms=50.0,
+                          coalesce_max_work=16)
+    try:
+        rng = np.random.default_rng(9)
+        small = rng.normal(size=(2, 3, 6)).astype(np.float32)   # work 6
+        large = rng.normal(size=(4, 8, 6)).astype(np.float32)   # work 32
+        assert srv._small_enough_to_coalesce(small)
+        assert not srv._small_enough_to_coalesce(large)
+        # The large request must still succeed (solo path).
+        state = rng.normal(size=(4, 4)).astype(np.float32)
+        sid = srv.states.put(state)
+        before = len(srv.batcher.batch_sizes)
+        out = srv._imagine({"state_id": sid, "actions": large.tolist(),
+                            "decode": False})
+        assert out["t"] == 8
+        assert len(srv.batcher.batch_sizes) == before  # no coalescer entry
+        # gate disabled -> everything coalesces
+        srv2 = InferenceServer(_ArithmeticWM(), port=0, batch_window_ms=50.0,
+                               coalesce_max_work=0)
+        try:
+            assert srv2._small_enough_to_coalesce(large)
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
