@@ -55,7 +55,10 @@ class DataModuleConfig:
     audio_min: float = -80.0
     audio_max: float = 0.0
     seed: int = 42
-    drop_modality: str | None = None  # None | "audio" | "vision" (ZeroOut inputs)
+    # None | "audio" | "vision" (ZeroOut that input stream) | "random"
+    # (per-sample: each episode keeps both / drops audio / drops vision,
+    # 1/3 each — trains one model robust to either missing modality).
+    drop_modality: str | None = None
     # Reference DataLoader default is drop_last=False: the ragged tail batch
     # trains/validates too. The tail is served as a separate smaller batch
     # (one extra jit compile per distinct tail size, cached afterwards);
@@ -295,6 +298,21 @@ class EpisodeDataModule:
             outs["audio"] = (np.full_like(outs["audio"][0], -1.0), outs["audio"][1])
         elif cfg.drop_modality == "vision" and "vision" in outs:
             outs["vision"] = (np.full_like(outs["vision"][0], -1.0), outs["vision"][1])
+        elif cfg.drop_modality == "random" and "audio" in outs and "vision" in outs:
+            # Per-SAMPLE modality dropout: each episode independently keeps
+            # both streams, drops audio, or drops vision (⅓ each) — trains
+            # ONE model robust to either missing modality (the production
+            # extension of the static crossmodal config; validation batches
+            # have rng=None and stay clean, so val/loss compares across
+            # configs). Targets stay clean either way.
+            if rng is not None:
+                choice = rng.integers(0, 3, size=len(idx))
+                a_sel = choice.reshape((-1,) + (1,) * (outs["audio"][0].ndim - 1)) == 1
+                v_sel = choice.reshape((-1,) + (1,) * (outs["vision"][0].ndim - 1)) == 2
+                outs["audio"] = (np.where(a_sel, -1.0, outs["audio"][0]).astype(np.float32),
+                                 outs["audio"][1])
+                outs["vision"] = (np.where(v_sel, -1.0, outs["vision"][0]).astype(np.float32),
+                                  outs["vision"][1])
         if cfg.modality == "audio":
             au_in, au = outs["audio"]
             return (a_in, au_in, a, au)
@@ -582,6 +600,17 @@ class EpisodeDataModule:
             vi = g("vision")
             au_in = jnp.full_like(au, -1.0) if drop == "audio" else noisy(au, 1)
             vi_in = jnp.full_like(vi, -1.0) if drop == "vision" else noisy(vi, 2)
+            if drop == "random":
+                # Per-sample modality dropout (⅓ none / ⅓ audio / ⅓ vision)
+                # — device-side mirror of the host path; draws its own
+                # folded stream, so host vs device runs differ in WHICH
+                # samples drop, same as the noise draws.
+                choice = jax.random.randint(
+                    jax.random.fold_in(key, 3), (idx.shape[0],), 0, 3)
+                a_mask = jnp.reshape(choice == 1, (-1,) + (1,) * (au_in.ndim - 1))
+                v_mask = jnp.reshape(choice == 2, (-1,) + (1,) * (vi_in.ndim - 1))
+                au_in = jnp.where(a_mask, -1.0, au_in)
+                vi_in = jnp.where(v_mask, -1.0, vi_in)
             return (a_in, au_in, vi_in, a, au, vi)
 
         fn = (jax.jit(gather) if out_sharding is None

@@ -35,10 +35,13 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-VARIANTS = ("standard", "crossmodal")
+VARIANTS = ("standard", "crossmodal", "random")
 CONFIGS = {
     "standard": "mopoe_mrssm.yaml",
     "crossmodal": "mopoe_mrssm_crossmodal.yaml",
+    # "random": standard config + per-sample modality dropout
+    # (drop_modality="random") — ONE model robust to either direction.
+    "random": "mopoe_mrssm.yaml",
 }
 
 
@@ -54,6 +57,8 @@ def train_variant(args, work: Path, seed: int, variant: str, train_dir: Path):
     exp.trainer.log_dir = str(work / f"run_{variant}")
     exp.data.data_dir = train_dir
     exp.data.device_resident = True
+    if variant == "random":
+        exp.data.drop_modality = "random"
     if hasattr(exp.model.cfg, "use_pallas_train"):
         # Short runs: the fused kernel's Mosaic compile costs minutes for a
         # ~0.2 ms/step win — net loss at demo scale (same as demo_e2e.py).
@@ -106,7 +111,7 @@ def run_seed(args, work: Path, seed: int) -> dict:
     )
 
     seed_out: dict = {"seed": seed, "variants": {}}
-    for variant in VARIANTS:
+    for variant in (args.variants.split(",") if args.variants else VARIANTS):
         model, params = train_variant(args, work, seed, variant, train_dir)
         v: dict = {"mr": {}, "recon": None}
         for condition in ("both", "vision", "audio"):
@@ -156,6 +161,9 @@ def main() -> None:
     ap.add_argument("--n-successors", type=int, default=2)
     ap.add_argument("--n-predictions", type=int, default=10)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of standard,crossmodal,random "
+                         "(default: all)")
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--platform", choices=("default", "cpu"), default="default")
     args = ap.parse_args()
@@ -179,7 +187,7 @@ def main() -> None:
         "per_seed": per_seed,
         "aggregate": {},
     }
-    for variant in VARIANTS:
+    for variant in (args.variants.split(",") if args.variants else VARIANTS):
         agg: dict = {}
         for condition in ("both", "vision", "audio"):
             mrs = [s["variants"][variant]["mr"][condition] for s in per_seed]
@@ -193,7 +201,7 @@ def main() -> None:
                 agg[f"recon_{cell}_{mod}"] = float(np.mean(vals))
         summary["aggregate"][variant] = agg
     (work / "summary.json").write_text(json.dumps(summary, indent=2))
-    for variant in VARIANTS:
+    for variant in (args.variants.split(",") if args.variants else VARIANTS):
         a = summary["aggregate"][variant]
         print(f"\n== {variant} ({args.seeds} seeds) ==", flush=True)
         for condition in ("both", "vision", "audio"):

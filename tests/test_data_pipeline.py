@@ -405,3 +405,43 @@ def test_device_resident_accepts_plain_device_and_honors_placement(tmp_path):
         for hx, dx in zip(hb, db):
             np.testing.assert_array_equal(np.asarray(hx), np.asarray(dx))
             assert dx.devices() == {target}
+
+
+def test_random_modality_dropout_per_sample(tmp_path):
+    """drop_modality='random': per-sample each episode keeps both streams,
+    drops audio, or drops vision; targets stay clean; val batches (no rng)
+    are undropped."""
+    generate_synthetic_audio_mnist(tmp_path, n_episodes=40, episode_length=6)
+    cfg = DataModuleConfig(data_dir=tmp_path, batch_size=32, sequence_length=4,
+                           seed=3, drop_modality="random")
+    dm = EpisodeDataModule(cfg)
+    dm.setup()
+    b = next(iter(dm.train_batches(epoch=0)))
+    aud_in, vis_in = np.asarray(b[1]), np.asarray(b[2])
+    a_dropped = np.array([(aud_in[i] == -1.0).all() for i in range(aud_in.shape[0])])
+    v_dropped = np.array([(vis_in[i] == -1.0).all() for i in range(vis_in.shape[0])])
+    # No sample loses BOTH; with 32 samples each outcome appears w.h.p.
+    assert not (a_dropped & v_dropped).any()
+    assert a_dropped.any() and v_dropped.any() and (~a_dropped & ~v_dropped).any()
+    # Targets untouched.
+    assert not (np.asarray(b[4]) == -1.0).all()
+    assert not (np.asarray(b[5]) == -1.0).all()
+    # Validation batches are clean (rng=None path).
+    vb = next(iter(dm.val_batches()))
+    assert not (np.asarray(vb[1]) == -1.0).all()
+
+
+def test_random_modality_dropout_device_resident(tmp_path):
+    """Device-resident gather applies the same per-sample random dropout."""
+    generate_synthetic_audio_mnist(tmp_path, n_episodes=40, episode_length=6)
+    cfg = DataModuleConfig(data_dir=tmp_path, batch_size=32, sequence_length=4,
+                           seed=3, drop_modality="random", device_resident=True)
+    dm = EpisodeDataModule(cfg)
+    dm.setup()
+    b = next(iter(dm.train_batches(epoch=0)))
+    aud_in, vis_in = np.asarray(b[1]), np.asarray(b[2])
+    a_dropped = np.array([(aud_in[i] == -1.0).all() for i in range(aud_in.shape[0])])
+    v_dropped = np.array([(vis_in[i] == -1.0).all() for i in range(vis_in.shape[0])])
+    assert not (a_dropped & v_dropped).any()
+    assert a_dropped.any() and v_dropped.any() and (~a_dropped & ~v_dropped).any()
+    assert not (np.asarray(b[4]) == -1.0).all()
