@@ -200,7 +200,12 @@ def main() -> None:
                         for s in per_seed]
                 agg[f"recon_{cell}_{mod}"] = float(np.mean(vals))
         summary["aggregate"][variant] = agg
-    (work / "summary.json").write_text(json.dumps(summary, indent=2))
+    # Range-named file for extension runs (seed_start != 0) so an
+    # extension cannot clobber the original full-sweep summary (same
+    # protection as demo_e2e.py).
+    name = ("summary.json" if args.seed_start == 0 else
+            f"summary_seeds{args.seed_start}-{args.seed_start + args.seeds - 1}.json")
+    (work / name).write_text(json.dumps(summary, indent=2))
     for variant in (args.variants.split(",") if args.variants else VARIANTS):
         a = summary["aggregate"][variant]
         print(f"\n== {variant} ({args.seeds} seeds) ==", flush=True)
